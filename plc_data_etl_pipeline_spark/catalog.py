@@ -1,0 +1,65 @@
+"""Test-table catalog: loaders for the driver's parquet star schema.
+
+Tables (FIXTURES.md §2): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table under
+``{sf_dir}/{name}.parquet``.
+
+Scale note: ``spark.read.parquet`` gives us predicate pushdown, column
+pruning and partition-size-driven task splitting for free; at 100 TB the
+same call reads a partitioned directory tree and Catalyst prunes
+partitions. Nothing here materializes data on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import ensure_tuned
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Small dimension tables that should always hash-broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table as a DataFrame (schema from parquet footer)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_tuned(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS): read as long nanos (see
+    # session._RUNTIME_CONF) and truncate to micros — identical to what
+    # DuckDB's ns->us coercion yields, so oracles agree.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+class Tables:
+    """Lazy attribute-style access: ``t = Tables(spark, sf_dir); t.lineitem``."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return load(self._spark, self._sf_dir, name)

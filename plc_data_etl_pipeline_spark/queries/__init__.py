@@ -14,4 +14,4 @@ Importing this package registers every query into
 * parity       — reference-pipeline parity queries (sink roundtrip, UDF path)
 """
 
-from . import relational  # noqa: F401
+from . import aggregates, joins, relational, scalars, sort_set, windows  # noqa: F401

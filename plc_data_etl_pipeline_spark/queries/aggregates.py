@@ -1,0 +1,159 @@
+"""Aggregation operator family (SURVEY.md §2.2 — ABSENT in reference).
+
+The reference's only grouping-adjacent logic is the micro-batch count at
+consumer/sensor_data_consumer.py:85-89; the analytic aggregation surface
+is Spark-native. Every aggregate here uses partial (map-side) aggregation
+automatically; group-key cardinality is low, so the post-shuffle reduce is
+tiny regardless of input scale.
+
+Float determinism: SUM/AVG go through the decimal-cast convention
+(queries/_conv.py); genuinely order-dependent stats (stddev/var/corr/
+median) are ROUNDed to 4 digits on both engines (error ~1e-8 vs boundary
+5e-5 — see _conv.py rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+from ._conv import davg, dsum, sql_davg, sql_dsum
+
+
+@query(
+    "agg_basic",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           CAST(MIN(l_shipdate) AS DATE) AS min_shipdate,
+           CAST(MAX(l_shipdate) AS DATE) AS max_shipdate,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: sum/avg/min/max/count per flag."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        F.min("l_shipdate").cast("date").alias("min_shipdate"),
+        F.max("l_shipdate").cast("date").alias("max_shipdate"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Spark expands to a two-phase partial-distinct
+    aggregate (expand + two shuffles), still fully distributed."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT event_type,
+           ROUND(STDDEV_SAMP(value), 4) AS sd_value,
+           ROUND(VAR_SAMP(value), 4) AS var_value,
+           ROUND(CORR(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
+           ROUND(COVAR_SAMP(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu,
+           ROUND(QUANTILE_CONT(value, 0.5), 4) AS median_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/covar/median.
+
+    median: Spark ``percentile`` and DuckDB ``quantile_cont`` both linearly
+    interpolate over the sorted values — same formula, rounded to 4.
+    """
+    ev = load(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.corr(F.col("value"), uid), 4).alias("corr_vu"),
+        F.round(F.covar_samp(F.col("value"), uid), 4).alias("covar_vu"),
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("median_value"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals (status, status+priority, grand)."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations incl. grand total."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None)  # HLL sketch — engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB-scale answer to
+    COUNT(DISTINCT) — single shuffle of fixed-size sketches instead of the
+    two-phase exact expansion. Rows-only check here; the pytest suite
+    asserts the estimate is within 5% of exact (SURVEY §5.2.5)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )

@@ -1,0 +1,191 @@
+"""Join operator family (SURVEY.md §2.2 — ABSENT in reference, Spark-native).
+
+Scale posture: the fact-side tables (lineitem/orders/events) shuffle on the
+join key only when both sides are large; dimension sides (region/nation/
+supplier, and customer at test SF) are explicitly ``broadcast()`` so the
+plan is a BroadcastHashJoin with NO shuffle of the fact table. At 100 TB
+the same hints hold (dims stay small); AQE converts sort-merge back to
+broadcast at runtime if a filtered side shrinks below the threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import query
+from ._conv import dsum, sql_dsum
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+           o.o_orderstatus, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact-to-fact; filter pushed below the join on the
+    orders side so only 'F' orders shuffle (or broadcast under AQE)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "o_orderstatus", "o_totalprice"
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers without orders (nulls)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one big order.
+    Semi-join never duplicates the left side — no post-join dedup shuffle."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, c.c_custkey, s.s_acctbal, c.c_acctbal
+    FROM supplier s JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND s.s_acctbal < c.c_acctbal
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key (nation) + range predicate (acctbal). The equi
+    part drives the hash join; the inequality is a post-join filter in the
+    same stage. Supplier is tiny -> broadcast, zero shuffle of customer."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    return (
+        F.broadcast(s)
+        .join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal < c.c_acctbal))
+        .select("s_suppkey", "s_name", "c_custkey", "s_acctbal", "c_acctbal")
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+      WHERE e.event_type = 'purchase'
+    )
+    SELECT event_id, user_id, o_orderkey,
+           CAST(o_orderdate AS DATE) AS asof_orderdate
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the most recent order of that
+    customer at-or-before the event time. Spark lacks a native ASOF JOIN;
+    the scalable pattern is equi-join on the entity key + window top-1 per
+    left row (shuffle on user, then on event_id — both well-distributed).
+    Tie-broken on o_orderkey for determinism."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    o = load(spark, sf_dir, "orders")
+    joined = ev.join(
+        o, (ev.user_id == o.o_custkey) & (o.o_orderdate <= ev.ts)
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("asof_orderdate"),
+        )
+    )
+
+
+@query(
+    "join_multiway",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE') AND o.o_orderstatus <> 'P'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 5-way star join + aggregation. All dimension sides
+    (region, nation, supplier) broadcast, so lineitem is scanned once and
+    shuffles only for the orders join + final tiny agg."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

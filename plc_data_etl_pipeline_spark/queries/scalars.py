@@ -1,0 +1,234 @@
+"""Scalar-function family (SURVEY.md §2.2): string, date, math, JSON,
+array. The reference's only scalar transform is epoch→timestamp
+(consumer/sensor_data_consumer.py:131-134, covered by the pipeline parity
+module); everything else is the Spark-native function surface.
+
+All expressions here are JVM-side built-ins inside whole-stage codegen —
+no Python UDFs in any hot path. Transcendental results (ln/pow) are
+rounded to 6 digits: Java's Math.log and C's libm may differ in the last
+ulp (~1e-16 relative), far below the 5e-7 rounding boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           SUBSTRING(p_name, 1, 8) AS name_prefix,
+           p_brand || '/' || p_type AS brand_type,
+           LENGTH(p_name) AS name_len,
+           REGEXP_EXTRACT(p_brand, '[0-9]+') AS brand_num,
+           SPLIT_PART(p_type, ' ', 1) AS type_head,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           TRIM(LOWER(p_name)) AS name_lower
+    FROM part
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: upper/lower/substring/concat/length/regexp/
+    split/replace/trim over the part table."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+        F.split("p_type", " ").getItem(0).alias("type_head"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim(F.lower("p_name")).alias("name_lower"),
+    )
+
+
+@query(
+    "scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(DAY(o_orderdate) AS INT) AS order_day,
+           CAST(QUARTER(o_orderdate) AS INT) AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS iso_date
+    FROM orders
+    """,
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions: year/month/day/quarter extraction, month
+    truncation, day arithmetic, date difference, formatting."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.quarter(d).alias("order_quarter"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.date_format(d, "yyyy-MM-dd").alias("iso_date"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                      * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))),
+                      2) AS DOUBLE) AS charged,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(FLOOR(l_quantity / 10.0) AS BIGINT) AS qty_bucket,
+           CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+           ROUND(LN(l_extendedprice + 1.0), 6) AS log_price,
+           ROUND(SQRT(l_quantity), 6) AS sqrt_qty,
+           ROUND(POWER(l_discount, 2), 6) AS disc_sq,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           GREATEST(l_discount, l_tax) AS max_rate,
+           LEAST(l_discount, l_tax) AS min_rate
+    FROM lineitem
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions: round/abs/floor/ceil/mod/ln/sqrt/power/sign/
+    greatest/least over lineitem (TPC-H charge formula)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # Decimal-domain arithmetic: the product of 2-decimal money values
+        # is an exact 6-decimal rational that can tie at the .xx5 rounding
+        # boundary; rounding the exact decimal (not the double) is the only
+        # way both engines agree (see _conv.py).
+        F.round(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+            * (F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(3,2)")),
+            2,
+        )
+        .cast("double")
+        .alias("charged"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor(F.col("l_quantity") / 10.0).alias("qty_bucket"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).alias("price_k"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(props, '$.missing') AS missing_val
+    FROM events
+    WHERE props IS NOT NULL
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload column (the driver
+    fixture's semi-structured field — FIXTURES.md §2); missing paths yield
+    NULL in both engines."""
+    ev = load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    )
+
+
+@query(
+    "scalar_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+)
+def scalar_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct (schema-on-read for semi-structured
+    columns) + predicate on the parsed field."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = load(spark, sf_dir, "events")
+    schema = StructType([StructField("k", LongType())])
+    parsed = ev.select(
+        "event_id", F.from_json("props", schema).alias("p")
+    ).select("event_id", F.col("p.k").alias("k_val"))
+    return parsed.filter(F.col("k_val") >= 50)
+
+
+@query(
+    "array_explode",
+    oracle="""
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + explode: one row per token (the building block for all the
+    text-analysis operators in queries/extensions.py)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+@query(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)), 'sum'), 4) AS vec_sum,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS vec_max,
+           embedding[1] AS first_elem,
+           list_contains(list_transform(embedding, x -> x > 0.0), true) AS any_pos
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embedding column: size,
+    aggregate (sum via fold over doubles — same left-to-right order as
+    DuckDB's list_aggregate), max, indexing, exists. All JVM-side."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("vec_sum"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("vec_max"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.exists("embedding", lambda x: x > 0.0).alias("any_pos"),
+    )

@@ -1,0 +1,149 @@
+"""Window-function family (SURVEY.md §2.2 — ABSENT in reference).
+
+Scale posture: every window partitions by a high-cardinality key
+(user_id, order priority across many groups) so state per partition is
+bounded; there is no global (unpartitioned) window over a fact table
+anywhere in the engine. ORDER BY inside each window always carries a
+unique tiebreaker so ranks are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import query
+
+_DEC = "decimal(38,6)"
+
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           NTILE(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/row_number/ntile per priority class. row_number and
+    ntile get a unique tiebreaker (o_orderkey) for determinism."""
+    o = load(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    w_unique = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w_rank).alias("rnk"),
+        F.dense_rank().over(w_rank).alias("drnk"),
+        F.row_number().over(w_unique).alias("rn"),
+        F.ntile(4).over(w_unique).alias("quartile"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           value - LAG(value) OVER w AS delta,
+           FIRST_VALUE(value) OVER w AS first_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value per user timeline (sessionized sensor deltas —
+    the reference's per-machine reading stream, analyzed)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.first("value").over(w).alias("first_value"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle=f"""
+    SELECT event_id, user_id, value,
+           CAST(SUM(CAST(value AS {_DEC.upper().replace("DECIMAL", "DECIMAL")})) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_sum,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_n
+    FROM events
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per user over event time; decimal-cast so
+    the cumulative sum is order-exact on both engines; explicit ROWS frame
+    (the default RANGE frame differs on ties)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("running_sum"),
+        F.count("*").over(w).alias("running_n"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             / COUNT(value) OVER w AS moving_avg,
+           MIN(value) OVER w AS moving_min,
+           MAX(value) OVER w AS moving_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 4-row average/min/max per user — the classic sensor-smoothing
+    query over the reference's reading stream (FIXTURES.md §1 mapping)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (
+            F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("moving_avg"),
+        F.min("value").over(w).alias("moving_min"),
+        F.max("value").over(w).alias("moving_max"),
+    )

@@ -15,40 +15,39 @@ from decimal import Decimal
 
 
 def _canon(v):
-    """Canonicalize a cell value for cross-engine comparison."""
+    """Canonicalize a cell value, TYPE-TAGGED: the driver likely hashes a
+    string/typed representation, so int 2 vs float 2.0 must NOT compare
+    equal here even though Python's ``==`` says they do."""
     if v is None:
-        return None
+        return ("null",)
     if isinstance(v, bool):
-        return bool(v)
+        return ("b", v)
     if isinstance(v, Decimal):
-        return float(v)
+        return ("dec", str(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("f", "NaN")
+        return ("f", v)
     if isinstance(v, int):
-        return int(v)
+        return ("i", v)
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+        return ("ts", v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds"))
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        return ("d", v.isoformat())
     if isinstance(v, (list, tuple)):
-        return tuple(_canon(x) for x in v)
+        return ("arr", tuple(_canon(x) for x in v))
     if isinstance(v, dict):
-        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+        return ("map", tuple(sorted((k, _canon(x)) for k, x in v.items())))
     if isinstance(v, (bytes, bytearray)):
-        return bytes(v)
-    return v
+        return ("bin", bytes(v))
+    return ("s", str(v))
 
 
 def rows_to_multiset(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
     """Sort columns by name (driver behavior), canonicalize, sort rows."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     cols = [columns[i] for i in order]
-    out = sorted(
-        (tuple(_canon(r[i]) for i in order) for r in rows),
-        key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t),
-    )
+    out = sorted((tuple(_canon(r[i]) for i in order) for r in rows), key=str)
     return cols, out
 
 
@@ -68,8 +67,8 @@ def compare(spark_cols, spark_rows, ora_cols, ora_rows) -> list[str]:
         if a != b:
             n_diff += 1
             for x, y in zip(a, b):
-                if isinstance(x, float) and isinstance(y, float):
-                    max_float_diff = max(max_float_diff, abs(x - y))
+                if x[0] == "f" and y[0] == "f" and x != y and x[1] != "NaN" and y[1] != "NaN":
+                    max_float_diff = max(max_float_diff, abs(x[1] - y[1]))
             if n_diff <= 3:
                 problems.append(f"row diff:\n  spark : {a}\n  oracle: {b}")
     if n_diff:

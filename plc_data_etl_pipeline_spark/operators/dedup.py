@@ -1,0 +1,260 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families (BASELINE.json north star — deduplication):
+
+  * exact          — hash group-by on content, keep min-key survivor
+  * MinHash + LSH  — shingle → minhash signature → banded bucket join →
+                     candidate pairs → exact Jaccard verify
+  * SimHash        — 64-bit sign-of-sum fingerprint, near-dups share
+                     (almost) the same hash
+  * n-gram Jaccard — exact verified similarity on candidate pairs
+
+Scale design: nothing here ever compares all pairs. LSH banding turns the
+O(n²) problem into a bucket-equi-join (shuffle on band hash); candidate
+verification joins back to bounded token arrays. All hashing is
+``xxhash64`` with fixed seeds — deterministic across runs and cluster
+sizes. MinHash here is DataFrame-native (explode + k min-aggregates)
+rather than pyspark.ml's MinHashLSH: same math, no Vector conversion, and
+the signature agg is a single map-side-combinable shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one row per distinct content (the min ``order_col``).
+
+    Window row_number over the content hash — one shuffle on content,
+    deterministic survivor (unlike ``dropDuplicates``, which keeps an
+    arbitrary row and is therefore not oracle-checkable).
+    """
+    w = Window.partitionBy(*content_cols).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling / n-grams
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(tokens_col: Column, n: int = 3) -> Column:
+    """n-token shingles as strings: ['a b c', 'b c d', ...]."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingle",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, h0..h{k-1}) minhash signature per document.
+
+    Input: one row per (id, shingle). k independent hash functions are
+    xxhash64 seeded by the hash index; the signature is k MIN aggregates —
+    map-side combinable, single shuffle on id.
+    """
+    return df.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col(shingle_col))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs agreeing on ALL rows of any band become a candidate
+    pair. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    One union of ``bands`` bucket projections, shuffled on the band hash;
+    the self-join happens per-bucket (skew-safe for realistic corpora —
+    a degenerate bucket means near-identical docs, which ARE the output).
+    """
+    rows_per_band = num_hashes // bands
+    buckets = None
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        part = sig_df.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.xxhash64(*cols).alias("bucket"),
+        )
+        buckets = part if buckets is None else buckets.unionByName(part)
+    a = buckets.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
+    )
+    b_ = buckets.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b_, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    shingle_sets: DataFrame,
+    id_col: str,
+    set_col: str = "shingles",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via two joins to the (bounded)
+    per-doc shingle arrays; keeps pairs with similarity >= threshold."""
+    sa = shingle_sets.select(
+        F.col(id_col).alias("id_a"), F.col(set_col).alias("set_a")
+    )
+    sb = shingle_sets.select(
+        F.col(id_col).alias("id_b"), F.col(set_col).alias("set_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size(F.array_union("set_a", "set_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end fuzzy-dup pair detection: shingle → minhash → LSH bands →
+    exact Jaccard verify. Returns (id_a, id_b, jaccard)."""
+    toks = F.split(F.col(text_col), " ")
+    shingled = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(toks, shingle_n)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    exploded = shingled.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    sigs = minhash_signatures(exploded, id_col, "shingle", num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    return jaccard_verify(cands, shingled, id_col, "shingles", threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """63-bit SimHash per document, entirely in JVM higher-order functions.
+
+    Each token hashes to 64 bits; bit b contributes +1/-1 to dimension b;
+    the fingerprint sets bit b iff the sum is positive. Near-duplicate
+    texts differ in few bits (compare via popcount of XOR).
+
+    Implementation: per-token ±1 contribution vectors (length-64 arrays),
+    reduced per document with an elementwise zip_with sum — no Python, no
+    explode blow-up beyond the token count.
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    tok_df = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    h = F.xxhash64(F.lit(7), F.col("tok"))
+    # unrolled 64-element +-1 contribution vector (shiftright needs a
+    # Python int, so the bit loop is unrolled at plan-build time)
+    contrib = F.array(
+        *[
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+            for b in range(64)
+        ]
+    )
+    per_tok = tok_df.select(F.col(id_col), contrib.alias("v"))
+    summed = per_tok.groupBy(id_col).agg(F.collect_list("v").alias("vs"))
+    zero = F.array_repeat(F.lit(0), 64)
+    total = F.aggregate(
+        F.col("vs"), zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
+    )
+    with_sums = summed.withColumn("sums", total)
+    # Horner fold over the first 63 sums: element i becomes bit (62-i) of
+    # the fingerprint (a flat HOF expression — an unrolled 64-term chain
+    # blows the analyzer's resolution budget; and 63 bits keeps the long
+    # positive under ANSI overflow checking, Spark 4 default).
+    fp = F.aggregate(
+        F.slice(F.col("sums"), 1, 63),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc * 2 + F.when(s > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return with_sums.withColumn("simhash", fp.cast("long")).select(id_col, "simhash")
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Popcount of XOR — bit distance between two 64-bit fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_bits: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
+    16-bit blocks (pigeonhole: <= 3-bit difference guarantees one equal
+    block; wider differences are caught probabilistically), bucket-join,
+    verify Hamming distance <= max_bits."""
+    fps = simhash(df, id_col, text_col)
+    blocks = None
+    for i in range(4):
+        part = fps.select(
+            F.col(id_col),
+            F.lit(i).alias("block"),
+            F.shiftrightunsigned(F.col("simhash"), i * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("key"),
+        )
+        blocks = part if blocks is None else blocks.unionByName(part)
+    a = blocks.select("block", "key", F.col(id_col).alias("id_a"))
+    b = blocks.select("block", "key", F.col(id_col).alias("id_b"))
+    cands = (
+        a.join(b, ["block", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
+    fb = fps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
+    return (
+        cands.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= max_bits)
+        .select("id_a", "id_b", "hamming")
+    )

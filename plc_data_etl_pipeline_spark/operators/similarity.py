@@ -1,0 +1,202 @@
+"""Embedding similarity search (BASELINE.json north star).
+
+* ``cosine_topk``      — brute-force top-k for a bounded query set against
+                         the full corpus (the exactness baseline and the
+                         oracle-checkable variant).
+* ``lsh_ann_topk``     — random-hyperplane LSH bucketing: each vector maps
+                         to a sign-bit bucket; search touches only the
+                         query's bucket (multi-probe over Hamming-1
+                         neighbors for recall). The 100 TB path: bucket
+                         count scales with corpus size, the per-bucket
+                         scan is a bucket-equi-join, never a cross join.
+
+Float determinism (oracle parity): dot products accumulate per-element
+products cast to DECIMAL(38,12) — exact, order-independent sums that
+match DuckDB's unnest+SUM(decimal) bit-for-bit. Norms/cosines then divide
+bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# (20,12): element products are O(10), 64-element sums are O(1e3) — far
+# inside precision 20. Spark widens (20,12)+(20,12) -> (21,12); the merge
+# lambda casts back so the accumulator type stays fixed (aggregate()
+# requires merge output type == accumulator type).
+_DEC = "decimal(20,12)"
+
+
+def dot_dec(a: Column, b: Column) -> Column:
+    """Order-independent dot product of two float arrays, as DOUBLE."""
+    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC))
+    return (
+        F.aggregate(prods, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC))
+        .cast("double")
+    )
+
+
+def norm_dec(a: Column) -> Column:
+    return F.sqrt(dot_dec(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_dec(a, b) / (norm_dec(a) * norm_dec(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_max_id: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (vec_id <
+    query_max_id) against the whole corpus.
+
+    The bounded query side is broadcast, so the corpus is scanned once
+    with NO shuffle; the per-query top-k is a windowed rank over
+    (query, corpus-partition) — Spark pushes a group-limit below the
+    shuffle since 3.5.
+    """
+    q = emb.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (literal constants, not data)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit p = 1 iff dot(vec, plane_p) > 0."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query_max_id: int,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: search only the query's LSH bucket plus all
+    Hamming-1 neighbor buckets (multi-probe, recovers most near-boundary
+    misses). At scale this is a bucket-equi-join: corpus shuffled once on
+    bucket, queries exploded to n_planes+1 probe buckets.
+    """
+    planes = _hyperplanes(dim, n_planes)
+    with_bucket = emb.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    q = with_bucket.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    # multi-probe: own bucket + flip each single bit
+    probes = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+    )
+    q_probed = q.withColumn("bucket", F.explode(probes))
+    c = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("bucket"),
+    )
+    scored = (
+        q_probed.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold) via LSH buckets:
+    candidate pairs share a bucket (or a Hamming-1 probe), then exact
+    cosine verification. Embedding-space analog of MinHash dedup."""
+    planes = _hyperplanes(dim, n_planes)
+    with_bucket = emb.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+    )
+    a = with_bucket.withColumn("probe", F.explode(probes)).select(
+        F.col(id_col).alias("id_a"), "probe"
+    )
+    b = with_bucket.select(
+        F.col(id_col).alias("id_b"), F.col("bucket").alias("probe")
+    )
+    pairs = (
+        a.join(b, "probe")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # distinct on ids only; vectors joined back after
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine_sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+    )

@@ -14,4 +14,12 @@ Importing this package registers every query into
 * parity       — reference-pipeline parity queries (sink roundtrip, UDF path)
 """
 
-from . import aggregates, joins, relational, scalars, sort_set, windows  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    extensions,
+    joins,
+    relational,
+    scalars,
+    sort_set,
+    windows,
+)

@@ -1,0 +1,360 @@
+"""LLM-data-pipeline extension queries (BASELINE.json north star):
+dedup, similarity search, text analysis, multimodal — over the driver's
+documents/embeddings fixtures. Implementations live in ``operators/``;
+these wrappers bind them to tables and declare DuckDB oracles where the
+semantics are SQL-expressible (exact dedup, brute-force cosine, all the
+deterministic text metrics). LSH/SimHash/minhash internals hash with
+engine-specific functions -> rows-only checks plus pytest invariants
+(tests/test_extensions.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as T
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (SELECT text, MIN(doc_id) AS keep_id FROM documents GROUP BY text) k
+      ON d.doc_id = k.keep_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on text: deterministic min-doc_id survivor per distinct
+    content (window row_number — one shuffle; see operators/dedup.py)."""
+    return D.exact_dedup(load(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@query(
+    "dedup_exact_count",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_distinct_texts,
+           COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups
+    FROM documents
+    """,
+)
+def dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication census: total vs distinct text count."""
+    d = load(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        (F.count("*") - F.countDistinct("text")).alias("n_exact_dups"),
+    )
+
+
+@query("dedup_minhash", oracle=None)  # xxhash64 signatures — engine-specific
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH fuzzy-dup pairs (shingle→sign→band→bucket-join→Jaccard
+    verify). Rows-only here; pytest plants known near-dups and checks
+    recall + that every reported pair's exact Jaccard >= threshold."""
+    d = load(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+@query("dedup_simhash", oracle=None)  # xxhash64-based fingerprint
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit fingerprint, 16-bit block LSH,
+    Hamming verify <= 12 bits)."""
+    d = load(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(d, "doc_id", "text", max_bits=12)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([text[i:i+4] FOR i IN range(1, GREATEST(LENGTH(text) - 4, 0) + 1)]) AS grams
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.35
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard similarity pairs over a bounded id range —
+    the exact (oracle-checkable) counterpart of the LSH pipelines. The
+    O(n²) pair space is bounded by the id filter; at scale you'd gate this
+    behind LSH candidates (dedup_minhash) instead."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 4, 0)),"
+                " i -> substring(text, i, 5))"
+            )
+        ).alias("grams"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard_raw", inter / union)
+        .filter(F.col("jaccard_raw") >= 0.35)
+        .select("id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
+@query("dedup_embedding", oracle=None)  # LSH-bucketed candidate generation
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane-LSH buckets +
+    exact verify (cosine >= 0.9)."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(e, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_topk",
+    oracle="""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qv, c.embedding AS cv
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 20
+    ), elems AS (
+      SELECT query_id, neighbor_id,
+             CAST(unnest(qv) AS DOUBLE) AS x, CAST(unnest(cv) AS DOUBLE) AS y
+      FROM pairs
+    ), dots AS (
+      SELECT query_id, neighbor_id,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS qq,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS cc
+      FROM elems GROUP BY query_id, neighbor_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             dot / (SQRT(qq) * SQRT(cc)) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot / (SQRT(qq) * SQRT(cc)) DESC,
+                                         neighbor_id) AS rank
+      FROM dots
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 20 query vectors against the corpus.
+    Decimal-accumulated dot products make Spark and DuckDB bit-identical
+    (operators/similarity.py). The broadcast-queries pattern scans the
+    corpus exactly once."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e, query_max_id=20, k=5)
+
+
+@query("sim_topk_lsh", oracle=None)  # approximate by construction
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 (multi-probe Hamming-1). Pytest
+    checks recall >= 60% vs the exact sim_topk results."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.lsh_ann_topk(e, query_max_id=20, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_wordcount",
+    oracle="""
+    SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word count: explode + two-level count (the canonical
+    map-side-combinable text aggregation)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(text) AS avg_tokens,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (doc count, avg size in chars/tokens)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double")
+            / F.count("n_chars")
+        ).alias("avg_chars"),
+        (
+            F.sum(T.token_count("text").cast("decimal(38,6)")).cast("double")
+            / F.count("text")
+        ).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "text_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens,
+           LENGTH(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and BPE-ish regex pre-tokens
+    (operators/text.py BPE_ISH_PATTERN)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("ws_tokens"),
+        T.bpe_token_count("text").alias("bpe_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_measured,
+           ROUND(CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / LENGTH(text), 6) AS punct_ratio,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                     t -> list_contains(['the','and','of','to','a','in','is','it'], t)))
+                 AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           ROUND((LENGTH(text) - (LENGTH(text) - LENGTH(replace(text, ' ', ''))))
+                 / CAST((LENGTH(text) - LENGTH(replace(text, ' ', ''))) + 1 AS DOUBLE),
+                 6) AS mean_token_len
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals per document: punctuation ratio, stopword
+    ratio, mean token length (operators/text.py). All single-pass column
+    arithmetic that fuses into the scan."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(T.mean_token_len("text"), 6).alias("mean_token_len"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             [CAST(ascii(SUBSTRING(text, i, 1)) AS BIGINT)
+              FOR i IN range(1, LEAST(LENGTH(text), 64) + 1)],
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 64-char-prefix rolling hash (Horner base 31 mod
+    1e9+7) — engine-independent content fingerprint, unlike xxhash64."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+@query("text_langid", oracle=None)  # CASE-cascade is expressible but the
+# marker lexicons make the SQL unwieldy; pytest checks accuracy on planted
+# multilingual texts instead.
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (marker-token hits, operators/text.py) plus
+    the per-language score map."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        T.lang_id("text").alias("pred_lang"),
+        F.map_values(T.lang_scores("text")).alias("scores"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                ELSE 'wav' END AS format,
+           octet_length(encode(text)) AS n_bytes,
+           CASE WHEN doc_id % 3 <> 2 THEN doc_id % 640 + 1 END AS width,
+           CASE WHEN doc_id % 3 <> 2 THEN doc_id % 480 + 1 END AS height,
+           CASE WHEN doc_id % 3 = 2 THEN 16000 END AS sample_rate
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media table synthesis: payload + typed metadata
+    (operators/multimodal.py). The payload column itself is checked by
+    n_bytes (octet_length of the UTF-8 encoding) — binary values don't
+    cross the oracle boundary cleanly."""
+    d = load(spark, sf_dir, "documents")
+    return M.synthesize_media(d).select(
+        "media_id", "format", "n_bytes", "width", "height", "sample_rate"
+    )
+
+
+@query("multimodal_decode", oracle=None)  # mapInPandas stub decode
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed decode/feature-extraction through the real Arrow-batched
+    mapInPandas plumbing (schema, batch iteration, vector output).
+    Deterministic fake features; pytest pins exact values."""
+    d = load(spark, sf_dir, "documents")
+    media = M.synthesize_media(d)
+    return M.decode_media(media, real=False)

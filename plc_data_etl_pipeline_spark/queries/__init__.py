@@ -18,8 +18,10 @@ from . import (  # noqa: F401
     aggregates,
     extensions,
     joins,
+    parity,
     relational,
     scalars,
     sort_set,
+    stream_batch,
     windows,
 )

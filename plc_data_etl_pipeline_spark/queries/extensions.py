@@ -69,10 +69,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash", oracle=None)  # xxhash64-based fingerprint
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (64-bit fingerprint, 16-bit block LSH,
-    Hamming verify <= 12 bits)."""
+    """SimHash near-dup pairs (63-bit fingerprint, 16-bit block LSH,
+    Hamming verify). Block-LSH guarantees all Hamming<=3 pairs
+    (pigeonhole over 4 blocks); wider radii are found probabilistically."""
     d = load(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(d, "doc_id", "text", max_bits=12)
+    return D.simhash_near_pairs(d, "doc_id", "text", max_bits=3)
 
 
 @query(

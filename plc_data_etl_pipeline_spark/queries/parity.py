@@ -1,0 +1,119 @@
+"""Reference-pipeline parity queries (SURVEY.md §2.1 operators as
+declared, checkable engine queries).
+
+These exercise the pipeline/ modules through the driver contract:
+generation (R1), Avro encode→decode roundtrip (R4/R9), poison-pill
+tolerance (R10), sink write+re-read (R14), epoch→timestamp transform
+(R13), pandas-UDF machinery. The deeper behavioral tests (streaming
+micro-batch semantics, duplicate tolerance, dead-letter) live in
+tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..catalog import load
+from ..pipeline import avro_codec as A
+from ..pipeline import generator as G
+from ..pipeline import sink as K
+from ..registry import query
+
+
+@query("plc_generate", oracle=None)  # rand(seed) is engine-specific
+def plc_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1-R3: deterministic synthetic PLC batch (80 rows, 4 'threads').
+    Pytest pins domains (machines/sensors/reading range) and determinism
+    across runs; rows-only here."""
+    return G.generate_batch(spark, n_rows=80, partitions=4)
+
+
+@query("plc_avro_roundtrip", oracle=None)  # binary payload internals
+def plc_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4→R9: encode PLC rows to Confluent-framed Avro binary, decode
+    back, return decoded rows plus payload size. Pytest asserts exact
+    field equality; rows-only here (binary doesn't cross the oracle)."""
+    plc = G.generate_batch(spark, n_rows=80, partitions=4)
+    encoded = plc.select(
+        A.avro_encode(
+            F.col("machine_id"), F.col("sensor"), F.col("reading"), F.col("t_stamp")
+        ).alias("value")
+    )
+    return encoded.select(
+        A.avro_decode(F.col("value")).alias("rec"),
+        F.octet_length("value").alias("n_bytes"),
+    ).select("rec.*", "n_bytes")
+
+
+@query(
+    "plc_epoch_to_timestamp",
+    oracle="""
+    SELECT event_id,
+           STRFTIME(to_timestamp(epoch_s), '%Y-%m-%d %H:%M:%S') AS event_time,
+           epoch_s
+    FROM (SELECT event_id, CAST(event_id AS DOUBLE) * 97.3 + 1704067200.0 AS epoch_s
+          FROM events)
+    """,
+)
+def plc_epoch_to_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13: epoch-double → timestamp under pinned UTC (the reference's
+    datetime.fromtimestamp with deterministic semantics). Derived epoch
+    column keeps the check engine-independent."""
+    ev = load(spark, sf_dir, "events")
+    epoch = (F.col("event_id").cast("double") * 97.3 + G.BASE_EPOCH).alias("epoch_s")
+    return ev.select("event_id", epoch).select(
+        "event_id",
+        F.date_format(F.timestamp_seconds("epoch_s"), "yyyy-MM-dd HH:mm:ss").alias(
+            "event_time"
+        ),
+        "epoch_s",
+    )
+
+
+@query(
+    "sink_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14 batch parity: write a filtered projection through the parquet
+    sink, re-read it, return the re-read rows — the write+read path is
+    inside the checked query, so the oracle (a plain SELECT) verifies the
+    sink loses/alters nothing."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    out = os.path.join(tempfile.gettempdir(), "plc_etl_sink_roundtrip")
+    K.write_batch(li, out, mode="overwrite")
+    return spark.read.parquet(out)
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS DOUBLE) / (len(string_split(text, ' '))) AS chars_per_token
+    FROM documents
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas UDF in a projection — the sanctioned Python
+    escape hatch (SURVEY §2.2 UDF row). The computation itself is
+    SQL-expressible on purpose, so the oracle checks the UDF machinery
+    end-to-end (Arrow roundtrip, vectorized batch shape, null-free path).
+    """
+
+    @F.pandas_udf(DoubleType())
+    def chars_per_token(text: pd.Series) -> pd.Series:
+        return text.str.len() / text.str.split(" ").map(len)
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", chars_per_token("text").alias("chars_per_token"))

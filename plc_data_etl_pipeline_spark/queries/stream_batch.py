@@ -1,0 +1,97 @@
+"""Batch-checkable event-time window queries (SURVEY.md §2.2 streaming
+row): the exact expressions streaming/windows.py runs under Structured
+Streaming, executed in batch so the DuckDB oracle can verify them.
+
+Oracle equivalences:
+  tumbling  window(ts, '1 hour')            ≡ time_bucket(INTERVAL 1 HOUR, ts)
+  sliding   window(ts, '1 hour', '30 min')  ≡ the two 30-min-aligned starts
+            s ∈ {bucket30(ts), bucket30(ts) - 30min} with s <= ts < s + 1h
+  session   session_window(ts, '10 min')    ≡ gaps-and-islands (lag + cumsum)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load
+from ..registry import query
+from ..streaming import windows as W
+
+_AGG_SQL = """
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+"""
+
+
+@query(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT STRFTIME(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           {_AGG_SQL}
+    FROM events
+    GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type — identical
+    expression runs streaming with a watermark (streaming/windows.py)."""
+    return W.tumbling(load(spark, sf_dir, "events"), "1 hour")
+
+
+@query(
+    "stream_sliding",
+    oracle=f"""
+    WITH starts AS (
+      SELECT e.*, time_bucket(INTERVAL 30 MINUTES, ts) AS s FROM events e
+      UNION ALL
+      SELECT e.*, time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES AS s
+      FROM events e
+    )
+    SELECT STRFTIME(s, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           {_AGG_SQL}
+    FROM starts
+    WHERE ts >= s AND ts < s + INTERVAL 1 HOUR
+    GROUP BY s, event_type
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h size, 30 min slide): each event belongs to two
+    windows; oracle materializes both aligned starts per event."""
+    return W.sliding(load(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+@query(
+    "stream_session",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 10 MINUTES
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           user_id,
+           {_AGG_SQL}
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) per user via session_window();
+    oracle reproduces the merge semantics with gaps-and-islands (an event
+    exactly ``gap`` after its predecessor starts a NEW session — Spark's
+    window end is exclusive)."""
+    return W.session(load(spark, sf_dir, "events"), "10 minutes")

@@ -1,0 +1,99 @@
+"""Event-time windowed aggregation (tumbling / sliding / session) and
+watermarked dedup.
+
+The reference has no event-time processing at all — its only notion of
+time is the processing-time flush timeout (R12). These operators are the
+Spark-native windowing surface the PLC stream *should* have, and they are
+identical expressions in batch and streaming (Structured Streaming's core
+design) — so correctness is oracle-checked in batch
+(queries/stream_batch.py) and the streaming tests only need to assert
+batch/stream convergence.
+
+Scale: windowed agg state is partitioned by (window, keys); the watermark
+bounds state size — state for windows older than the watermark is
+dropped. At 100 TB/day the knobs are watermark delay (state memory) and
+``spark.sql.shuffle.partitions`` (state shards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,6)"
+
+
+def _agg_cols() -> list[Column]:
+    return [
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("value")
+        ).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ]
+
+
+def tumbling(df: DataFrame, duration: str = "1 hour",
+             watermark: str | None = None) -> DataFrame:
+    """Non-overlapping event-time buckets per event_type."""
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", duration).alias("w"), F.col("event_type"))
+        .agg(*_agg_cols())
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def sliding(df: DataFrame, duration: str = "1 hour", slide: str = "30 minutes",
+            watermark: str | None = None) -> DataFrame:
+    """Overlapping windows: each event lands in duration/slide windows."""
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", duration, slide).alias("w"), F.col("event_type"))
+        .agg(*_agg_cols())
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def session(df: DataFrame, gap: str = "10 minutes",
+            watermark: str | None = None) -> DataFrame:
+    """Session windows per user: events closer than ``gap`` merge; a gap
+    >= ``gap`` starts a new session (session_window, Spark >= 3.2)."""
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(*_agg_cols())
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "user_id",
+            "n_events",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def dedup_with_watermark(df: DataFrame, keys: list[str],
+                         watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: state holds keys only until the watermark
+    passes (bounded memory — the streaming analog of dedup_exact)."""
+    return df.withWatermark("ts", watermark).dropDuplicates(keys)

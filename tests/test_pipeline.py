@@ -1,0 +1,165 @@
+"""Pipeline-parity behavioral tests (SURVEY.md §5.2.3).
+
+Covers the reference's dataflow semantics re-expressed on Spark:
+Avro roundtrip (R4/R9), poison-pill tolerance (R10), micro-batch
+streaming sink with at-least-once vs idempotent modes (R12-R16),
+epoch→timestamp (R13), surrogate keys (R17), observe counters (R18).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from plc_data_etl_pipeline_spark.pipeline import avro_codec as A
+from plc_data_etl_pipeline_spark.pipeline import generator as G
+from plc_data_etl_pipeline_spark.pipeline import sink as K
+
+
+def test_generator_domains_and_determinism(spark):
+    df = G.generate_batch(spark, n_rows=80, partitions=4)
+    rows = df.collect()
+    assert len(rows) == 80
+    machines = {r.machine_id for r in rows}
+    sensors = {r.sensor for r in rows}
+    assert machines <= set(G.MACHINES) and len(machines) > 1
+    assert sensors <= set(G.SENSORS) and len(sensors) > 1
+    assert all(0.0 <= r.reading < 100.0 for r in rows)
+    # determinism: same seed -> identical data
+    rows2 = G.generate_batch(spark, n_rows=80, partitions=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_avro_roundtrip_exact(spark):
+    plc = G.generate_batch(spark, n_rows=40, partitions=2)
+    encoded = plc.select(
+        "machine_id", "sensor", "reading", "t_stamp",
+        A.avro_encode(
+            F.col("machine_id"), F.col("sensor"), F.col("reading"), F.col("t_stamp")
+        ).alias("value"),
+    )
+    decoded = encoded.select(
+        "machine_id", "sensor", "reading", "t_stamp",
+        A.avro_decode(F.col("value")).alias("rec"),
+    )
+    for r in decoded.collect():
+        assert r.rec.machine_id == r.machine_id
+        assert r.rec.sensor == r.sensor
+        assert r.rec.reading == r.reading  # doubles roundtrip bit-exactly
+        assert r.rec.t_stamp == r.t_stamp
+
+
+def test_avro_wire_format_is_spec_compliant():
+    """The payload must be the Confluent frame + Avro binary per the
+    public spec — check byte layout by hand for a known record."""
+    payload = A.encode_record("M1", "temperature", 1.5, 2.0)
+    assert payload[0] == 0  # magic
+    assert payload[1:5] == (1).to_bytes(4, "big")  # schema id
+    body = payload[5:]
+    assert body[0] == 4  # zigzag(2) = 4 — len("M1")
+    assert body[1:3] == b"M1"
+    assert body[3] == 22  # zigzag(11) — len("temperature")
+    assert body[4:15] == b"temperature"
+    import struct
+    assert struct.unpack("<d", body[15:23])[0] == 1.5
+    assert struct.unpack("<d", body[23:31])[0] == 2.0
+
+
+def test_poison_pill_tolerance(spark):
+    """R10: corrupt payloads decode to NULL and are filterable; good rows
+    survive untouched."""
+    plc = G.generate_batch(spark, n_rows=10, partitions=1)
+    good = plc.select(
+        A.avro_encode(
+            F.col("machine_id"), F.col("sensor"), F.col("reading"), F.col("t_stamp")
+        ).alias("value")
+    )
+    poison = spark.createDataFrame(
+        [(b"\x00\x00\x00\x00\x01garbage",), (b"",), (b"\xff\xfe",)], ["value"]
+    )
+    mixed = good.union(poison)
+    decoded = mixed.select(A.avro_decode(F.col("value")).alias("rec")).select("rec.*")
+    ok = decoded.filter(F.col("machine_id").isNotNull())
+    bad = decoded.filter(F.col("machine_id").isNull())
+    assert ok.count() == 10
+    assert bad.count() == 3
+
+
+def test_finalize_rows_epoch_to_timestamp(spark):
+    plc = G.generate_batch(spark, n_rows=10, partitions=1)
+    out = K.finalize_plc_rows(plc)
+    rows = out.collect()
+    assert set(out.columns) == {"machine_id", "sensor", "reading", "t_stamp", "id"}
+    # t_stamp became a timestamp anchored at BASE_EPOCH (2024-01-01 UTC)
+    assert all(r.t_stamp.year == 2024 for r in rows)
+    # surrogate ids unique (monotonically_increasing_id)
+    ids = [r.id for r in rows]
+    assert len(set(ids)) == len(ids)
+
+
+def test_observe_counters(spark):
+    """R18: observable metrics report row counts without a second scan."""
+    from pyspark.sql import Observation
+
+    plc = G.generate_batch(spark, n_rows=30, partitions=2)
+    obs = Observation("plc_metrics")
+    observed = plc.observe(obs, F.count(F.lit(1)).alias("rows"))
+    observed.write.mode("overwrite").parquet(
+        os.path.join(tempfile.gettempdir(), "plc_obs_sink")
+    )
+    assert obs.get["rows"] == 30
+
+
+@pytest.mark.parametrize("mode,expect_dups", [("append", True), ("idempotent", False)])
+def test_micro_batch_sink_replay_semantics(spark, tmp_path, mode, expect_dups):
+    """R15/R16: replaying a micro-batch duplicates rows in append mode
+    (reference at-least-once parity) but not in idempotent mode. We
+    simulate the replay by invoking the sink function twice with the same
+    batch id — exactly what a post-crash re-execution does."""
+    import plc_data_etl_pipeline_spark.pipeline.sink as sink_mod
+
+    plc = K.finalize_plc_rows(G.generate_batch(spark, n_rows=20, partitions=1),
+                              with_id=False)
+    path = str(tmp_path / mode)
+
+    def run_sink(batch_df, batch_id):
+        if mode == "idempotent":
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(path, f"batch_id={batch_id}")
+            )
+        else:
+            batch_df.write.mode("append").parquet(path)
+
+    run_sink(plc, 0)
+    run_sink(plc, 0)  # replay
+    got = spark.read.parquet(path).count()
+    assert got == (40 if expect_dups else 20)
+
+
+def test_streaming_micro_batch_sink_end_to_end(spark, tmp_path):
+    """R12: rate-source stream → foreachBatch parquet sink; rows arrive
+    and are intact after a couple of triggers."""
+    stream = G.generate_stream(spark, rows_per_second=50, partitions=2)
+    out, ckpt = str(tmp_path / "data"), str(tmp_path / "ckpt")
+    q = K.start_micro_batch_sink(stream, out, ckpt, trigger_seconds=1.0)
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            time.sleep(1.5)
+            try:
+                n = spark.read.parquet(out).count()
+            except Exception:
+                n = 0
+            if n >= 50:
+                break
+        assert n >= 50, f"only {n} rows arrived"
+        got = spark.read.parquet(out)
+        assert set(got.columns) == {"machine_id", "sensor", "reading", "t_stamp"}
+        assert got.filter(~F.col("machine_id").isin(*G.MACHINES)).count() == 0
+    finally:
+        q.stop()

@@ -1,0 +1,137 @@
+"""Streaming window tests: the streaming execution of the exact window
+expressions that queries/stream_batch.py oracle-checks in batch.
+
+Strategy (SURVEY §5.2): write the events fixture out as many small files,
+stream them with ``maxFilesPerTrigger`` + a watermark, and assert the
+complete/append results converge to the batch answer.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from plc_data_etl_pipeline_spark.catalog import load
+from plc_data_etl_pipeline_spark.streaming import windows as W
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, tmp_path_factory):
+    """events fixture split into 8 files for file-source streaming."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load(spark, SF_DIR, "events").repartition(8).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_stream_to_memory(spark, stream_df, name, mode="complete", timeout=60):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            time.sleep(1.0)
+            if q.lastProgress and q.lastProgress["numInputRows"] == 0 and (
+                q.recentProgress and len(q.recentProgress) >= 3
+            ):
+                break
+        q.processAllAvailable()
+        return spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+
+
+def _batch_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_matches_batch(spark, event_files):
+    schema = load(spark, SF_DIR, "events").schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(
+        event_files
+    )
+    got = _run_stream_to_memory(
+        spark, W.tumbling(stream, "1 hour"), "tumbling_mem", "complete"
+    )
+    want = _batch_rows(W.tumbling(load(spark, SF_DIR, "events"), "1 hour"))
+    assert sorted(tuple(r) for r in got) == want
+
+
+def test_session_stream_matches_batch(spark, event_files):
+    schema = load(spark, SF_DIR, "events").schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(
+        event_files
+    )
+    got = _run_stream_to_memory(
+        spark, W.session(stream, "10 minutes"), "session_mem", "complete"
+    )
+    want = _batch_rows(W.session(load(spark, SF_DIR, "events"), "10 minutes"))
+    assert sorted(tuple(r) for r in got) == want
+
+
+def test_watermark_dedup_bounded_state(spark, event_files):
+    """Streaming dropDuplicates with watermark: planted duplicate event
+    ids collapse to one row each."""
+    schema = load(spark, SF_DIR, "events").schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 4).parquet(
+        event_files
+    )
+    deduped = W.dedup_with_watermark(stream, ["event_id"], "2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_mem").collect()[0]
+        want = load(spark, SF_DIR, "events").count()
+        assert got.n == got.d == want  # fixture has unique ids; dedup keeps all
+    finally:
+        q.stop()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late rows beyond the watermark are excluded from append-mode
+    windowed output — the two-file trick: first file advances the
+    watermark far ahead, second file is too late."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    early = [(1, base + dt.timedelta(hours=h), 1, "click", 1.0, None) for h in range(6)]
+    late = [(99, base - dt.timedelta(hours=10), 1, "click", 1.0, None)]
+    cols = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(early, cols).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    windowed = W.tumbling(stream, "1 hour", watermark="1 hour")
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("late_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # now append the very-late file; watermark is already ~hour 5
+        spark.createDataFrame(late, cols).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM late_mem").collect()
+        starts = {r.window_start for r in rows}
+        assert "2023-12-31 14:00:00" not in starts, "late row leaked past watermark"
+    finally:
+        q.stop()

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Execution is measured to a noop sink (full plan runs, no driver-side
+row serialization) — the same methodology as the DuckDB baseline in
+BASELINE.md (aggregation to a discarded result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from plc_data_etl_pipeline_spark.registry import all_queries  # noqa: E402
+from plc_data_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+# Headline set: one representative per operator family, weighted toward
+# the scale-critical paths (fact-table agg, multiway join, windows,
+# dedup, text, similarity).
+HEADLINE = [
+    "sensor_rollup_daily",   # flagship scan->agg
+    "agg_basic",             # TPC-H Q1 pricing summary
+    "agg_rollup",            # grouping sets
+    "join_inner",            # fact-fact equi join
+    "join_multiway",         # 5-way star join (broadcast dims)
+    "join_asof",             # as-of join (window top-1)
+    "win_moving_avg",        # window frames over event stream
+    "topk_per_group",        # per-group top-k
+    "stream_session",        # session windows (batch form)
+    "scalar_math",           # expression-heavy projection
+    "dedup_exact",           # content dedup
+    "dedup_minhash",         # MinHash+LSH fuzzy dedup
+    "text_wordcount",        # explode + count
+    "text_quality",          # text feature extraction
+    "sim_topk",              # brute-force cosine top-k
+    "multimodal_decode",     # Arrow mapInPandas path
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("plc-etl-bench")
+
+    qs = all_queries()
+    # Warmup: JVM/codegen + parquet reader + Python worker pool, so the
+    # per-query numbers measure steady-state execution (standard bench
+    # methodology; the DuckDB baseline likewise excludes process start).
+    from plc_data_etl_pipeline_spark.catalog import TABLES, load
+
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for t in TABLES:
+        load(spark, sf_dir, t).limit(1).collect()
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda x: x * 1.0, "double")
+    spark.range(100).select(_warm("id")).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

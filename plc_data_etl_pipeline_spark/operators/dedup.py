@@ -58,6 +58,14 @@ def word_shingles(tokens_col: Column, n: int = 3) -> Column:
     )
 
 
+# NOTE on shingle representation: hashing shingles to longs inside the
+# transform (xxhash64 of the 3 tokens, or token-hash + shift/XOR combine)
+# was benchmarked 2-4x SLOWER than the plain string build — Catalyst
+# inlines HOF lambda references, so every reuse of a "precomputed" token
+# hash array re-evaluates it. String shingles + one xxhash64 at the
+# signature stage is the fastest shape on Spark 4.1.
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -71,14 +79,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, h0..h{k-1}) minhash signature per document.
 
-    Input: one row per (id, shingle). k independent hash functions are
-    xxhash64 seeded by the hash index; the signature is k MIN aggregates —
-    map-side combinable, single shuffle on id.
+    Input: one row per (id, shingle). The k hash functions are ONE
+    xxhash64 base hash + k linear permutations h_i = (a_i*h + b_i) mod
+    p (p = 2^31-1) — the standard universal-hash family; one expensive
+    hash per shingle instead of k, and the multiply stays inside 62 bits
+    so ANSI overflow checking (Spark 4 default) is happy. The signature
+    is k MIN aggregates — map-side combinable, single shuffle on id.
     """
-    return df.groupBy(id_col).agg(
+    p = 2147483647  # 2^31 - 1 (Mersenne prime)
+    # Well-spread deterministic (a_i, b_i) for the universal hash family —
+    # sequential multipliers correlate the permutations and wreck banding.
+    import random
+
+    rng = random.Random(42)
+    coeffs = [(rng.randrange(1, p - 1), rng.randrange(0, p - 1)) for _ in range(num_hashes)]
+    base = F.pmod(F.xxhash64(F.lit(42), F.col(shingle_col)), F.lit(p)).alias("_h")
+    hashed = df.select(F.col(id_col), base)
+    return hashed.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col(shingle_col))).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
         ]
     )
 
@@ -152,7 +172,7 @@ def minhash_dedup_pairs(
     text_col: str,
     shingle_n: int = 3,
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int = 8,
     threshold: float = 0.7,
 ) -> DataFrame:
     """End-to-end fuzzy-dup pair detection: shingle → minhash → LSH bands →
@@ -162,6 +182,10 @@ def minhash_dedup_pairs(
         F.col(id_col),
         F.array_distinct(word_shingles(toks, shingle_n)).alias("shingles"),
     ).filter(F.size("shingles") > 0)
+    # The shingle arrays feed BOTH the signature pipeline and the verify
+    # join; without a persist the lineage re-shingles the corpus twice.
+    # At warehouse scale this would be a materialized signatures table.
+    shingled = shingled.persist()
     exploded = shingled.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     )

@@ -62,14 +62,26 @@ def cosine_topk(
     (query, corpus-partition) — Spark pushes a group-limit below the
     shuffle since 3.5.
     """
+    # Norms are precomputed per side (NOT per pair): the pair join then
+    # evaluates one dot product instead of three — at Q queries x N corpus
+    # vectors this is the difference between QN and 3QN decimal folds.
     q = emb.filter(F.col(id_col) < query_max_id).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm_dec(F.col(vec_col)).alias("qnorm"),
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm_dec(F.col(vec_col)).alias("cnorm"),
+    )
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cosine_sim",
+            dot_dec(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -127,6 +139,7 @@ def lsh_ann_topk(
     q = with_bucket.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        norm_dec(F.col(vec_col)).alias("qnorm"),
         F.col("bucket").alias("qbucket"),
     )
     # multi-probe: own bucket + flip each single bit
@@ -138,12 +151,16 @@ def lsh_ann_topk(
     c = with_bucket.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        norm_dec(F.col(vec_col)).alias("cnorm"),
         F.col("bucket"),
     )
     scored = (
         q_probed.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cosine_sim",
+            dot_dec(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")

@@ -1,0 +1,97 @@
+"""Physical-plan audits: lock in the 100 TB scale posture
+(SURVEY §7.3 "100 TB posture"; BASELINE.md "Interpretation" §2).
+
+These tests assert the *shape* of the plans Catalyst produces — filter/
+projection pushdown into the parquet scan, broadcast joins for dims,
+partial aggregation, top-k without global sort — so a future edit that
+silently regresses one of them (e.g. a UDF blocking pushdown, a join
+losing its broadcast) fails CI, not the cluster."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from plc_data_etl_pipeline_spark.registry import all_queries
+
+from .conftest import SF_DIR
+
+_Q = all_queries()
+
+
+def plan(spark, name: str, mode: str = "formatted") -> str:
+    df = _Q[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_and_projection_pushdown(spark):
+    p = plan(spark, "project_filter")
+    assert "PushedFilters:" in p
+    assert "l_returnflag" in p.split("PushedFilters:")[1].split("\n")[0], (
+        "filter not pushed into parquet scan"
+    )
+    # column pruning: ReadSchema must not include unprojected columns
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_tax" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    p = plan(spark, "join_multiway")
+    assert p.count("BroadcastHashJoin") >= 3, "dimension joins must broadcast"
+    assert "CartesianProduct" not in p
+
+
+def test_semi_anti_join_physical(spark):
+    assert "LeftSemi" in plan(spark, "join_semi")
+    assert "LeftAnti" in plan(spark, "join_anti")
+
+
+def test_partial_aggregation(spark):
+    p = plan(spark, "agg_basic")
+    # two HashAggregate nodes = map-side partial + final (reduce) agg
+    assert p.count("HashAggregate") >= 2, "no map-side partial aggregation"
+
+
+def test_global_topk_avoids_full_sort(spark):
+    p = plan(spark, "sort_limit")
+    assert "TakeOrderedAndProject" in p, "global top-k should not global-sort"
+
+
+def test_per_group_topk_uses_group_limit(spark):
+    p = plan(spark, "topk_per_group")
+    assert "WindowGroupLimit" in p, "rank filter should push a group limit"
+
+
+def test_whole_stage_codegen_active(spark):
+    p = plan(spark, "scalar_math")
+    # formatted mode marks codegen stages with a leading '*'
+    assert "* Project" in p, "expression pipeline fell out of codegen"
+
+
+def test_no_python_udf_in_relational_paths(spark):
+    """Every relational/stream query stays JVM-side (UDFs only in the
+    explicitly-Python queries: pandas UDF demo, avro codec, multimodal)."""
+    python_ok = {
+        "udf_pandas_scalar",
+        "plc_avro_roundtrip",
+        "multimodal_decode",
+    }
+    for name in _Q:
+        if name in python_ok:
+            continue
+        p = plan(spark, name, mode="simple")
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            f"{name} unexpectedly executes Python"
+        )
+
+
+def test_broadcast_in_similarity_query_side(spark):
+    """cosine_topk broadcasts the bounded query side: the corpus is
+    scanned exactly once with no shuffle exchange before the join."""
+    p = plan(spark, "sim_topk")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

@@ -189,3 +189,55 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (kept distinct from join_left to exercise the
+    build/probe-side swap in the physical plan)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+    WITH big_cust AS (SELECT * FROM customer WHERE c_acctbal > 7000.0),
+         big_ord  AS (SELECT * FROM orders WHERE o_totalprice > 250000.0)
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM big_cust c FULL OUTER JOIN big_ord o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join on filtered sides: unmatched rows survive from
+    BOTH inputs with nulls on the other side."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 7000.0)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN (SELECT * FROM nation WHERE n_nationkey < 5) n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two tiny bounded inputs (the only
+    place a cross join is ever acceptable; the plan audit forbids
+    accidental ones elsewhere)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
+    return r.crossJoin(n).select("r_name", "n_name")

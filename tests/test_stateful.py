@@ -1,0 +1,63 @@
+"""Stateful streaming operator tests: EWMA anomaly detection with
+cross-micro-batch state (streaming/stateful.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from plc_data_etl_pipeline_spark.streaming import stateful as ST
+
+
+def test_ewma_math_flags_planted_spike():
+    normal = [(50.0 + (i % 5) * 0.1, float(i)) for i in range(50)]
+    spike = [(95.0, 50.0)]
+    anomalies, state = ST.ewma_step(normal + spike, None)
+    assert state[2] == 51
+    assert len(anomalies) == 1
+    assert anomalies[0][0] == 95.0
+    assert abs(anomalies[0][3]) >= ST.Z_THRESHOLD
+
+
+def test_ewma_state_carries_across_calls():
+    """Splitting the same stream into two calls (≙ two micro-batches)
+    yields the same anomalies as one call — state continuity."""
+    data = [(50.0 + (i % 5) * 0.1, float(i)) for i in range(50)] + [(95.0, 50.0)]
+    one_shot, final1 = ST.ewma_step(data, None)
+    a1, mid = ST.ewma_step(data[:30], None)
+    a2, final2 = ST.ewma_step(data[30:], mid)
+    assert one_shot == a1 + a2
+    assert final1 == pytest.approx(final2)
+
+
+def test_streaming_anomaly_detector_end_to_end(spark, tmp_path):
+    """Two parquet files streamed as two micro-batches: the spike in the
+    second file is only an anomaly if EWMA state survived batch one."""
+    import pandas as pd
+
+    src = str(tmp_path / "plc_src")
+    batch1 = [("M1", "temperature", 50.0 + (i % 5) * 0.1, float(i)) for i in range(40)]
+    cols = "machine_id string, sensor string, reading double, t_stamp double"
+    spark.createDataFrame(batch1, cols).coalesce(1).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        ST.detect_anomalies(stream)
+        .writeStream.format("memory")
+        .queryName("anomalies_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM anomalies_mem").count() == 0
+        batch2 = [("M1", "temperature", 50.2, 40.0), ("M1", "temperature", 95.0, 41.0)]
+        spark.createDataFrame(batch2, cols).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM anomalies_mem").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.reading == 95.0 and r.machine_id == "M1"
+        assert r.n_seen == 42  # proves state counted batch-1 rows too
+    finally:
+        q.stop()

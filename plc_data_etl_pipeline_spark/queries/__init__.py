@@ -15,6 +15,7 @@ Importing this package registers every query into
 """
 
 from . import (  # noqa: F401
+    advanced,
     aggregates,
     extensions,
     joins,

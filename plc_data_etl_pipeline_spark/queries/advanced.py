@@ -1,0 +1,174 @@
+"""Advanced relational surface: pivot, subqueries, SQL-string API,
+alternate source formats (CSV/JSON round-trips through the engine's own
+sinks). These go beyond SURVEY §2.2's minimum inventory to make the
+engine a complete drop-in analytics layer.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+from ._conv import dsum, sql_dsum
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'qty_F')},
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'qty_O')}
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: linestatus becomes columns. With an explicit value list the
+    plan is a single pass (no distinct-values pre-query) — the form that
+    scales."""
+    li = load(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F").cast("double").alias("qty_F"),
+        F.col("O").cast("double").alias("qty_O"),
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2.0 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (orders twice the average price).
+    Catalyst plans the subquery as a broadcast scalar; the outer scan
+    stays a single pass.
+
+    AVG determinism note: the scalar feeds a STRICT > comparison against
+    prices far from the threshold, so the double-vs-decimal averaging
+    difference (~1e-10) cannot flip any row at these magnitudes.
+    """
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_v
+        WHERE o_totalprice > 2.0 * (SELECT AVG(o_totalprice) FROM orders_v)
+        """
+    )
+
+
+@query(
+    "subquery_in",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P')
+      AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size > 45)
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subqueries (planned as semi/anti joins)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    li.createOrReplaceTempView("lineitem_v")
+    o.createOrReplaceTempView("orders_vv")
+    p.createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_partkey, l_quantity
+        FROM lineitem_v
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders_vv
+                             WHERE o_orderstatus = 'P')
+          AND l_partkey NOT IN (SELECT p_partkey FROM part_v WHERE p_size > 45)
+        """
+    )
+
+
+@query(
+    "sql_api_cte",
+    oracle=f"""
+    WITH seg AS (
+      SELECT c_mktsegment, c_custkey FROM customer
+    ), spend AS (
+      SELECT o_custkey, {sql_dsum('o_totalprice', 'total_spend')}
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT seg.c_mktsegment,
+           COUNT(*) AS n_customers,
+           {sql_dsum('spend.total_spend', 'segment_spend')}
+    FROM seg JOIN spend ON seg.c_custkey = spend.o_custkey
+    GROUP BY seg.c_mktsegment
+    """,
+)
+def sql_api_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql() with CTEs — the SQL-string entry point over registered
+    views (same Catalyst plan as the DataFrame API)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_cte_v")
+    return spark.sql(
+        """
+        WITH seg AS (
+          SELECT c_mktsegment, c_custkey FROM customer_v
+        ), spend AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS total_spend
+          FROM orders_cte_v GROUP BY o_custkey
+        )
+        SELECT seg.c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(spend.total_spend AS DECIMAL(38,6))) AS DOUBLE)
+                 AS segment_spend
+        FROM seg JOIN spend ON seg.c_custkey = spend.o_custkey
+        GROUP BY seg.c_mktsegment
+        """
+    )
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source with explicit schema (header, typed read-back) —
+    the engine's non-parquet batch format surface."""
+    n = load(spark, sf_dir, "nation")
+    out = os.path.join(tempfile.gettempdir(), "plc_etl_csv_roundtrip")
+    n.write.mode("overwrite").option("header", True).csv(out)
+    return (
+        spark.read.option("header", True)
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .csv(out)
+    )
+
+
+@query(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source with explicit schema."""
+    r = load(spark, sf_dir, "region")
+    out = os.path.join(tempfile.gettempdir(), "plc_etl_json_roundtrip")
+    r.write.mode("overwrite").json(out)
+    return spark.read.schema("r_regionkey int, r_name string").json(out)

@@ -163,3 +163,18 @@ def test_streaming_micro_batch_sink_end_to_end(spark, tmp_path):
         assert got.filter(~F.col("machine_id").isin(*G.MACHINES)).count() == 0
     finally:
         q.stop()
+
+
+def test_connector_option_shapes(spark):
+    """Connector wrappers pin the reference's delivery configs (R5/R8/R14)
+    even though no broker/DB exists in this container."""
+    from plc_data_etl_pipeline_spark.pipeline import connectors as C
+
+    sink = C.kafka_sink_options("b:9092", "plc_data")
+    assert sink["kafka.enable.idempotence"] == "true"
+    assert sink["kafka.acks"] == "all"
+    assert sink["kafka.batch.size"] == "16384"
+    src = C.kafka_source_options("b:9092", "plc_data")
+    assert src["startingOffsets"] == "earliest"
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        C.require_kafka_support(spark)

@@ -1,0 +1,103 @@
+"""Scale-layout operator tests: partition pruning, shuffle-free bucketed
+joins, salted skew joins (operators/scale.py). Assertions are on the
+PHYSICAL PLAN (the thing that matters at 100 TB), plus exact-result
+checks against the unsalted/unpartitioned equivalents."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from plc_data_etl_pipeline_spark.catalog import load
+from plc_data_etl_pipeline_spark.operators import scale as SC
+
+from .conftest import SF_DIR
+
+
+def _plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    orders = load(spark, SF_DIR, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_part")
+    SC.write_partitioned(orders, path, ["order_year"])
+
+    back = spark.read.parquet(path).filter(F.col("order_year") == 1997)
+    p = _plan(back)
+    assert "PartitionFilters" in p and "order_year" in p.split("PartitionFilters")[1].split("\n")[0]
+    want = orders.filter(F.col("order_year") == 1997).count()
+    assert back.count() == want
+    # directory layout is hive-style
+    import os
+
+    years = {d for d in os.listdir(path) if d.startswith("order_year=")}
+    assert len(years) >= 5
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    # saveAsTable writes to the session's spark-warehouse dir (static
+    # conf; DROP TABLE below cleans it up)
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    SC.write_bucketed(li, "li_b", "l_orderkey", 8, sort_col="l_orderkey")
+    SC.write_bucketed(o, "o_b", "o_orderkey", 8, sort_col="o_orderkey")
+    a = spark.table("li_b")
+    b = spark.table("o_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        joined = a.join(b, a.l_orderkey == b.o_orderkey)
+        p = _plan(joined)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, "bucketed join must not shuffle either side"
+        # same result as the plain join
+        want = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_salted_join_exact_and_spread(spark):
+    """Salted join returns exactly the plain join's rows on a skewed
+    input (90% of rows share one key)."""
+    import random
+
+    random.seed(7)
+    big_rows = [(1 if random.random() < 0.9 else random.randint(2, 20), i)
+                for i in range(5000)]
+    big = spark.createDataFrame(big_rows, "k int, payload int")
+    small = spark.createDataFrame([(k, f"dim{k}") for k in range(1, 21)], "k int, label string")
+
+    plain = big.join(small, "k").select("k", "payload", "label")
+    salted = SC.salted_join(big, small, "k").select("k", "payload", "label")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    big = spark.createDataFrame([(1, 10), (1, 11), (99, 12)], "k int, payload int")
+    small = spark.createDataFrame([(1, "one")], "k int, label string")
+    out = SC.salted_join(big, small, "k", how="left").select("k", "payload", "label")
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [(1, 10, "one"), (1, 11, "one"), (99, 12, None)]
+
+
+def test_key_distribution_diagnoses_skew(spark):
+    big = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(2, i) for i in range(100)],
+        "k int, payload int",
+    )
+    top = SC.key_distribution(big, "k").collect()
+    assert top[0].k == 1 and top[0].n_rows == 900
+    assert abs(top[0].share - 0.9) < 1e-9

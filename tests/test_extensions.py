@@ -214,3 +214,16 @@ def test_frame_sample_shapes(spark):
     for r in frames:
         assert r.n_frames == max(r.n_frames, 0)
         assert len(r.frames) in (r.n_frames, 1)  # greatest(n-1,0)+1 when n==0
+
+
+def test_minhash_jvm_path_same_recall(spark, planted_docs):
+    """The pure-JVM signature path finds the same planted pairs as the
+    Arrow path (different hash families -> candidate sets may differ, but
+    verified output must contain the planted near-dups either way)."""
+    pairs = D.minhash_dedup_pairs(
+        planted_docs, "doc_id", "text", threshold=0.5, use_arrow=False
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    for i in range(3):
+        assert (i * 10, i * 10 + 1) in found
+    assert all(r.jaccard >= 0.5 for r in pairs)

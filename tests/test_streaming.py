@@ -135,3 +135,15 @@ def test_watermark_drops_late_data(spark, tmp_path):
         assert "2023-12-31 14:00:00" not in starts, "late row leaked past watermark"
     finally:
         q.stop()
+
+
+def test_sliding_stream_matches_batch(spark, event_files):
+    schema = load(spark, SF_DIR, "events").schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 3).parquet(
+        event_files
+    )
+    got = _run_stream_to_memory(
+        spark, W.sliding(stream, "1 hour", "30 minutes"), "sliding_mem", "complete"
+    )
+    want = _batch_rows(W.sliding(load(spark, SF_DIR, "events"), "1 hour", "30 minutes"))
+    assert sorted(tuple(r) for r in got) == want

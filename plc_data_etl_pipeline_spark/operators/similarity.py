@@ -217,3 +217,117 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
     )
+
+
+def _seeded_centroids(emb: DataFrame, n_cells: int, id_col: str, vec_col: str,
+                      dim: int) -> list[list[float]]:
+    """Deterministic IVF centroids: one Lloyd refinement over a seeded
+    sample, entirely driver-side on a bounded sample (the classic
+    train-on-sample / assign-at-scale split used by IVF indexes)."""
+    import numpy as np
+
+    sample = (
+        emb.select(vec_col)
+        .sample(fraction=1.0, seed=42)
+        .limit(max(n_cells * 32, 256))
+        .collect()
+    )
+    X = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(42)
+    cents = X[rng.choice(len(X), size=n_cells, replace=False)]
+    for _ in range(5):  # a few Lloyd iterations; cosine == dot on unit sphere
+        assign = np.argmax(X @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents.round(6).tolist()
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id (argmax dot; centroids are unit-norm so
+    the vector's own norm is a common factor and can be dropped).
+
+    Built as one flat array of dots + array_position(array_max) — an
+    iterative when-chain argmax embeds every previous step twice and the
+    expression tree grows ~2^n_cells (OOMs the analyzer at 16 cells).
+    """
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in cent]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            for cent in centroids
+        ]
+    )
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_max_id: int,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus is partitioned into
+    ``n_cells`` centroid cells; each query scans only its ``n_probe``
+    nearest cells. The scale path: assignment is one corpus pass, the
+    probe is a bucket-equi-join on cell id — the corpus fraction scanned
+    is ~n_probe/n_cells regardless of corpus size.
+    """
+    import numpy as np
+
+    cents = _seeded_centroids(emb, n_cells, id_col, vec_col, dim)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm_dec(F.col(vec_col)).alias("cnorm"),
+        ivf_assign(F.col(vec_col), cents).alias("cell"),
+    )
+    C = np.array(cents)
+    q_rows = emb.filter(F.col(id_col) < query_max_id).collect()
+    probe_rows = []
+    for r in q_rows:
+        v = np.array(list(r[vec_col]), dtype=np.float64)
+        v /= max(np.linalg.norm(v), 1e-12)
+        cells = np.argsort(-(C @ v))[:n_probe]
+        for c in cells:
+            probe_rows.append((r[id_col], list(r[vec_col]), int(c)))
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id long, qvec array<float>, cell int"
+    ).withColumn("qnorm", norm_dec(F.col("qvec")))
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim",
+            dot_dec(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )

@@ -359,3 +359,14 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     media = M.synthesize_media(d)
     return M.decode_media(media, real=False)
+
+
+@query("sim_topk_ivf", oracle=None)  # approximate by construction
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-5: seeded sample-trained
+    centroids, nearest-cell assignment, n_probe-cell search. The driver-
+    side collects are bounded by design (centroid sample + the 20-vector
+    query set), never the corpus. Pytest checks recall on clustered data
+    vs brute force."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.ivf_ann_topk(e, query_max_id=20, k=5, n_cells=16, n_probe=4)

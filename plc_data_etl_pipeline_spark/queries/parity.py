@@ -117,3 +117,38 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", chars_per_token("text").alias("chars_per_token"))
+
+
+@query(
+    "udf_grouped_zscore",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 4) AS zscore
+    FROM events
+    """,
+)
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas): per-event-type z-score
+    normalization — the feature-normalization shape of an ML data prep
+    pipeline. Oracle-checkable because pandas' mean/std(ddof=1) and the
+    window AVG/STDDEV_SAMP agree to ~1e-12, far inside the 4-digit round.
+    Scale note: one shuffle on the group key; groups stream through
+    Arrow batches, never the driver."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=1)
+        mean = pdf["value"].mean()
+        z = (pdf["value"] - mean) / std if std > 0 else pdf["value"] * 0.0
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "zscore": z.round(4),
+            }
+        )
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").applyInPandas(
+        zscore, "event_id long, event_type string, zscore double"
+    )

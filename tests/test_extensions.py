@@ -227,3 +227,33 @@ def test_minhash_jvm_path_same_recall(spark, planted_docs):
     for i in range(3):
         assert (i * 10, i * 10 + 1) in found
     assert all(r.jaccard >= 0.5 for r in pairs)
+
+
+def test_ivf_recall_on_clustered_corpus(spark):
+    """IVF with sample-trained centroids must recover true neighbors on
+    clustered data (queries + noisy copies), like the LSH variant."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((10, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], 0))
+        for c in range(3):
+            noisy = v + 0.05 * rng.standard_normal(64)
+            rows.append((100 + i * 10 + c, [float(x) for x in noisy], 0))
+    for j in range(300):
+        rows.append((1000 + j, [float(x) for x in rng.standard_normal(64)], 1))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(emb, query_max_id=10, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_ann_topk(emb, query_max_id=10, k=3, n_cells=8, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall too low: {recall:.2f}"

@@ -64,21 +64,28 @@ def main() -> None:
     _warm = pandas_udf(lambda x: x * 1.0, "double")
     spark.range(100).select(_warm("id")).collect()
 
-    timings: dict[str, float] = {}
+    # Two passes per query: pass 1 pays Catalyst planning + codegen
+    # compilation (fixed, data-size-independent); pass 2 is steady state —
+    # the marginal cost that scales with data. Both are reported:
+    # "queries"/"value" = steady state, "cold_total" = first-pass total.
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        for target in (cold, warm):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            target[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(warm.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": sf,
             }
         )

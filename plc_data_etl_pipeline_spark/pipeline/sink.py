@@ -111,3 +111,38 @@ def start_micro_batch_sink(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def upsert_parquet(
+    spark_df: DataFrame, path: str, keys: list[str]
+) -> None:
+    """MERGE-style upsert onto a parquet target: rows matching on
+    ``keys`` are replaced by the incoming version, others are kept.
+
+    This is the exactly-once upgrade path over the reference's blind
+    append (SURVEY §4.2.2) expressed without a transactional table
+    format: read target → anti-join out the matched keys → union the
+    updates → rewrite. On a real deployment this is Delta/Iceberg
+    ``MERGE`` (transactional, file-pruned); the dataflow — anti-join +
+    union on the key — is identical. The rewrite is atomic-enough for
+    tests via a temp-dir swap; a production parquet-only variant would
+    partition the target and rewrite only affected partitions.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    spark = spark_df.sparkSession
+    if os.path.exists(path):
+        target = spark.read.parquet(path)
+        keep = target.join(spark_df.select(*keys).distinct(), keys, "left_anti")
+        merged = keep.unionByName(spark_df)
+    else:
+        merged = spark_df
+    tmp = tempfile.mkdtemp(prefix="upsert_")
+    merged.write.mode("overwrite").parquet(tmp)
+    out = spark.read.parquet(tmp)
+    out.count()  # materialize before the target is replaced
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    shutil.move(tmp, path)

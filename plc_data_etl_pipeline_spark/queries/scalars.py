@@ -232,3 +232,49 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).alias("first_elem"),
         F.exists("embedding", lambda x: x > 0.0).alias("any_pos"),
     )
+
+
+@query(
+    "array_posexplode",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: token with its 0-based position (order-preserving
+    explode — the building block for positional n-gram features)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+
+
+@query(
+    "scalar_map",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status_val,
+           o_orderpriority AS prio_val,
+           2 AS n_keys,
+           'priority' AS first_key
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a map column, read it back via element_at /
+    map_keys / sorted key order. The oracle mirrors the *values* (map
+    internals are Spark-side; the check proves the round trip)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_val"),
+        F.element_at(m, "priority").alias("prio_val"),
+        F.size(m).alias("n_keys"),
+        F.array_min(F.map_keys(m)).alias("first_key"),
+    )

@@ -178,3 +178,26 @@ def test_connector_option_shapes(spark):
     assert src["startingOffsets"] == "earliest"
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         C.require_kafka_support(spark)
+
+
+def test_upsert_parquet_merge_semantics(spark, tmp_path):
+    """Upsert replaces matched keys, keeps others, and is idempotent —
+    the exactly-once sink upgrade over the reference's blind append."""
+    path = str(tmp_path / "upsert_target")
+    v1 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "id int, name string, v double"
+    )
+    K.upsert_parquet(v1, path, ["id"])
+    assert spark.read.parquet(path).count() == 3
+
+    v2 = spark.createDataFrame(
+        [(2, "b2", 20.0), (4, "d", 4.0)], "id int, name string, v double"
+    )
+    K.upsert_parquet(v2, path, ["id"])
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 1.0), 2: ("b2", 20.0), 3: ("c", 3.0), 4: ("d", 4.0)}
+
+    # replay the same upsert -> unchanged (idempotent, unlike append)
+    K.upsert_parquet(v2, path, ["id"])
+    got2 = {r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got2 == got

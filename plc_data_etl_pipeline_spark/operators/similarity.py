@@ -23,11 +23,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# (20,12): element products are O(10), 64-element sums are O(1e3) — far
-# inside precision 20. Spark widens (20,12)+(20,12) -> (21,12); the merge
-# lambda casts back so the accumulator type stays fixed (aggregate()
-# requires merge output type == accumulator type).
-_DEC = "decimal(20,12)"
+# (18,12): precision <= 18 keeps Spark's Decimal long-backed (compact,
+# ~20% faster folds than the BigDecimal path at >=19). 6 integer digits
+# hold embedding-scale magnitudes (|x*y| and 64-element sums << 1e6);
+# raise to (38,12) if vectors ever carry large magnitudes. The merge
+# lambda casts back each step because aggregate() requires merge output
+# type == accumulator type (Spark widens (18,12)+(18,12) -> (19,12)).
+_DEC = "decimal(18,12)"
 
 
 def dot_dec(a: Column, b: Column) -> Column:

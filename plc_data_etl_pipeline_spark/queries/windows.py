@@ -147,3 +147,39 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").over(w).alias("moving_min"),
         F.max("value").over(w).alias("moving_max"),
     )
+
+
+@query(
+    "win_range_interval",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS hour_sum,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS hour_n
+    FROM events
+    """,
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per-user trailing-hour sum/count —
+    the value-based frame (all rows within 3600s), not a row-count frame.
+    Both engines order by FLOORED epoch seconds (Spark's unix_timestamp
+    truncates; DuckDB's epoch() keeps microseconds) so frame boundaries
+    agree exactly."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("hour_sum"),
+        F.count("*").over(w).alias("hour_n"),
+    )

@@ -95,3 +95,33 @@ def test_broadcast_in_similarity_query_side(spark):
     scanned exactly once with no shuffle exchange before the join."""
     p = plan(spark, "sim_topk")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def _n_exchanges(spark, name: str) -> int:
+    """Shuffle exchanges only — BroadcastExchange is the cheap kind we
+    WANT and must not count against the budget."""
+    p = plan(spark, name, mode="simple")
+    return p.count("Exchange") - p.count("BroadcastExchange")
+
+
+def test_shuffle_budgets(spark):
+    """Explicit shuffle budgets for representative queries — a regression
+    that adds an Exchange (lost broadcast, extra repartition) fails here
+    before it ships. Budgets are ceilings, not exact counts (AQE may
+    remove some at runtime)."""
+    budgets = {
+        "project_filter": 0,     # pure scan+filter: no shuffle at all
+        "agg_basic": 1,          # one shuffle to the final agg
+        "dedup_exact": 1,        # one shuffle on content hash
+        "topk_per_group": 1,     # one shuffle to the window key
+        "win_moving_avg": 1,
+        "stream_tumbling": 1,
+        "join_multiway": 3,      # lineitem⋈orders + final agg (+AQE slack)
+        "sim_topk": 2,           # broadcast join + window topk
+    }
+    over = {}
+    for name, budget in budgets.items():
+        n = _n_exchanges(spark, name)
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"shuffle budget exceeded: {over}"

@@ -348,3 +348,43 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_bits)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def minhash_ml_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_tables: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash LSH via pyspark.ml (HashingTF -> MinHashLSH ->
+    approxSimilarityJoin) — the built-in alternative to the DataFrame-
+    native pipeline (minhash_dedup_pairs). Kept for API parity with
+    SURVEY §2.2; the native pipeline is preferred (no Vector conversion,
+    map-side-combinable signatures, exact string-set verify instead of
+    hashed-feature Jaccard)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = F.split(F.col(text_col), " ")
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(toks, shingle_n)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(sh)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=42
+    )
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, 1.0 - threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+    )

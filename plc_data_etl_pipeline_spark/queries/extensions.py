@@ -370,3 +370,12 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs brute force."""
     e = load(spark, sf_dir, "embeddings")
     return S.ivf_ann_topk(e, query_max_id=20, k=5, n_cells=16, n_probe=4)
+
+
+@query("dedup_minhash_ml", oracle=None)  # ml hashed-feature Jaccard
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml MinHashLSH variant of fuzzy dedup (HashingTF features,
+    approxSimilarityJoin) — API-parity path beside the DataFrame-native
+    dedup_minhash."""
+    d = load(spark, sf_dir, "documents")
+    return D.minhash_ml_pairs(d, "doc_id", "text", threshold=0.5)

@@ -257,3 +257,11 @@ def test_ivf_recall_on_clustered_corpus(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF recall too low: {recall:.2f}"
+
+
+def test_minhash_ml_variant_finds_planted(spark, planted_docs):
+    pairs = D.minhash_ml_pairs(planted_docs, "doc_id", "text", threshold=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    for i in range(3):
+        assert (i * 10, i * 10 + 1) in found, f"ml variant missed pair {i}"
+    assert all(r.jaccard >= 0.5 for r in pairs)

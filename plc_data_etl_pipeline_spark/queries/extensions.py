@@ -379,3 +379,34 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash."""
     d = load(spark, sf_dir, "documents")
     return D.minhash_ml_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+@query(
+    "dq_summary",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_not_null,
+           SUM(CASE WHEN value IS NOT NULL AND value NOT BETWEEN 0.0 AND 500.0
+                    THEN 1 ELSE 0 END) AS value_in_range,
+           SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                    ('signup','click','error','view','purchase')
+                    THEN 1 ELSE 0 END) AS event_type_in_set,
+           SUM(CASE WHEN props IS NOT NULL AND NOT regexp_matches(props, '^\\{.*\\}$')
+                    THEN 1 ELSE 0 END) AS props_matches
+    FROM events
+    """,
+)
+def dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (operators/quality.py): one-pass rule summary
+    over the event stream — null checks, range, domain membership, JSON
+    shape. The whole rule set costs a single aggregable scan."""
+    from ..operators import quality as Q
+
+    ev = load(spark, sf_dir, "events")
+    rules = [
+        Q.not_null("value"),
+        Q.in_range("value", 0.0, 500.0),
+        Q.in_set("event_type", ("signup", "click", "error", "view", "purchase")),
+        Q.matches("props", r"^\{.*\}$"),
+    ]
+    return Q.validate_summary(ev, rules)

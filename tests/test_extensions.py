@@ -265,3 +265,27 @@ def test_minhash_ml_variant_finds_planted(spark, planted_docs):
     for i in range(3):
         assert (i * 10, i * 10 + 1) in found, f"ml variant missed pair {i}"
     assert all(r.jaccard >= 0.5 for r in pairs)
+
+
+def test_dq_violations_row_level(spark):
+    """Row-level violation report names exactly the failed rules."""
+    from plc_data_etl_pipeline_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, 50.0, "click"), (2, None, "click"), (3, 900.0, "bogus")],
+        "id int, value double, event_type string",
+    )
+    rules = [
+        Q.not_null("value"),
+        Q.in_range("value", 0.0, 500.0),
+        Q.in_set("event_type", ("click",)),
+    ]
+    got = sorted(
+        (r.id, r.rule)
+        for r in Q.violations(df, rules, ["id"]).collect()
+    )
+    assert got == [
+        (2, "value_not_null"),
+        (3, "event_type_in_set"),
+        (3, "value_in_range"),
+    ]

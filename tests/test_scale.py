@@ -101,3 +101,21 @@ def test_key_distribution_diagnoses_skew(spark):
     top = SC.key_distribution(big, "k").collect()
     assert top[0].k == 1 and top[0].n_rows == 900
     assert abs(top[0].share - 0.9) < 1e-9
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Parquet schema evolution: files written before a column existed
+    read back as NULL for that column under mergeSchema — the append-only
+    lake pattern for adding fields without rewriting history."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    v1.write.mode("append").parquet(path)
+    v2 = spark.createDataFrame(
+        [(3, "c", 1.5)], "id int, name string, score double"
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 1.5)}

@@ -146,3 +146,37 @@ def test_union_count_linearity(spark, rows, rows2):
     a = _spark_df(spark, rows)
     b = _spark_df(spark, rows2)
     assert a.unionAll(b).count() == len(rows) + len(rows2)
+
+
+@given(rows=ROWS)
+@_SETTINGS
+def test_filter_conjunction_decomposition(spark, rows):
+    """filter(a AND b) == filter(a).filter(b) — the rewrite Catalyst's
+    predicate pushdown relies on."""
+    from pyspark.sql import functions as F
+
+    df = _spark_df(spark, rows)
+    a = F.col("k") > 2
+    b = F.col("v").isNotNull() & (F.col("v") % 2 == 0)
+    one = sorted(map(tuple, df.filter(a & b).collect()))
+    two = sorted(map(tuple, df.filter(a).filter(b).collect()))
+    assert one == two
+
+
+@given(rows=ROWS)
+@_SETTINGS
+def test_sort_limit_prefix_law(spark, rows):
+    """orderBy(...).limit(k) equals the k-prefix of the full sort (with a
+    unique tiebreaker) — TakeOrderedAndProject's contract."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "i int, k int, v int")
+    full = [
+        (r.i, r.k) for r in df.orderBy(F.col("k").desc(), F.col("i")).collect()
+    ]
+    got = [
+        (r.i, r.k)
+        for r in df.orderBy(F.col("k").desc(), F.col("i")).limit(5).collect()
+    ]
+    assert got == full[:5]

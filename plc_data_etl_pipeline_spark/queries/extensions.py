@@ -314,11 +314,14 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID (marker-token hits, operators/text.py) plus
     the per-language score map."""
     d = load(spark, sf_dir, "documents")
+    # scores is serialized to JSON: declared queries must not return
+    # top-level array/map/binary columns (driver canonicalizer constraint;
+    # tests/test_registry.py enforces it for every registered query).
     return d.select(
         "doc_id",
         "lang",
         T.lang_id("text").alias("pred_lang"),
-        F.map_values(T.lang_scores("text")).alias("scores"),
+        F.to_json(T.lang_scores("text")).alias("scores"),
     )
 
 
@@ -358,7 +361,14 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic fake features; pytest pins exact values."""
     d = load(spark, sf_dir, "documents")
     media = M.synthesize_media(d)
-    return M.decode_media(media, real=False)
+    # feature stays array<double> in the operator API; the declared query
+    # projects it to JSON (no top-level array columns in registry output).
+    return M.decode_media(media, real=False).select(
+        "media_id",
+        "format",
+        "n_bytes",
+        F.to_json("feature").alias("feature_json"),
+    )
 
 
 @query("sim_topk_ivf", oracle=None)  # approximate by construction
@@ -385,14 +395,15 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_summary",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_not_null,
-           SUM(CASE WHEN value IS NOT NULL AND value NOT BETWEEN 0.0 AND 500.0
-                    THEN 1 ELSE 0 END) AS value_in_range,
-           SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS value_not_null,
+           CAST(SUM(CASE WHEN value IS NOT NULL AND value NOT BETWEEN 0.0 AND 500.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS value_in_range,
+           CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
                     ('signup','click','error','view','purchase')
-                    THEN 1 ELSE 0 END) AS event_type_in_set,
-           SUM(CASE WHEN props IS NOT NULL AND NOT regexp_matches(props, '^\\{.*\\}$')
-                    THEN 1 ELSE 0 END) AS props_matches
+                    THEN 1 ELSE 0 END) AS BIGINT) AS event_type_in_set,
+           CAST(SUM(CASE WHEN props IS NOT NULL AND NOT regexp_matches(props, '^\\{.*\\}$')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS props_matches
     FROM events
     """,
 )

@@ -35,12 +35,12 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     piv = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")))
+        .agg(F.sum(F.floor(F.col("l_quantity") * 100 + 0.5)))
     )
     return piv.select(
         "l_returnflag",
-        F.col("F").cast("double").alias("qty_F"),
-        F.col("O").cast("double").alias("qty_O"),
+        (F.col("F").cast("double") / 100).alias("qty_F"),
+        (F.col("O").cast("double") / 100).alias("qty_O"),
     )
 
 
@@ -127,14 +127,14 @@ def sql_api_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT c_mktsegment, c_custkey FROM customer_v
         ), spend AS (
           SELECT o_custkey,
-                 CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-                   AS total_spend
+                 CAST(SUM(FLOOR(o_totalprice * 100 + 0.5)) AS DOUBLE)
+                   / 100 AS total_spend
           FROM orders_cte_v GROUP BY o_custkey
         )
         SELECT seg.c_mktsegment,
                COUNT(*) AS n_customers,
-               CAST(SUM(CAST(spend.total_spend AS DECIMAL(38,6))) AS DOUBLE)
-                 AS segment_spend
+               CAST(SUM(FLOOR(spend.total_spend * 100 + 0.5)) AS DOUBLE)
+                 / 100 AS segment_spend
         FROM seg JOIN spend ON seg.c_custkey = spend.o_custkey
         GROUP BY seg.c_mktsegment
         """

@@ -6,7 +6,7 @@ is Spark-native. Every aggregate here uses partial (map-side) aggregation
 automatically; group-key cardinality is low, so the post-shuffle reduce is
 tiny regardless of input scale.
 
-Float determinism: SUM/AVG go through the decimal-cast convention
+Float determinism: SUM/AVG go through the exact scaled-integer convention
 (queries/_conv.py); genuinely order-dependent stats (stddev/var/corr/
 median) are ROUNDed to 4 digits on both engines (error ~1e-8 vs boundary
 5e-5 — see _conv.py rationale).
@@ -28,7 +28,7 @@ from ._conv import davg, dsum, sql_davg, sql_dsum
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity', 'sum_qty')},
            {sql_dsum('l_extendedprice', 'sum_base_price')},
-           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price', scale=4)},
            {sql_davg('l_quantity', 'avg_qty')},
            {sql_davg('l_extendedprice', 'avg_price')},
            CAST(MIN(l_shipdate) AS DATE) AS min_shipdate,
@@ -47,7 +47,11 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity", "sum_qty"),
         dsum("l_extendedprice", "sum_base_price"),
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "sum_disc_price",
+            scale=4,
+        ),
         davg("l_quantity", "avg_qty"),
         davg("l_extendedprice", "avg_price"),
         F.min("l_shipdate").cast("date").alias("min_shipdate"),
@@ -177,8 +181,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-                 AS sum_price
+               CAST(SUM(FLOOR(o_totalprice * 100 + 0.5)) AS DOUBLE)
+                 / 100 AS sum_price
         FROM orders_gs_v
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """

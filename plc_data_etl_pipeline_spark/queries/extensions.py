@@ -135,21 +135,22 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_topk",
     oracle="""
-    WITH pairs AS (
+    WITH dots AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             q.embedding AS qv, c.embedding AS cv
+             list_reduce([CAST(q.embedding[i] AS DOUBLE)
+                          * CAST(c.embedding[i] AS DOUBLE)
+                          FOR i IN range(1, len(q.embedding) + 1)],
+                         (a, b) -> a + b) AS dot,
+             list_reduce([CAST(q.embedding[i] AS DOUBLE)
+                          * CAST(q.embedding[i] AS DOUBLE)
+                          FOR i IN range(1, len(q.embedding) + 1)],
+                         (a, b) -> a + b) AS qq,
+             list_reduce([CAST(c.embedding[i] AS DOUBLE)
+                          * CAST(c.embedding[i] AS DOUBLE)
+                          FOR i IN range(1, len(c.embedding) + 1)],
+                         (a, b) -> a + b) AS cc
       FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
       WHERE q.vec_id < 20
-    ), elems AS (
-      SELECT query_id, neighbor_id,
-             CAST(unnest(qv) AS DOUBLE) AS x, CAST(unnest(cv) AS DOUBLE) AS y
-      FROM pairs
-    ), dots AS (
-      SELECT query_id, neighbor_id,
-             CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS dot,
-             CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS qq,
-             CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS cc
-      FROM elems GROUP BY query_id, neighbor_id
     ), scored AS (
       SELECT query_id, neighbor_id,
              dot / (SQRT(qq) * SQRT(cc)) AS sim,
@@ -164,9 +165,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 20 query vectors against the corpus.
-    Decimal-accumulated dot products make Spark and DuckDB bit-identical
-    (operators/similarity.py). The broadcast-queries pattern scans the
-    corpus exactly once."""
+    Sequential-fold double dot products make Spark and DuckDB
+    bit-identical (operators/similarity.py). The broadcast-queries
+    pattern scans the corpus exactly once."""
     e = load(spark, sf_dir, "embeddings")
     return S.cosine_topk(e, query_max_id=20, k=5)
 
@@ -211,8 +212,8 @@ def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
-           CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE)
              / COUNT(text) AS avg_tokens,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
     FROM documents
@@ -225,11 +226,11 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         (
-            F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double")
+            F.sum(F.col("n_chars").cast("long")).cast("double")
             / F.count("n_chars")
         ).alias("avg_chars"),
         (
-            F.sum(T.token_count("text").cast("decimal(38,6)")).cast("double")
+            F.sum(T.token_count("text").cast("long")).cast("double")
             / F.count("text")
         ).alias("avg_tokens"),
         F.min("n_chars").alias("min_chars"),

@@ -158,7 +158,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_multiway",
     oracle=f"""
     SELECT n.n_name,
-           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue', scale=4)},
            COUNT(*) AS n_items
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -185,7 +185,11 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("n_name")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                scale=4,
+            ),
             F.count("*").alias("n_items"),
         )
     )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import query
+from ._conv import cents, quant
 
 
 @query(
@@ -89,17 +90,20 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
-                      * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))),
-                      2) AS DOUBLE) AS charged,
+           FLOOR((FLOOR(l_extendedprice * 100 + 0.5)
+                  * FLOOR((1 - l_discount) * 100 + 0.5)
+                  * FLOOR((1 + l_tax) * 100 + 0.5) + 5000) / 10000) / 100
+             AS charged,
            ABS(l_discount - 0.05) AS disc_dev,
            CAST(FLOOR(l_quantity / 10.0) AS BIGINT) AS qty_bucket,
            CAST(CEIL(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
-           ROUND(LN(l_extendedprice + 1.0), 6) AS log_price,
-           ROUND(SQRT(l_quantity), 6) AS sqrt_qty,
-           ROUND(POWER(l_discount, 2), 6) AS disc_sq,
+           CAST(FLOOR(LN(l_extendedprice + 1.0) * 1000000.0 + 0.5) AS DOUBLE)
+             / 1000000.0 AS log_price,
+           CAST(FLOOR(SQRT(l_quantity) * 1000000.0 + 0.5) AS DOUBLE)
+             / 1000000.0 AS sqrt_qty,
+           CAST(FLOOR(POWER(l_discount, 2) * 1000000.0 + 0.5) AS DOUBLE)
+             / 1000000.0 AS disc_sq,
            CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
            GREATEST(l_discount, l_tax) AS max_rate,
            LEAST(l_discount, l_tax) AS min_rate
@@ -113,25 +117,31 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        # Decimal-domain arithmetic: the product of 2-decimal money values
-        # is an exact 6-decimal rational that can tie at the .xx5 rounding
-        # boundary; rounding the exact decimal (not the double) is the only
-        # way both engines agree (see _conv.py).
-        F.round(
-            F.col("l_extendedprice").cast("decimal(12,2)")
-            * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
-            * (F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(3,2)")),
-            2,
-        )
-        .cast("double")
-        .alias("charged"),
+        # Exact-integer money arithmetic: the charge is an exact 6-decimal
+        # rational that can tie at the .xx5 rounding boundary, so the
+        # half-up round to cents is done on the exact integer micros
+        # ((p6 + 5000) div 10^4) — tie-safe and identical in both engines,
+        # without the decimal-type cost (see _conv.py; cents() rationale
+        # for floor-instead-of-ROUND).
+        (
+            F.floor(
+                (
+                    cents("l_extendedprice")
+                    * cents(F.lit(1) - F.col("l_discount"))
+                    * cents(F.lit(1) + F.col("l_tax"))
+                    + 5000
+                )
+                / 10000
+            ).cast("double")
+            / 100
+        ).alias("charged"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.floor(F.col("l_quantity") / 10.0).alias("qty_bucket"),
         F.ceil(F.col("l_extendedprice") / 1000.0).alias("price_k"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
-        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("log_price"),
-        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
-        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        quant(F.log(F.col("l_extendedprice") + 1.0)).alias("log_price"),
+        quant(F.sqrt("l_quantity")).alias("sqrt_qty"),
+        quant(F.pow("l_discount", F.lit(2))).alias("disc_sq"),
         F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
         F.greatest("l_discount", "l_tax").alias("max_rate"),
         F.least("l_discount", "l_tax").alias("min_rate"),

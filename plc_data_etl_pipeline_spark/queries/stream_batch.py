@@ -19,7 +19,8 @@ from ..streaming import windows as W
 
 _AGG_SQL = """
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS avg_value,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+         / COUNT(value) AS avg_value,
        MIN(value) AS min_value,
        MAX(value) AS max_value
 """

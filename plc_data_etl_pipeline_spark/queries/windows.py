@@ -16,7 +16,11 @@ from pyspark.sql.window import Window
 from ..catalog import load
 from ..registry import query
 
-_DEC = "decimal(38,6)"
+
+def _csum(col: str, w) -> "F.Column":
+    """Windowed order-exact sum of a 2-decimal double: exact integer-cents
+    sum over the frame, divided back in double (queries/_conv.py)."""
+    return F.sum(F.floor(F.col(col) * 100 + 0.5)).over(w).cast("double") / 100
 
 
 @query(
@@ -84,10 +88,10 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_running_sum",
     oracle=f"""
     SELECT event_id, user_id, value,
-           CAST(SUM(CAST(value AS {_DEC.upper().replace("DECIMAL", "DECIMAL")})) OVER (
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_sum,
+           ) AS DOUBLE) / 100 AS running_sum,
            COUNT(*) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -96,9 +100,9 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running (cumulative) sum per user over event time; decimal-cast so
-    the cumulative sum is order-exact on both engines; explicit ROWS frame
-    (the default RANGE frame differs on ties)."""
+    """Running (cumulative) sum per user over event time; integer-cents
+    sum so the cumulative sum is order-exact on both engines; explicit
+    ROWS frame (the default RANGE frame differs on ties)."""
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -109,7 +113,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "value",
-        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("running_sum"),
+        _csum("value", w).alias("running_sum"),
         F.count("*").over(w).alias("running_n"),
     )
 
@@ -118,8 +122,8 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_moving_avg",
     oracle="""
     SELECT event_id, user_id, value,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
-             / COUNT(value) OVER w AS moving_avg,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+             / 100 / COUNT(value) OVER w AS moving_avg,
            MIN(value) OVER w AS moving_min,
            MAX(value) OVER w AS moving_max
     FROM events
@@ -140,10 +144,7 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "value",
-        (
-            F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
-            / F.count("value").over(w)
-        ).alias("moving_avg"),
+        (_csum("value", w) / F.count("value").over(w)).alias("moving_avg"),
         F.min("value").over(w).alias("moving_min"),
         F.max("value").over(w).alias("moving_max"),
     )
@@ -153,10 +154,10 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_range_interval",
     oracle="""
     SELECT event_id, user_id, value,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS hour_sum,
+           ) AS DOUBLE) / 100 AS hour_sum,
            COUNT(*) OVER (
              PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
@@ -180,6 +181,6 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "value",
-        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("hour_sum"),
+        _csum("value", w).alias("hour_sum"),
         F.count("*").over(w).alias("hour_n"),
     )

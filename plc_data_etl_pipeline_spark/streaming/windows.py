@@ -20,14 +20,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_DEC = "decimal(38,6)"
-
-
 def _agg_cols() -> list[Column]:
+    # avg via exact integer-cents sum (order-independent, oracle
+    # bit-parity — queries/_conv.py rationale).
     return [
         F.count("*").alias("n_events"),
         (
-            F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("value")
+            F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("double")
+            / 100
+            / F.count("value")
         ).alias("avg_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),

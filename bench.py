@@ -80,10 +80,22 @@ def main() -> None:
     _warm = pandas_udf(lambda x: x * 1.0, "double")
     spark.range(100).select(_warm("id")).collect()
 
-    # Two passes per query: pass 1 pays Catalyst planning + codegen
-    # compilation (fixed, data-size-independent); pass 2 is steady state —
-    # the marginal cost that scales with data. Both are reported:
-    # "queries"/"value" = steady state, "cold_total" = first-pass total.
+    # Two unmeasured sweeps over the whole headline set first: JVM JIT
+    # compilation of the generated code paths is a fixed startup cost
+    # (measured: the identical config runs 4.8 s early in a session vs
+    # 3.4 s late purely from JIT warmup; C2 needs several invocations) —
+    # data-size-independent, so excluded from steady state exactly like
+    # process start is.
+    for _ in range(2):
+        for name in HEADLINE:
+            qs[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+    # Two measured passes per query: pass 1 re-pays Catalyst planning
+    # (fixed per query); pass 2 is steady state — the marginal cost that
+    # scales with data. Both are reported: "queries"/"value" = steady
+    # state, "cold_total" = first-pass total.
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in HEADLINE:

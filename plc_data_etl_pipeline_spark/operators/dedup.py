@@ -178,15 +178,26 @@ def lsh_candidate_pairs(
     a degenerate bucket means near-identical docs, which ARE the output).
     """
     rows_per_band = num_hashes // bands
-    buckets = None
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        part = sig_df.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            F.xxhash64(*cols).alias("bucket"),
-        )
-        buckets = part if buckets is None else buckets.unionByName(part)
+    # All band buckets in ONE projection + explode — a union of per-band
+    # projections would re-execute the signature subtree (mapInPandas has
+    # no common-subexpression reuse) once per band.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig_df.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = buckets.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
     )
@@ -245,19 +256,44 @@ def minhash_dedup_pairs(
     the fallback. The Jaccard verify stage is JVM either way.
     """
     toks = F.split(F.col(text_col), " ")
-    shingled = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(toks, shingle_n)).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
     if use_arrow:
         sigs = minhash_signatures_arrow(df, id_col, text_col, shingle_n, num_hashes)
     else:
+        shingled = df.select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(toks, shingle_n)).alias("shingles"),
+        ).filter(F.size("shingles") > 0)
         exploded = shingled.select(
             F.col(id_col), F.explode("shingles").alias("shingle")
         )
         sigs = minhash_signatures(exploded, id_col, "shingle", num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    return jaccard_verify(cands, shingled, id_col, "shingles", threshold)
+    # Verify on the candidate pairs ONLY: join the (small) pair list back
+    # to raw text and build shingle sets per surviving row — building
+    # shingle arrays for the whole corpus on both join sides costs ~2
+    # corpus passes of heavy string work; candidates are orders of
+    # magnitude fewer at any realistic dup rate.
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    set_a = F.array_distinct(
+        word_shingles(F.split(F.col("text_a"), " "), shingle_n)
+    )
+    set_b = F.array_distinct(
+        word_shingles(F.split(F.col("text_b"), " "), shingle_n)
+    )
+    joined = (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("set_a", set_a)
+        .withColumn("set_b", set_b)
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size(F.array_union("set_a", "set_b"))
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -133,6 +133,11 @@ def lsh_ann_topk(
     bucket, queries exploded to n_planes+1 probe buckets.
     """
     planes = _hyperplanes(dim, n_planes)
+    # Both sides derive from ONE bucket projection: the sides shuffle on
+    # the same bucket key, so Spark's ReusedExchange evaluates the bucket
+    # HOFs once (measured faster than per-side bucket computation; at
+    # scale this is also the right shape — corpus bucketed and shuffled
+    # once, then reused).
     with_bucket = emb.select(
         F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
     )

@@ -13,7 +13,8 @@ events documents embeddings). ``oracle=None`` declares a rows-only check
 Contract gotcha (driver compares by column NAME before value-hashing):
 every computed column must carry the same alias in the Spark query and in
 the oracle SQL. Helpers in queries/_conv.py enforce the float-determinism
-conventions (decimal-cast sums, rounded outputs) on both sides.
+conventions (exact scaled-integer sums, floor-quantized outputs) on both
+sides.
 """
 
 from __future__ import annotations

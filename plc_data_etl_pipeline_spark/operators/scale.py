@@ -65,7 +65,20 @@ def salted_join(
     handles the pathological tail. The salt is ``rand``-based — fine for
     execution (any bucket works); not content-derived, so results are
     unchanged.
+
+    ``how`` is restricted to joins whose semantics survive small-side
+    replication: an unmatched small-side row would surface once per salt
+    bucket under right/full outer (and leak the __salt column's
+    multiplicity); those need a different strategy (swap sides, or
+    dedupe unmatched replicas).
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "leftsemi"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}, got {how!r}: "
+            "replicating the small side per salt would duplicate its "
+            "unmatched rows in right/full outer results"
+        )
     salted_big = big.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

@@ -72,3 +72,22 @@ def test_continuous_rollup_incremental_update(spark, tmp_path):
     got = _normalize(C.present(spark.read.parquet(mat)).collect())
     want = _normalize(C.present(C._bucketize(events)).collect())
     assert got == want
+
+
+def test_continuous_rollup_replayed_batch_is_idempotent(spark, tmp_path):
+    """A micro-batch re-delivered with the same batch_id (crash between
+    upsert and checkpoint commit) must not double-count its events."""
+    events = load(spark, SF_DIR, "events")
+    b0 = events.filter("event_id % 3 = 0")
+    b1 = events.filter("event_id % 3 = 1")
+    mat = str(tmp_path / "rollup")
+
+    C.merge_micro_batch(b0, 0, mat)
+    C.merge_micro_batch(b1, 1, mat)
+    C.merge_micro_batch(b1, 1, mat)  # replay of batch 1
+
+    got = _normalize(C.present(spark.read.parquet(mat)).collect())
+    want = _normalize(
+        C.present(C._bucketize(b0.unionByName(b1))).collect()
+    )
+    assert got == want

@@ -58,7 +58,11 @@ PLC_STRUCT = StructType(
 )
 
 MAGIC = b"\x00"
-SCHEMA_ID = 1  # stand-in registry id (subject {topic}_value, SURVEY §1.1)
+# Default wire-header schema id: what a SchemaRegistryStub assigns the
+# PLC schema on first registration (subject {topic}-value, SURVEY §1.1;
+# pipeline/schema_registry.py). encode/decode take an explicit id for
+# multi-schema topics.
+SCHEMA_ID = 1
 
 
 def _zigzag_encode(n: int) -> bytes:
@@ -86,10 +90,11 @@ def _zigzag_decode(buf: io.BytesIO) -> int:
     return (acc >> 1) ^ -(acc & 1)
 
 
-def encode_record(machine_id: str, sensor: str, reading: float, t_stamp: float) -> bytes:
+def encode_record(machine_id: str, sensor: str, reading: float, t_stamp: float,
+                  schema_id: int = SCHEMA_ID) -> bytes:
     """One PLCData record -> Confluent-framed Avro binary bytes."""
     out = bytearray()
-    out += MAGIC + struct.pack(">i", SCHEMA_ID)
+    out += MAGIC + struct.pack(">i", schema_id)
     for s in (machine_id, sensor):
         raw = s.encode("utf-8")
         out += _zigzag_encode(len(raw)) + raw
@@ -97,12 +102,21 @@ def encode_record(machine_id: str, sensor: str, reading: float, t_stamp: float) 
     return bytes(out)
 
 
-def decode_record(payload: bytes) -> tuple[str, str, float, float] | None:
+def decode_record(payload: bytes,
+                  expected_schema_id: int | None = SCHEMA_ID
+                  ) -> tuple[str, str, float, float] | None:
     """Confluent-framed Avro binary -> record tuple, or None if corrupt
-    (poison-pill skip, R10)."""
+    (poison-pill skip, R10) OR framed with a schema id other than
+    ``expected_schema_id`` (registry semantics — decoding with the wrong
+    schema would mis-parse, so wrong-id payloads take the dead-letter
+    path; pass None to skip the id check)."""
     try:
         if payload is None or len(payload) < 5 or payload[0] != 0:
             return None
+        if expected_schema_id is not None:
+            (wire_id,) = struct.unpack(">i", payload[1:5])
+            if wire_id != expected_schema_id:
+                return None
         buf = io.BytesIO(payload[5:])
         strs = []
         for _ in range(2):
@@ -133,15 +147,6 @@ def _encode_udf(machine_id: pd.Series, sensor: pd.Series, reading: pd.Series,
     )
 
 
-@F.pandas_udf(PLC_STRUCT)
-def _decode_udf(payload: pd.Series) -> pd.DataFrame:
-    rows = [decode_record(p) for p in payload]
-    return pd.DataFrame(
-        [(None, None, None, None) if r is None else r for r in rows],
-        columns=["machine_id", "sensor", "reading", "t_stamp"],
-    )
-
-
 def avro_encode(machine_id: Column, sensor: Column, reading: Column,
                 t_stamp: Column) -> Column:
     """PLC columns -> Avro-framed binary ``value`` column (R4). Drop-in
@@ -149,7 +154,19 @@ def avro_encode(machine_id: Column, sensor: Column, reading: Column,
     return _encode_udf(machine_id, sensor, reading, t_stamp)
 
 
-def avro_decode(payload: Column) -> Column:
+def avro_decode(payload: Column,
+                expected_schema_id: int | None = SCHEMA_ID) -> Column:
     """Binary ``value`` column -> PLCData struct column; NULL on corrupt
-    payloads (R9 + R10). Select ``decoded.*`` to flatten."""
+    payloads (R9 + R10) or on a wire-header schema id that doesn't match
+    ``expected_schema_id`` (registry validation — wrong-id messages take
+    the dead-letter path). Select ``decoded.*`` to flatten."""
+
+    @F.pandas_udf(PLC_STRUCT)
+    def _decode_udf(payload: pd.Series) -> pd.DataFrame:
+        rows = [decode_record(p, expected_schema_id) for p in payload]
+        return pd.DataFrame(
+            [(None, None, None, None) if r is None else r for r in rows],
+            columns=["machine_id", "sensor", "reading", "t_stamp"],
+        )
+
     return _decode_udf(payload)

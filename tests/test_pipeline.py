@@ -258,3 +258,57 @@ def test_streaming_checkpoint_restart_no_reprocess(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 50, "restart must process ONLY the new file"
     assert got.filter(F.col("machine_id") == "M1").count() == 30
+
+
+# ---------------------------------------------------------------------------
+# Schema-Registry stub (R4/R9 registry semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_schema_registry_idempotent_registration():
+    from plc_data_etl_pipeline_spark.pipeline.schema_registry import (
+        SchemaRegistryStub,
+    )
+
+    reg = SchemaRegistryStub()
+    sid1 = reg.register("plc_data-value", A.PLC_SCHEMA_JSON)
+    sid2 = reg.register("plc_data-value", A.PLC_SCHEMA_JSON)
+    assert sid1 == sid2 == 1
+    assert reg.latest("plc_data-value").version == 1
+    assert reg.schema_by_id(sid1).schema_json == A.PLC_SCHEMA_JSON
+
+    evolved = A.PLC_SCHEMA_JSON.replace("PLCData", "PLCDataV2")
+    sid3 = reg.register("plc_data-value", evolved)
+    assert sid3 == 2
+    assert reg.latest("plc_data-value").version == 2
+    assert reg.schema_by_id(99) is None
+
+
+def test_avro_decode_rejects_wrong_schema_id(spark):
+    """A payload framed with a different registry id must NOT decode with
+    this schema — it lands on the poison-pill/dead-letter path."""
+    from plc_data_etl_pipeline_spark.pipeline.schema_registry import (
+        SchemaRegistryStub,
+    )
+
+    reg = SchemaRegistryStub()
+    good_id = reg.register("plc_data-value", A.PLC_SCHEMA_JSON)
+    other_id = reg.register("other-value", A.PLC_SCHEMA_JSON.replace("PLCData", "Other"))
+    assert good_id != other_id
+
+    good = A.encode_record("m1", "temp", 21.5, 1.7e9, schema_id=good_id)
+    wrong = A.encode_record("m2", "rpm", 900.0, 1.7e9, schema_id=other_id)
+    df = spark.createDataFrame([(good,), (wrong,)], "value binary")
+    out = df.select(
+        A.avro_decode(F.col("value"), expected_schema_id=good_id).alias("rec")
+    ).select("rec.*")
+    rows = sorted(out.collect(), key=lambda r: (r.machine_id is None, r))
+    assert rows[0].machine_id == "m1" and rows[0].reading == 21.5
+    assert rows[1].machine_id is None  # wrong id -> NULL (dead-letter path)
+    # id check off -> both decode (byte-compatible schemas)
+    n_ok = (
+        df.select(A.avro_decode(F.col("value"), expected_schema_id=None).alias("rec"))
+        .filter(F.col("rec.machine_id").isNotNull())
+        .count()
+    )
+    assert n_ok == 2

@@ -85,6 +85,13 @@ def start_micro_batch_sink(
     ``mode="idempotent"`` — replay-safe: each micro-batch lands in a
                             batchId-keyed subdir with overwrite, so
                             re-execution replaces rather than duplicates.
+    ``mode="transactional"`` — exactly-once: each micro-batch commits to
+                            a transactional parquet table
+                            (pipeline/txlog.py) carrying the batch id as
+                            its txn marker; a batch replayed after a
+                            crash between commit and checkpoint is
+                            detected in the log and skipped. Read the
+                            sink with ``TransactionalParquetTable.read``.
     ``dead_letter_path``  — R10 upgrade: rows with NULL decode results are
                             appended there instead of silently dropped
                             (the reference logs-and-drops; we do better
@@ -101,6 +108,12 @@ def start_micro_batch_sink(
         if mode == "idempotent":
             good.write.mode("overwrite").parquet(
                 os.path.join(path, f"batch_id={batch_id}")
+            )
+        elif mode == "transactional":
+            from .txlog import TransactionalParquetTable
+
+            TransactionalParquetTable(good.sparkSession, path).append(
+                good, txn=("micro_batch_sink", batch_id)
             )
         else:
             good.write.mode("append").parquet(path)

@@ -152,3 +152,34 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         zscore, "event_id long, event_type string, zscore double"
     )
+
+
+@query(
+    "sink_txn_upsert",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'RECLASSIFIED'
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM orders
+    """,
+)
+def sink_txn_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional MERGE parity (pipeline/txlog.py): seed a
+    log-structured parquet table with (key, priority), MERGE a
+    reclassification for every 10th key, return the committed snapshot.
+    The oracle states the post-MERGE table in pure SQL, so the whole
+    write→merge→snapshot-read path is value-checked."""
+    import shutil
+
+    from ..pipeline.txlog import TransactionalParquetTable
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    path = os.path.join(tempfile.gettempdir(), "plc_etl_txn_upsert")
+    shutil.rmtree(path, ignore_errors=True)
+    t = TransactionalParquetTable(spark, path)
+    t.overwrite(o)
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_orderpriority", F.lit("RECLASSIFIED")
+    )
+    t.merge_upsert(updates, keys=["o_orderkey"])
+    return t.read()

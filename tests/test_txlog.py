@@ -1,0 +1,120 @@
+"""Transactional parquet table (pipeline/txlog.py): snapshot isolation,
+atomic commits, exactly-once txn markers, MERGE, vacuum, and the
+transactional streaming sink mode."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from plc_data_etl_pipeline_spark.pipeline import sink as K
+from plc_data_etl_pipeline_spark.pipeline.txlog import (
+    CommitConflict,
+    TransactionalParquetTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_append_overwrite_snapshots_and_history(spark, tmp_path):
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    assert t.version() == 0
+    with pytest.raises(FileNotFoundError):
+        t.read()
+
+    assert t.append(_df(spark, [(1, "a"), (2, "b")])) == 1
+    assert t.append(_df(spark, [(3, "c")])) == 2
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a"), (2, "b"), (3, "c")]
+    # time travel: version 1 snapshot unchanged by later appends
+    assert sorted(map(tuple, t.read(version=1).collect())) == [(1, "a"), (2, "b")]
+
+    assert t.overwrite(_df(spark, [(9, "z")])) == 3
+    assert [tuple(r) for r in t.read().collect()] == [(9, "z")]
+    assert [m["version"] for m in t.history()] == [1, 2, 3]
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.merge_upsert(_df(spark, [(2, "B2"), (4, "d")]), keys=["k"])
+    assert sorted(map(tuple, t.read().collect())) == [
+        (1, "a"),
+        (2, "B2"),
+        (3, "c"),
+        (4, "d"),
+    ]
+
+
+def test_txn_marker_makes_replay_a_noop(spark, tmp_path):
+    """Exactly-once: committing the same (app, id) twice applies once."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]), txn=("app", 7))
+    v = t.append(_df(spark, [(1, "a")]), txn=("app", 7))  # replay
+    assert v == 1
+    assert t.read().count() == 1
+    t.merge_upsert(_df(spark, [(1, "A")]), keys=["k"], txn=("app", 8))
+    t.merge_upsert(_df(spark, [(1, "WRONG")]), keys=["k"], txn=("app", 8))
+    assert [tuple(r) for r in t.read().collect()] == [(1, "A")]
+
+
+def test_commit_conflict_detected_and_retried(spark, tmp_path):
+    """A manifest created by 'someone else' for the next version forces
+    the optimistic committer to re-read and commit the version after."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    # simulate a concurrent winner for version 2
+    conflict = t._manifest_path(2)
+    os.makedirs(os.path.dirname(conflict), exist_ok=True)
+    with open(conflict, "w") as f:
+        f.write('{"version": 2, "files": [], "schema": "k INT, v STRING", "txn": null}')
+    v = t.append(_df(spark, [(2, "b")]))
+    assert v == 3  # retried past the conflicting version
+    assert sorted(map(tuple, t.read().collect())) == [(2, "b")]  # v2 emptied, v3 = v2files+new
+
+
+def test_precommit_crash_leaves_clean_table_and_vacuum(spark, tmp_path):
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    # simulate a writer that crashed after writing files, before commit
+    orphaned = t._write_data_files(_df(spark, [(99, "crash")]))
+    assert t.read().count() == 1  # reader never sees uncommitted files
+    removed = t.vacuum()
+    assert removed == len(orphaned) and removed > 0
+    assert t.read().count() == 1
+
+
+def test_transactional_streaming_sink_exactly_once(spark, tmp_path):
+    """mode='transactional': replaying a batch (same batch_id) commits
+    nothing the second time — exactly-once through the sink."""
+    src = str(tmp_path / "src")
+    events = spark.range(0, 50).select(
+        F.col("id").cast("int").alias("k"), F.lit("x").alias("v")
+    )
+    events.coalesce(2).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema("k int, v string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = K.start_micro_batch_sink(
+        stream, out, checkpoint=str(tmp_path / "ckpt"),
+        mode="transactional", trigger_seconds=0.5,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    t = TransactionalParquetTable(spark, out)
+    assert t.read().count() == 50
+
+    # crash-replay simulation: re-deliver batch 0's data under batch_id 0
+    batch0 = spark.read.parquet(src).limit(25)
+    TransactionalParquetTable(spark, out).append(
+        batch0, txn=("micro_batch_sink", 0)
+    )
+    assert t.read().count() == 50  # no duplicates

@@ -12,11 +12,15 @@ Operators (BASELINE.json north star — text analysis):
     mean token length)
   * language-ID (marker-token n-gram heuristic)
   * document fingerprinting (polynomial rolling hash)
+  * TF-IDF top terms per document (corpus-wide IDF, bounded top-k)
+  * PII scrubbing (email/phone/IP redaction + counts)
+  * text normalization (case/whitespace/control-char canonicalization)
+  * deterministic hash sampling (md5-bucketed, optionally stratified)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, or single punctuation —
@@ -145,3 +149,116 @@ def fingerprint(col: Column | str, prefix_chars: int = 64) -> Column:
         head,
         lambda acc, x: (acc * 31 + x.cast("long")) % F.lit(_MOD),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF over the whole corpus.
+
+    tf = in-document term count; idf = ln((N+1)/(df+1)) (smoothed);
+    score = tf * idf, floor-quantized to 6 decimals so cross-engine
+    1-ulp LN differences cannot reorder the top-k (ties break on term).
+
+    Shuffle budget: one explode→(doc,term) count, one term-level count,
+    one broadcast of the single-row corpus size, one top-k window —
+    every aggregation partial/map-side combinable; nothing is ever
+    collected to the driver.
+    """
+    terms = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.floor(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                * 1000000.0
+                + 0.5
+            ).cast("double")
+            / 1000000.0,
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Deliberately simple RE2-compatible patterns (no lookaround) so the same
+# regex runs identically on Spark (Java regex) and DuckDB (RE2).
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone": "\\+?[0-9][0-9()\\- ]{7,}[0-9]",
+    "ip": "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
+}
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PII_PATTERNS[kind]))
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact emails, then phones, then IPs (fixed order on both
+    engines) with ``<KIND>`` placeholders — the standard pre-training
+    PII pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for kind in ("email", "phone", "ip"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for dedup/matching: lowercase, control chars and
+    runs of whitespace collapsed to single spaces, trimmed."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(c, "[\\x00-\\x1f]", " ")
+    collapsed = F.regexp_replace(cleaned, " +", " ")
+    return F.trim(F.lower(collapsed))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def hash_bucket16(col: Column | str) -> Column:
+    """Stable 16-way bucket from the first hex digit of md5(text) —
+    engine-portable (md5 hex is identical everywhere), content-keyed
+    (the same document always lands in the same bucket, across runs AND
+    across engines — unlike rand(seed), which is engine-specific)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.instr(F.lit(_HEX), F.substring(F.md5(c), 1, 1)) - 1).cast("int")
+
+
+def hash_sample(df: DataFrame, text_col: str, keep_buckets: int) -> DataFrame:
+    """Deterministic ~keep_buckets/16 sample of the corpus."""
+    return df.filter(hash_bucket16(F.col(text_col)) < keep_buckets)

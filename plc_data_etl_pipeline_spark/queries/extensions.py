@@ -422,3 +422,152 @@ def dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.matches("props", r"^\{.*\}$"),
     ]
     return Q.validate_summary(ev, rules)
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(FLOOR(tf.tf * LN((n.n_docs + 1) / (dfreq.df + 1))
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (corpus-wide smoothed IDF,
+    operators/text.py::tfidf_top_terms). Scores are floor-quantized to 6
+    decimals on both engines so 1-ulp LN differences cannot reorder the
+    ranking; ties break on term."""
+    d = load(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(d, "doc_id", "text", k=5)
+
+
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic planted PII (the synthetic corpus is
+    clean, so the scrub queries plant emails/phones/IPs per doc_id mod 3
+    — the SAME expression in the oracle keeps both engines identical)."""
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    return d.withColumn(
+        "aug",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), did, F.lit("@example.com now")),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(F.lit(" call +1 (555) 010-99"), did, F.lit(" today")),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit(" from 10.0.0."), (F.col("doc_id") % 255).cast("string")
+                )
+            ),
+        ),
+    )
+
+
+_PII_AUG_SQL = """
+      SELECT doc_id,
+             text || CASE
+               WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+               WHEN doc_id % 3 = 1 THEN ' call +1 (555) 010-99' || CAST(doc_id AS VARCHAR) || ' today'
+               ELSE ' from 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)
+             END AS aug
+      FROM documents
+"""
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS ({_PII_AUG_SQL})
+    SELECT doc_id,
+           len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+           len(regexp_extract_all(aug, '\\+?[0-9][0-9()\\- ]{{7,}}[0-9]')) AS n_phone,
+           len(regexp_extract_all(aug, '\\b([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) AS n_ip,
+           regexp_replace(regexp_replace(regexp_replace(aug,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\- ]{{7,}}[0-9]', '<PHONE>', 'g'),
+             '\\b([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IP>', 'g') AS scrubbed
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (operators/text.py::scrub_pii): plant
+    deterministic emails/phones/IPs, count and redact them. The oracle
+    repeats the identical plant+scrub in SQL, so match counts AND the
+    full redacted text are value-checked. (DuckDB regexp_replace needs
+    the 'g' flag to match Spark's replace-all default.)"""
+    aug = _pii_augmented(spark, sf_dir)
+    return aug.select(
+        "doc_id",
+        T.pii_count("aug", "email").alias("n_email"),
+        T.pii_count("aug", "phone").alias("n_phone"),
+        T.pii_count("aug", "ip").alias("n_ip"),
+        T.scrub_pii("aug").alias("scrubbed"),
+    )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           TRIM(LOWER(regexp_replace(regexp_replace(text,
+             '[\\x00-\\x1f]', ' ', 'g'), ' +', ' ', 'g'))) AS norm,
+           LENGTH(TRIM(LOWER(regexp_replace(regexp_replace(text,
+             '[\\x00-\\x1f]', ' ', 'g'), ' +', ' ', 'g')))) AS n_chars_norm
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text form for dedup/matching (lowercase, control chars
+    and whitespace runs collapsed, trimmed) + normalized length."""
+    d = load(spark, sf_dir, "documents")
+    norm = T.normalize_text("text")
+    return d.select(
+        "doc_id",
+        norm.alias("norm"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+@query(
+    "sample_hash_stratified",
+    oracle="""
+    SELECT doc_id, lang,
+           strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS bucket16
+    FROM documents
+    WHERE strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+          < CASE WHEN lang = 'en' THEN 4 ELSE 8 END
+    """,
+)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: md5-bucketed (content-keyed —
+    identical across runs AND engines, unlike rand(seed)), keeping 4/16
+    of English docs and 8/16 of everything else (downsample the dominant
+    language — the standard corpus-balancing move)."""
+    d = load(spark, sf_dir, "documents")
+    bucket = T.hash_bucket16("text")
+    rate = F.when(F.col("lang") == "en", F.lit(4)).otherwise(F.lit(8))
+    return (
+        d.withColumn("bucket16", bucket)
+        .filter(F.col("bucket16") < rate)
+        .select("doc_id", "lang", "bucket16")
+    )

@@ -424,3 +424,88 @@ def minhash_ml_pairs(
             F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) for the undirected graph of dup pairs —
+    cluster_id = the smallest node id in the component (deterministic).
+
+    The last stage of a production dedup pipeline: LSH/Jaccard emit
+    PAIRS, but survivor election needs CLUSTERS (a~b, b~c => keep one of
+    {a,b,c}). Min-label propagation: every node repeatedly adopts the
+    minimum label among itself and its neighbors; converges in
+    O(graph diameter) rounds. Each round is one shuffle (edge-label
+    join + min-aggregate); ``localCheckpoint`` truncates the lineage so
+    plans stay flat across iterations — the standard Spark shape for
+    iterative graph algorithms at scale (GraphX/GraphFrames CC is the
+    same dataflow).
+    """
+    edges_fwd = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = edges_fwd.unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def cluster_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-row cluster assignment + survivor flag: rows absent from any
+    pair form singleton clusters; the survivor of each cluster is its
+    minimum id (== the cluster_id by construction)."""
+    cc = connected_components(pairs, id_a, id_b)
+    return (
+        df.join(cc, df[id_col] == cc.node, "left")
+        .select(
+            df[id_col],
+            F.coalesce("cluster_id", df[id_col]).alias("cluster_id"),
+        )
+        .withColumn("is_survivor", F.col(id_col) == F.col("cluster_id"))
+    )

@@ -571,3 +571,63 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket16") < rate)
         .select("doc_id", "lang", "bucket16")
     )
+
+
+@query(
+    "dedup_cluster_survivors",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct([text[i:i+4] FOR i IN range(1, GREATEST(LENGTH(text) - 4, 0) + 1)]) AS grams
+      FROM documents WHERE doc_id < 150
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.35
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(node, root) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ), cc AS (
+      SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(cc.cluster_id, d.doc_id) AS is_survivor
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+    LEFT JOIN cc ON cc.node = d.doc_id
+    """,
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup endgame: candidate pairs (5-gram Jaccard >= 0.35
+    over a bounded id range) -> connected components (iterative min-label
+    propagation, operators/dedup.py::connected_components) -> one
+    survivor per duplicate cluster (the min id). The oracle re-derives
+    the same clusters with a recursive CTE (reachability closure +
+    min-root per node), so the ITERATIVE Spark algorithm is value-checked
+    against a declarative fixpoint."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 4, 0)),"
+                " i -> substring(text, i, 5))"
+            )
+        ).alias("grams"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(inter / union >= 0.35)
+        .select("id_a", "id_b")
+    )
+    return D.cluster_survivors(d.select("doc_id"), pairs, "doc_id")

@@ -289,3 +289,21 @@ def test_dq_violations_row_level(spark):
         (3, "event_type_in_set"),
         (3, "value_in_range"),
     ]
+
+
+def test_connected_components_chain_triangle_singleton(spark):
+    """Min-label propagation: a 4-chain and a triangle collapse to their
+    min ids; nodes absent from pairs become singleton survivors."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    cc = {r.node: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], "doc_id long")
+    surv = D.cluster_survivors(docs, pairs, "doc_id")
+    rows = {r.doc_id: (r.cluster_id, r.is_survivor) for r in surv.collect()}
+    assert rows[99] == (99, True)  # singleton: own cluster, survives
+    assert rows[1] == (1, True) and rows[4] == (1, False)
+    assert sum(1 for c, s in rows.values() if s) == 3  # one per cluster

@@ -262,3 +262,108 @@ def hash_bucket16(col: Column | str) -> Column:
 def hash_sample(df: DataFrame, text_col: str, keep_buckets: int) -> DataFrame:
     """Deterministic ~keep_buckets/16 sample of the corpus."""
     return df.filter(hash_bucket16(F.col(text_col)) < keep_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Training windows: chunking + sequence packing
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    (id, chunk_index, chunk_text, n_tokens), the standard unit for
+    training/embedding pipelines.
+
+    Chunk starts advance by ``chunk_tokens - overlap``; the final chunk
+    may be short. Pure column expressions (sequence + posexplode +
+    slice): chunking 100 TB of text is a single scan, no shuffle.
+    """
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    last_start = (F.floor((n - 1) / stride) * stride + 1).cast("int")
+    starts = F.sequence(F.lit(1), last_start, F.lit(stride))
+    chunked = df.select(
+        F.col(id_col), toks.alias("__toks"), F.posexplode(starts)
+    ).select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("chunk_index"),
+        F.slice(F.col("__toks"), F.col("col"), F.lit(chunk_tokens)).alias(
+            "__chunk"
+        ),
+    )
+    return chunked.select(
+        F.col(id_col),
+        "chunk_index",
+        F.array_join("__chunk", " ").alias("chunk_text"),
+        F.size("__chunk").cast("long").alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget_tokens: int = 2048,
+) -> DataFrame:
+    """GPT-style sequence packing: conceptually concatenate the corpus in
+    ``id_col`` order and cut every ``budget_tokens`` — each document gets
+    the bin its first token falls into plus a boundary-straddle flag.
+
+    A global cumulative sum WITHOUT a global window (which would funnel
+    100 TB through one partition): range-partition on the order key,
+    cumsum within each partition, then add each partition's prefix —
+    computed with a window over the per-partition totals, which is
+    num_partitions rows, not data rows. ``localCheckpoint`` pins the
+    partition ids so both uses of the partitioned frame see the same
+    layout. Exact integer arithmetic throughout.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n_tok = token_count(text_col).cast("long")
+    base = df.select(F.col(id_col), n_tok.alias("n_tokens"))
+    parts = max(2, spark.sparkContext.defaultParallelism // 2)
+    ranged = (
+        base.repartitionByRange(parts, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum("n_tokens").alias("__t"))
+    # window over num_partitions rows — tiny by construction
+    w_prefix = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefixes = totals.select(
+        "__pid", (F.sum("__t").over(w_prefix) - F.col("__t")).alias("__prefix")
+    )
+    w_part = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = (
+        ranged.join(F.broadcast(prefixes), "__pid")
+        .withColumn(
+            "start_offset",
+            F.sum("n_tokens").over(w_part) - F.col("n_tokens") + F.col("__prefix"),
+        )
+    )
+    return with_cum.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / budget_tokens).alias("bin"),
+        (
+            (F.col("start_offset") % budget_tokens) + F.col("n_tokens")
+            > budget_tokens
+        ).alias("straddles_boundary"),
+    )

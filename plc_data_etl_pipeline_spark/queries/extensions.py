@@ -631,3 +631,58 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return D.cluster_survivors(d.select("doc_id"), pairs, "doc_id")
+
+
+@query(
+    "text_chunk_windows",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             UNNEST(range(1,
+                          CAST(FLOOR((len(toks) - 1) / 48) * 48 + 1 AS BIGINT) + 1,
+                          48)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           (start - 1) // 48 AS chunk_index,
+           array_to_string(toks[start : start + 63], ' ') AS chunk_text,
+           len(toks[start : start + 63]) AS n_tokens
+    FROM s
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token windows (64 tokens, 16 overlap -> stride 48) per
+    document — the training/embedding chunking pass
+    (operators/text.py::chunk_documents). Single scan, no shuffle; the
+    oracle re-slices the same windows with DuckDB list slicing."""
+    d = load(spark, sf_dir, "documents")
+    return T.chunk_documents(d, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+             OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - CAST(len(string_split(text, ' ')) AS BIGINT) AS start_offset,
+           CAST(FLOOR((SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+             OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - CAST(len(string_split(text, ' ')) AS BIGINT)) / 2048) AS BIGINT) AS bin,
+           ((SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+             OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - CAST(len(string_split(text, ' ')) AS BIGINT)) % 2048)
+             + CAST(len(string_split(text, ' ')) AS BIGINT) > 2048 AS straddles_boundary
+    FROM documents
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus in doc_id order
+    and cut every 2048 tokens — per-doc bin assignment + straddle flag
+    via one exact-integer window cumsum
+    (operators/text.py::pack_sequences)."""
+    d = load(spark, sf_dir, "documents")
+    return T.pack_sequences(d, "doc_id", "text", budget_tokens=2048)

@@ -147,3 +147,80 @@ def test_sliding_stream_matches_batch(spark, event_files):
     )
     want = _batch_rows(W.sliding(load(spark, SF_DIR, "events"), "1 hour", "30 minutes"))
     assert sorted(tuple(r) for r in got) == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_files):
+    """Stream-stream self-join (errors x next-10-min purchases per user):
+    the streaming result must converge to the identical batch join.
+
+    The fixture's files are split round-robin, so events arrive wildly
+    out of event-time order — a production-sized watermark would
+    (correctly) evict state before late matches arrive. The convergence
+    test pins SEMANTICS, so it uses a watermark wider than the fixture's
+    whole time span; eviction behavior is Spark's own contract."""
+    from plc_data_etl_pipeline_spark.streaming import joins as J
+
+    schema = load(spark, SF_DIR, "events").schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(event_files)
+        )
+
+    streamed = J.error_purchase_pairs(stream(), watermark="90 days")
+    got = sorted(
+        tuple(r)
+        for r in _run_stream_to_memory(
+            spark, streamed, "ss_join_test", mode="append"
+        )
+    )
+    want = _batch_rows(
+        J.error_purchase_pairs(load(spark, SF_DIR, "events"), watermark="90 days")
+    )
+    assert len(want) > 0  # fixture actually exercises the join
+    assert got == want
+
+
+def test_stream_stream_join_state_is_watermark_bounded(spark, event_files):
+    """The interval join's state stays bounded: with a small watermark,
+    the state store retains (far) fewer rows than the total processed —
+    eviction is working. (Spark's contract on LATE rows is best-effort,
+    so this asserts the state BOUND, not per-row dropping.)"""
+    from plc_data_etl_pipeline_spark.streaming import joins as J
+
+    schema = load(spark, SF_DIR, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(event_files)
+    )
+    out = J.error_purchase_pairs(stream, watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("ss_state_test")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        total_in = sum(p["numInputRows"] for p in q.recentProgress)
+        state_rows = max(
+            (
+                op["numRowsTotal"]
+                for p in q.recentProgress
+                for op in p.get("stateOperators", [])
+            ),
+            default=0,
+        )
+    finally:
+        q.stop()
+    n_events = load(spark, SF_DIR, "events").count()
+    assert total_in >= n_events  # everything was actually processed
+    # both join sides buffered in full would be ~#errors + #purchases;
+    # the watermark must keep live state well below that
+    n_sides = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("event_type").isin("error", "purchase"))
+        .count()
+    )
+    assert 0 < state_rows < n_sides

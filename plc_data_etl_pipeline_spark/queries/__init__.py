@@ -12,6 +12,7 @@ Importing this package registers every query into
 * scalars      — string/date/math/JSON/array/map functions, (pos)explode
 * advanced     — pivot, subqueries, SQL CTEs, CSV/JSON source round-trips
 * stream_batch — batch-expressible event-time windows (tumbling/sliding/session)
+* timeseries   — gap fill / LOCF interpolation / deterministic mode
 * extensions   — dedup / similarity / text analysis / multimodal
 * parity       — reference-pipeline parity queries (avro, sink, UDF paths)
 """
@@ -26,5 +27,6 @@ from . import (  # noqa: F401
     scalars,
     sort_set,
     stream_batch,
+    timeseries,
     windows,
 )

@@ -1,0 +1,136 @@
+"""Time-series regularization queries (sensor-domain surface the
+reference's PLC stream implies but never implements): dense hourly
+grids per entity, gap detection, and last-observation-carried-forward
+interpolation.
+
+Scale posture: the grid is generated per entity with ``sequence()``
+(no driver loop, no cross join against a calendar table); everything
+downstream is one left join on (entity, bucket) + bounded per-entity
+windows. Timestamps are emitted as formatted strings (SURVEY §7.3 —
+never raw TIMESTAMP across the collect boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "ts_gap_fill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100 / COUNT(value) AS avg_value
+      FROM events WHERE user_id < 40 GROUP BY user_id, h
+    ), bounds AS (
+      SELECT user_id, MIN(h) AS h_min, MAX(h) AS h_max FROM hourly GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, UNNEST(generate_series(h_min, h_max, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ), joined AS (
+      SELECT g.user_id, g.h,
+             COALESCE(hr.n_events, 0) AS n_events,
+             hr.avg_value
+      FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+    )
+    SELECT user_id,
+           STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           n_events,
+           n_events = 0 AS is_gap,
+           last_value(avg_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS avg_value_locf
+    FROM joined
+    """,
+)
+def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid per user (bounded id range) with gap flags and
+    last-observation-carried-forward interpolation of the hourly average
+    — the standard sensor-stream regularization pass. The grid comes
+    from ``sequence()`` per entity (no calendar cross join); LOCF is one
+    ignore-nulls window."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("double")
+            / 100
+            / F.count("value")
+        ).alias("avg_value"),
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h_min"), F.max("h").alias("h_max")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "avg_value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n_events",
+        (F.col("n_events") == 0).alias("is_gap"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_locf"),
+    )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, CAST(FLOOR(value / 50) AS BIGINT) AS value_bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, value_bucket
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY n DESC, value_bucket) AS rn
+      FROM counts
+    )
+    SELECT event_type, value_bucket AS modal_bucket, n AS modal_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value bucket, ties to
+    the smallest bucket) — built from count + row_number rather than the
+    engines' ``mode()`` builtins, whose tie-breaking is unspecified and
+    differs between engines."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.floor(F.col("value") / 50).alias("value_bucket")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("value_bucket")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("value_bucket").alias("modal_bucket"),
+            F.col("n").alias("modal_count"),
+        )
+    )

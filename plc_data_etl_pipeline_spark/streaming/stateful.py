@@ -133,3 +133,84 @@ def detect_anomalies(plc_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 StatefulProcessor variant (transformWithStateInPandas)
+# ---------------------------------------------------------------------------
+
+try:  # Spark >= 4.0 only
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class EwmaAnomalyProcessor(StatefulProcessor):
+        """Same per-(machine, sensor) EWMA detector as ``_detect``, on the
+        Spark 4 arbitrary-state API: explicit typed ValueState handles,
+        lifecycle hooks, timers — the forward-looking replacement for
+        applyInPandasWithState. Identical math (delegates to ewma_step);
+        tests assert both implementations emit identical anomalies."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "ewma_state", "ewma double, ewvar double, n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = tuple(self._state.get()) if self._state.exists() else None
+            pairs: list[tuple[float, float]] = []
+            for pdf in rows:
+                pdf = pdf.sort_values("t_stamp")
+                pairs.extend(zip(pdf["reading"], pdf["t_stamp"]))
+            anomalies, new_state = ewma_step(pairs, prev)
+            self._state.update(new_state)
+            machine_id, sensor = key
+            if anomalies:
+                yield pd.DataFrame(
+                    [
+                        {
+                            "machine_id": machine_id,
+                            "sensor": sensor,
+                            "reading": r,
+                            "t_stamp": t,
+                            "ewma": e,
+                            "zscore": z,
+                            "n_seen": n,
+                        }
+                        for r, t, e, z, n in anomalies
+                    ]
+                )
+
+        def close(self) -> None:
+            pass
+
+    def detect_anomalies_tws(plc_stream: DataFrame) -> DataFrame:
+        """detect_anomalies on the Spark 4 transformWithStateInPandas API.
+
+        Requires the ``protobuf`` package (the API's Python state server
+        speaks protobuf to the JVM) and the RocksDB state store provider;
+        fails fast with a clear message when protobuf is absent — this
+        container ships without it (BASELINE.md), so executed coverage
+        stays on the applyInPandasWithState path above.
+        """
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "transformWithStateInPandas needs the 'protobuf' package "
+                "(its state-server protocol); not installed in this "
+                "environment — use detect_anomalies (applyInPandasWithState) "
+                "instead"
+            ) from e
+        return plc_stream.groupBy("machine_id", "sensor").transformWithStateInPandas(
+            statefulProcessor=EwmaAnomalyProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover - older Spark
+    EwmaAnomalyProcessor = None
+
+    def detect_anomalies_tws(plc_stream: DataFrame) -> DataFrame:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark >= 4.0"
+        )

@@ -61,3 +61,70 @@ def test_streaming_anomaly_detector_end_to_end(spark, tmp_path):
         assert r.n_seen == 42  # proves state counted batch-1 rows too
     finally:
         q.stop()
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs protobuf (absent in this env)",
+)
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path):
+    """The Spark 4 StatefulProcessor implementation emits the identical
+    anomaly set as the applyInPandasWithState implementation across the
+    same two micro-batches (state continuity through the new API)."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "plc_src_tws")
+    batch1 = [("M1", "temperature", 50.0 + (i % 5) * 0.1, float(i)) for i in range(40)]
+    cols = "machine_id string, sensor string, reading double, t_stamp double"
+    spark.createDataFrame(batch1, cols).coalesce(1).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        ST.detect_anomalies_tws(stream)
+        .writeStream.format("memory")
+        .queryName("anomalies_tws_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM anomalies_tws_mem").count() == 0
+        batch2 = [("M1", "temperature", 50.2, 40.0), ("M1", "temperature", 95.0, 41.0)]
+        spark.createDataFrame(batch2, cols).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM anomalies_tws_mem").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.reading == 95.0 and r.machine_id == "M1"
+        assert r.n_seen == 42
+    finally:
+        q.stop()
+
+
+def test_transform_with_state_fails_fast_without_protobuf(spark):
+    """Without protobuf the new-API wrapper raises a clear, actionable
+    error instead of a deep streaming crash."""
+    if _has_protobuf():
+        pytest.skip("protobuf present; fail-fast path not reachable")
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr(
+            "'M1' AS machine_id", "'t' AS sensor",
+            "CAST(value AS DOUBLE) AS reading",
+            "CAST(value AS DOUBLE) AS t_stamp",
+        )
+    )
+    with pytest.raises(RuntimeError, match="protobuf"):
+        ST.detect_anomalies_tws(stream)

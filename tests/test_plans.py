@@ -125,3 +125,46 @@ def test_shuffle_budgets(spark):
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"shuffle budget exceeded: {over}"
+
+
+def test_tfidf_plan_prunes_and_broadcasts(spark):
+    """TF-IDF reads only (doc_id, text) from the scan, broadcasts the
+    single-row corpus count, and keeps partial aggregation for tf."""
+    p = plan(spark, "text_tfidf")
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_pack_sequences_has_no_global_window(spark):
+    """The packing cumsum must be partitioned: the only unpartitioned
+    window may run over the per-partition totals (num_partitions rows),
+    never the data rows — i.e. at most one SinglePartition exchange,
+    fed by an aggregate, not a scan."""
+    p = plan(spark, "pack_sequences")
+    assert p.count("SinglePartition") <= 1
+    # the data-row window is partitioned by __pid
+    assert "partitionBy=[__pid" in p.replace(" ", "") or "__pid" in p
+
+
+def test_chunk_windows_single_scan_no_shuffle(spark):
+    """Chunking is scan -> generate -> project: no exchange at all."""
+    p = plan(spark, "text_chunk_windows")
+    assert "Exchange" not in p, "chunking must not shuffle"
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "lang" not in read_schema
+
+
+def test_cluster_survivors_no_cartesian_on_cc(spark):
+    """Label propagation joins stay equi-joins (no cartesian blowup);
+    the pair generation's theta join is the only nested-loop site and is
+    bounded by the id filter."""
+    p = plan(spark, "dedup_cluster_survivors")
+    assert "CartesianProduct" not in p
+
+
+def test_sample_hash_filter_fuses_into_scan_stage(spark):
+    """Hash sampling is a pure filter — one stage, no exchange."""
+    p = plan(spark, "sample_hash_stratified")
+    assert "Exchange" not in p

@@ -134,3 +134,55 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("modal_count"),
         )
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(value / 25) AS BIGINT) AS bin,
+           CAST(FLOOR(value / 25) AS BIGINT) * 25 AS bin_low,
+           COUNT(*) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, bin
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (25-unit bins) of sensor values per event
+    type — exact integer bin arithmetic, single partial-aggregated
+    group-by; the building block for distribution monitoring at scale."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bin_ = F.floor(F.col("value") / 25)
+    return ev.groupBy(
+        "event_type",
+        bin_.alias("bin"),
+        (bin_ * 25).alias("bin_low"),
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(QUANTILE_CONT(value, 0.25), 4) AS p25,
+           ROUND(QUANTILE_CONT(value, 0.50), 4) AS p50,
+           ROUND(QUANTILE_CONT(value, 0.75), 4) AS p75,
+           ROUND(QUANTILE_CONT(value, 0.95), 4) AS p95,
+           ROUND(QUANTILE_CONT(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile summary per event type (p25/p50/p75/p95/p99,
+    linear interpolation — Spark percentile == DuckDB quantile_cont,
+    rounded to 4 on both sides). At 100 TB you'd swap in
+    approx_percentile sketches; this is the exact baseline the sketch is
+    judged against (cf. agg_approx_distinct)."""
+    ev = load(spark, sf_dir, "events")
+    cols = [
+        F.round(F.percentile(F.col("value"), F.lit(q)), 4).alias(name)
+        for q, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"),
+                        (0.95, "p95"), (0.99, "p99")]
+    ]
+    return ev.groupBy("event_type").agg(*cols)

@@ -367,3 +367,103 @@ def pack_sequences(
             > budget_tokens
         ).alias("straddles_boundary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition filters (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_top_word_frac: float = 0.2,
+    max_dup_2gram_frac: float = 0.3,
+) -> DataFrame:
+    """Per-document repetition signals à la Gopher/MassiveText filtering
+    (Rae et al. 2021 §A1.1): fraction of the doc that is its single most
+    frequent word, fraction of duplicated words, fraction of duplicated
+    2-grams — plus the keep/drop verdict at the given thresholds.
+
+    Scale shape: the 2-gram dup fraction is a per-row higher-order
+    expression (no shuffle); word frequencies go through explode +
+    two-level hash aggregation (both partial-aggregated map-side), never
+    a per-doc quadratic scan — a doc with 10^6 distinct words costs
+    O(n log n) in the shuffle, not O(n^2) in a HOF loop. Single corpus
+    scan end to end.
+    """
+    from .dedup import word_shingles
+
+    words = F.split(F.col(text_col), " ")
+    g2 = word_shingles(words, 2)
+    dup2 = F.round(1 - F.size(F.array_distinct(g2)) / F.size(g2), 6)
+    exploded = df.filter(F.size(words) >= 2).select(
+        F.col(id_col),
+        dup2.alias("dup_2gram_frac"),
+        F.explode(words).alias("__w"),
+    )
+    per_word = exploded.groupBy(id_col, "__w").agg(
+        F.count("*").alias("__c"), F.first("dup_2gram_frac").alias("dup_2gram_frac")
+    )
+    stats = per_word.groupBy(id_col).agg(
+        F.sum("__c").alias("n_words"),
+        F.max("__c").alias("__top_c"),
+        F.count("*").alias("__n_distinct"),
+        F.first("dup_2gram_frac").alias("dup_2gram_frac"),
+    )
+    top_frac = F.round(F.col("__top_c") / F.col("n_words"), 6)
+    dup_word = F.round(1 - F.col("__n_distinct") / F.col("n_words"), 6)
+    return stats.select(
+        F.col(id_col),
+        F.col("n_words"),
+        top_frac.alias("top_word_frac"),
+        dup_word.alias("dup_word_frac"),
+        F.col("dup_2gram_frac"),
+        (
+            (top_frac <= max_top_word_frac)
+            & (F.col("dup_2gram_frac") <= max_dup_2gram_frac)
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_flag: Column,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Flag training documents sharing >= 1 distinct ``shingle_n``-gram
+    with an eval/benchmark split — the standard n-gram decontamination
+    pass (GPT-3 appendix C / PaLM-style) run before training.
+
+    Returns (id, n_shared_grams) for contaminated TRAINING docs only.
+
+    Scale shape: eval suites are tiny next to a 100 TB corpus, so the
+    distinct eval-gram set is broadcast and the whole pass is one corpus
+    scan + broadcast hash join — no all-pairs, no big shuffle. The
+    per-doc distinct-gram count is the only aggregation (partial,
+    keyed by doc).
+    """
+    from .dedup import word_shingles
+
+    words = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(word_shingles(words, shingle_n))
+    g = df.filter(F.size(words) >= shingle_n).select(
+        F.col(id_col),
+        eval_flag.alias("__is_eval"),
+        F.explode(grams).alias("gram"),
+    )
+    eval_grams = g.filter(F.col("__is_eval")).select("gram").distinct()
+    return (
+        g.filter(~F.col("__is_eval"))
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+    )

@@ -686,3 +686,68 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py::pack_sequences)."""
     d = load(spark, sf_dir, "documents")
     return T.pack_sequences(d, "doc_id", "text", budget_tokens=2048)
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ), words AS (
+      SELECT doc_id, unnest(w) AS word FROM ws
+    ), wc AS (
+      SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY doc_id, word
+    ), stats AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, MAX(c) AS top_c,
+             COUNT(*) AS n_distinct
+      FROM wc GROUP BY doc_id
+    ), grams AS (
+      SELECT doc_id,
+             [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))] AS g2
+      FROM ws
+    )
+    SELECT s.doc_id, s.n_words,
+           ROUND(s.top_c / s.n_words, 6) AS top_word_frac,
+           ROUND(1 - s.n_distinct / s.n_words, 6) AS dup_word_frac,
+           ROUND(1 - len(list_distinct(g.g2)) / len(g.g2), 6) AS dup_2gram_frac,
+           (ROUND(s.top_c / s.n_words, 6) <= 0.2
+            AND ROUND(1 - len(list_distinct(g.g2)) / len(g.g2), 6) <= 0.3)
+             AS keep
+    FROM stats s JOIN grams g USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-word fraction, duplicate-word
+    fraction, duplicate-2-gram fraction + keep verdict per document
+    (operators/text.py::repetition_stats)."""
+    d = load(spark, sf_dir, "documents")
+    return T.repetition_stats(d, "doc_id", "text")
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(
+        [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+         FOR i IN range(1, len(w) - 3)]
+      )) AS gram
+      FROM ws WHERE len(w) >= 5
+    ),
+    eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 3)
+    SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
+    FROM g JOIN eval_g USING (gram)
+    WHERE g.doc_id % 7 <> 3
+    GROUP BY g.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 7 != 3) that
+    share any distinct 5-gram with the held-out eval split (doc_id % 7 ==
+    3); eval grams broadcast (operators/text.py::decontaminate)."""
+    d = load(spark, sf_dir, "documents")
+    return T.decontaminate(
+        d, "doc_id", "text", eval_flag=(F.col("doc_id") % 7 == 3)
+    )

@@ -467,3 +467,55 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct("gram").alias("n_shared_grams"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture resampling
+# ---------------------------------------------------------------------------
+
+
+def mixture_resample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    domain_col: str = "lang",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Domain-mixture resampling: emit ``floor(w)`` copies of every doc in
+    a domain with weight ``w``, plus one more for the deterministic
+    ``frac(w)`` hash-fraction of docs — the standard way training
+    mixtures up/down-weight domains (epochs per source) while staying
+    reproducible (content-keyed md5 buckets, not rand()).
+
+    Weights are quantized to 16ths (the bucket granularity). Output has
+    one row per (doc, copy_no).
+
+    Scale shape: a single narrow pass — per-row CASE + bucket + an
+    explode whose fan-out is the (small, bounded) copy count. No
+    shuffle, no join; Catalyst pushes the n_copies>0 filter into the
+    scan stage.
+    """
+    w_int: Column | None = None
+    w_frac: Column | None = None
+    dom = F.col(domain_col)
+    int_expr = F.lit(int(default_weight))
+    frac_expr = F.lit(int(round((default_weight % 1) * 16)))
+    for domain, w in weights.items():
+        int_expr = F.when(dom == domain, int(w)).otherwise(int_expr)
+        frac_expr = F.when(dom == domain, int(round((w % 1) * 16))).otherwise(
+            frac_expr
+        )
+    n_copies = (
+        int_expr + (hash_bucket16(F.col(text_col)) < frac_expr).cast("int")
+    ).alias("n_copies")
+    return (
+        df.select(F.col(id_col), dom.alias(domain_col), n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            id_col,
+            domain_col,
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("__copy"),
+        )
+        .select(id_col, domain_col, F.col("__copy").cast("long").alias("copy_no"))
+    )

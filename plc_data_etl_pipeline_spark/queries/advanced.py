@@ -172,3 +172,18 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), "plc_etl_json_roundtrip")
     r.write.mode("overwrite").json(out)
     return spark.read.schema("r_regionkey int, r_name string").json(out)
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source (self-describing schema read-back) — the
+    columnar non-parquet batch format surface."""
+    s = load(spark, sf_dir, "supplier")
+    out = os.path.join(tempfile.gettempdir(), "plc_etl_orc_roundtrip")
+    s.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

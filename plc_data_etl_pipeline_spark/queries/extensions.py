@@ -751,3 +751,30 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.decontaminate(
         d, "doc_id", "text", eval_flag=(F.col("doc_id") % 7 == 3)
     )
+
+
+@query(
+    "sample_mixture_weights",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN 0 WHEN lang = 'de' THEN 2 ELSE 1 END
+             + CASE WHEN (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+                    < (CASE WHEN lang = 'en' THEN 8
+                            WHEN lang = 'de' THEN 0 ELSE 4 END)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM documents
+    )
+    SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy_no
+    FROM w WHERE n_copies > 0
+    """,
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture resampling: English down-weighted to 0.5 epochs,
+    German up-weighted to 2.0, everything else 1.25 — fractional epochs
+    realized as a deterministic md5-bucket coin flip, duplicated rows
+    carry copy_no (operators/text.py::mixture_resample)."""
+    d = load(spark, sf_dir, "documents")
+    return T.mixture_resample(
+        d, "doc_id", "text", weights={"en": 0.5, "de": 2.0}, default_weight=1.25
+    )

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import query
@@ -131,25 +130,26 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase event, the most recent order of that
     customer at-or-before the event time. Spark lacks a native ASOF JOIN;
-    the scalable pattern is equi-join on the entity key + window top-1 per
-    left row (shuffle on user, then on event_id — both well-distributed).
-    Tie-broken on o_orderkey for determinism."""
+    the scalable pattern is equi-join on the entity key + per-left-row
+    top-1. The top-1 is MAX(struct(o_orderdate, o_orderkey)) — the struct
+    orders lexicographically, so the max IS the (latest date, highest key)
+    match, tie-broken deterministically. An aggregate beats the
+    row_number() window here because max() partial-aggregates map-side:
+    each candidate set collapses to one row BEFORE the event_id shuffle,
+    and no per-partition sort is needed."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     o = load(spark, sf_dir, "orders")
     joined = ev.join(
         o, (ev.user_id == o.o_custkey) & (o.o_orderdate <= ev.ts)
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        joined.groupBy("event_id", "user_id")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("m"))
         .select(
             "event_id",
             "user_id",
-            "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("asof_orderdate"),
+            F.col("m.o_orderkey").alias("o_orderkey"),
+            F.col("m.o_orderdate").cast("date").alias("asof_orderdate"),
         )
     )
 

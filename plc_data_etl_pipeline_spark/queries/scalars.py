@@ -288,3 +288,40 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("n_keys"),
         F.array_min(F.map_keys(m)).alias("first_key"),
     )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 200000 THEN 'large'
+                WHEN o_totalprice >= 50000 THEN 'medium'
+                ELSE 'small' END AS size_tier,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+           CASE WHEN o_orderpriority LIKE '1%'
+                  OR o_orderpriority LIKE '2%' THEN 1 ELSE 0 END AS is_urgent
+    FROM orders
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression surface: CASE/WHEN tiering, NULLIF +
+    COALESCE null plumbing, boolean-to-flag projection — all
+    whole-stage-codegen expressions, no UDFs."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 200000, "large")
+        .when(F.col("o_totalprice") >= 50000, "medium")
+        .otherwise("small")
+        .alias("size_tier"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")
+        ).alias("status_or_open"),
+        F.when(
+            F.col("o_orderpriority").like("1%")
+            | F.col("o_orderpriority").like("2%"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_urgent"),
+    )

@@ -184,3 +184,30 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         _csum("value", w).alias("hour_sum"),
         F.count("*").over(w).alias("hour_n"),
     )
+
+
+@query(
+    "win_ntile_cume",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER w AS quartile,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: NTILE quartiles, CUME_DIST and
+    PERCENT_RANK per market segment. Ordering carries c_custkey as a
+    unique tiebreaker so bucket assignment is deterministic; both
+    engines use the SQL-standard NTILE split (larger buckets first)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )

@@ -168,3 +168,45 @@ def test_sample_hash_filter_fuses_into_scan_stage(spark):
     """Hash sampling is a pure filter — one stage, no exchange."""
     p = plan(spark, "sample_hash_stratified")
     assert "Exchange" not in p
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-gram set (tiny next to the corpus) must reach the
+    training side as a broadcast hash join — a shuffled join here would
+    move the whole exploded corpus at 100 TB."""
+    p = plan(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_repetition_two_level_agg_budget(spark):
+    """Repetition stats aggregate word counts in two keyed levels
+    ((doc, word) then (doc)) — two shuffles, both partial-aggregated
+    map-side; anything more means a lost combine."""
+    p = plan(spark, "text_repetition", mode="simple")
+    n = p.count("Exchange") - p.count("BroadcastExchange")
+    assert n <= 2, f"expected <=2 shuffles, got {n}"
+    assert "partial_count" in p or "partial_sum" in p or "HashAggregate" in p
+
+
+def test_mixture_resample_is_single_pass(spark):
+    """Mixture resampling is scan -> case/bucket -> filter -> explode:
+    a narrow per-row pipeline with NO exchange (the fan-out happens
+    in place, co-partitioned with the scan)."""
+    p = plan(spark, "sample_mixture_weights")
+    assert "Exchange" not in p
+
+
+def test_asof_aggregates_instead_of_window_sort(spark):
+    """The as-of top-1 is a max(struct) aggregate, not a row_number()
+    window: partial aggregation collapses candidate sets map-side
+    BEFORE the shuffle, and no per-partition sort is needed."""
+    p = plan(spark, "join_asof")
+    assert "Window" not in p
+    assert "partial_max" in p or "HashAggregate" in p or "SortAggregate" in p
+
+
+def test_ntile_single_shuffle(spark):
+    p = plan(spark, "win_ntile_cume", mode="simple")
+    n = p.count("Exchange") - p.count("BroadcastExchange")
+    assert n <= 1

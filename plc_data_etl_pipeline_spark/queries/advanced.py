@@ -187,3 +187,30 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), "plc_etl_orc_roundtrip")
     s.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT n.n_name, s.s_name, s.s_acctbal
+    FROM nation n,
+         LATERAL (SELECT s_name, s_acctbal FROM supplier
+                  WHERE s_nationkey = n.n_nationkey
+                  ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) s
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 suppliers by account balance
+    per nation. Catalyst decorrelates the lateral into a join +
+    per-group limit — no per-row re-execution of the inner query."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation_v")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("lat_supplier_v")
+    return spark.sql(
+        """
+        SELECT n.n_name, s.s_name, s.s_acctbal
+        FROM lat_nation_v n,
+             LATERAL (SELECT s_name, s_acctbal FROM lat_supplier_v
+                      WHERE s_nationkey = n.n_nationkey
+                      ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) s
+        """
+    )

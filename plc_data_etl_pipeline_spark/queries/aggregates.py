@@ -187,3 +187,30 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(SUM(FLOOR(l_quantity * 100 + 0.5)) AS DOUBLE) / 100
+               AS sum_qty,
+             CAST(SUM(FLOOR(l_extendedprice * 100 + 0.5)) AS DOUBLE) / 100
+               AS sum_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM s
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val FROM s
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long melt) of a two-measure aggregate: the
+    relational inverse of agg_pivot. Spark's unpivot is a zero-shuffle
+    Expand over the already-aggregated (tiny) result."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"), dsum("l_extendedprice", "sum_price")
+    )
+    return wide.unpivot("l_returnflag", ["sum_qty", "sum_price"], "measure", "val")

@@ -778,3 +778,201 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.mixture_resample(
         d, "doc_id", "text", weights={"en": 0.5, "de": 2.0}, default_weight=1.25
     )
+
+
+@query(
+    "emb_centroid_per_group",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id % 4 AS grp,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             unnest(embedding) AS x
+      FROM embeddings
+    )
+    SELECT grp, CAST(dim AS BIGINT) AS dim,
+           ROUND(AVG(CAST(x AS DOUBLE)), 4) AS centroid,
+           COUNT(*) AS n_vecs
+    FROM flat GROUP BY grp, dim
+    """,
+)
+def emb_centroid_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding centroids (the building block of IVF training,
+    cluster summaries, and domain drift monitoring): posexplode each
+    vector to (group, dim, x) and average per cell. Scale shape: the
+    N x 64 exploded rows partial-aggregate map-side down to
+    |groups| x 64 cells before the only shuffle; no vector ever
+    crosses the wire whole. Rounded to 4 (summation order differs
+    between engines; error ~1e-12 relative vs a 5e-5 boundary)."""
+    e = load(spark, sf_dir, "embeddings")
+    flat = e.select(
+        (F.col("vec_id") % 4).alias("grp"),
+        F.posexplode("embedding").alias("pos", "x"),
+    )
+    return flat.groupBy("grp", (F.col("pos") + 1).cast("long").alias("dim")).agg(
+        F.round(F.avg(F.col("x").cast("double")), 4).alias("centroid"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
+@query(
+    "text_dup_ngrams",
+    oracle="""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(
+        [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+         FOR i IN range(1, len(w) - 3)]
+      )) AS gram
+      FROM ws WHERE len(w) >= 5
+    )
+    SELECT gram, COUNT(*) AS n_docs
+    FROM g GROUP BY gram HAVING COUNT(*) >= 2
+    ORDER BY n_docs DESC, gram LIMIT 20
+    """,
+)
+def text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-passage mining: the 5-grams appearing in
+    >= 2 distinct documents, heaviest first — the cheap cross-document
+    signal behind suffix-array-style dedup triage. Per-doc grams are
+    array_distinct'd BEFORE the explode so a phrase repeated inside one
+    doc counts once; the global count is a partial-aggregated groupBy
+    and the top-20 a WindowGroupLimit-free sort-limit (tiny result)."""
+    from ..operators.dedup import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    grams = F.array_distinct(word_shingles(words, 5))
+    g = d.filter(F.size(words) >= 5).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    return (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "gram")
+        .limit(20)
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    v AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+    t AS (SELECT CAST(SUM(c) AS DOUBLE) AS tot FROM v)
+    SELECT w.doc_id, COUNT(*) AS n_words,
+           ROUND(AVG(LN(CAST(v.c AS DOUBLE) / t.tot)), 4) AS avg_logprob
+    FROM w JOIN v USING (word), t
+    GROUP BY w.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: mean log corpus-probability
+    of a doc's words — the cheap proxy for LM-perplexity filtering
+    (high = generic words, very low = gibberish/rare-token soup).
+    Scale shape: vocab is a keyed aggregate over one exploded scan;
+    the grand total is a one-row broadcast; the word->prob lookup is a
+    shuffle join on word (vocab at web scale outgrows a broadcast);
+    per-doc mean is the final keyed agg. Round 4 absorbs the
+    summation-order difference between engines."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    v = w.groupBy("word").agg(F.count("*").alias("c"))
+    tot = v.agg(F.sum("c").cast("double").alias("tot"))
+    return (
+        w.join(v, "word")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("tot"))), 4
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, text,
+             TRIM(LOWER(regexp_replace(regexp_replace(text,
+               '[\\x00-\\x1f]', ' ', 'g'), ' +', ' ', 'g'))) AS nt
+      FROM documents
+    ),
+    surv AS (
+      SELECT doc_id,
+             doc_id = MIN(doc_id) OVER (PARTITION BY nt) AS is_survivor
+      FROM norm
+    ),
+    rep AS (
+      SELECT doc_id,
+             CAST(MAX(c) AS DOUBLE) / SUM(c) <= 0.2 AS keep_repetition
+      FROM (SELECT doc_id, word, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents) u
+            GROUP BY doc_id, word) wc
+      GROUP BY doc_id
+    ),
+    samp AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) < 12
+               AS keep_sample
+      FROM documents
+    )
+    SELECT s.doc_id, s.is_survivor, r.keep_repetition, p.keep_sample,
+           (s.is_survivor AND r.keep_repetition AND p.keep_sample) AS keep
+    FROM surv s JOIN rep r USING (doc_id) JOIN samp p USING (doc_id)
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE declarative plan — the composed
+    flagship of the LLM-data operators: normalize -> exact-dedup survivor
+    election -> repetition gate -> deterministic hash sampling, emitting
+    every per-stage verdict plus the final keep bit (a user audits WHY a
+    doc was dropped, not just that it was).
+
+    Scale shape: three independent keyed passes over one scan family —
+    survivor window shuffles on normalized content, the repetition gate
+    is the two-level word agg, sampling is a zero-shuffle filter — then
+    doc_id equi-joins reassemble the verdict row. No cross joins, no
+    collects; every stage partial-aggregates or stays narrow."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    nt = T.normalize_text("text")
+    surv = d.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy(nt))).alias(
+            "is_survivor"
+        ),
+    )
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    rep = wc.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c") <= 0.2).alias("keep_repetition")
+    )
+    samp = d.select(
+        "doc_id", (T.hash_bucket16("text") < 12).alias("keep_sample")
+    )
+    return (
+        surv.join(rep, "doc_id")
+        .join(samp, "doc_id")
+        .select(
+            "doc_id",
+            "is_survivor",
+            "keep_repetition",
+            "keep_sample",
+            (
+                F.col("is_survivor")
+                & F.col("keep_repetition")
+                & F.col("keep_sample")
+            ).alias("keep"),
+        )
+    )

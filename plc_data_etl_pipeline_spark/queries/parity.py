@@ -183,3 +183,41 @@ def sink_txn_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge_upsert(updates, keys=["o_orderkey"])
     return t.read()
+
+
+@query(
+    "udtf_bigrams_lateral",
+    oracle="""
+    SELECT ws.doc_id, w[i] || ' ' || w[i + 1] AS bigram,
+           CAST(i - 1 AS INT) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents WHERE doc_id < 100) ws,
+         LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+    """,
+)
+def udtf_bigrams_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) applied per input row via
+    SQL LATERAL: one (bigram, pos) output row per adjacent word pair.
+    The UDTF surface complements the scalar/grouped pandas UDFs — it is
+    the engine's extension point for one-to-many row expansion where a
+    builtin generator (explode/posexplode, used by the relational
+    queries) can't express the logic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bigram: string, pos: int")
+    class Bigrams:
+        def eval(self, text: str):
+            if text is None:
+                return
+            w = text.split(" ")
+            for i in range(len(w) - 1):
+                yield w[i] + " " + w[i + 1], i
+
+    spark.udtf.register("plc_bigrams", Bigrams)
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        "SELECT d.doc_id, b.bigram, b.pos "
+        "FROM udtf_docs_v d, LATERAL plc_bigrams(d.text) b"
+    )

@@ -325,3 +325,33 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_urgent"),
     )
+
+
+@query(
+    "scalar_variant",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price,
+           CAST(o_orderkey % 7 AS BIGINT) AS shard
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType surface (Spark 4 semi-structured type): serialize each
+    row to JSON, parse_json() into a variant, then read typed paths back
+    with variant_get. The oracle is the identity projection — the check
+    proves the JSON->variant->typed-path roundtrip is lossless."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    j = F.to_json(
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+            F.struct((F.col("o_orderkey") % 7).alias("shard")).alias("meta"),
+        )
+    )
+    v = F.parse_json(j)
+    return o.select(
+        "o_orderkey",
+        F.variant_get(v, "$.status", "string").alias("status"),
+        F.variant_get(v, "$.price", "double").alias("price"),
+        F.variant_get(v, "$.meta.shard", "bigint").alias("shard"),
+    )

@@ -307,3 +307,75 @@ def test_connected_components_chain_triangle_singleton(spark):
     assert rows[99] == (99, True)  # singleton: own cluster, survives
     assert rows[1] == (1, True) and rows[4] == (1, False)
     assert sum(1 for c, s in rows.values() if s) == 3  # one per cluster
+
+
+def test_repetition_stats_on_crafted_docs(spark):
+    """Hand-computed repetition fractions: a doc that is one word repeated
+    must fail both thresholds; a doc of all-distinct words passes."""
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "ab cd ab cd ab cd ab cd ab cd"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.repetition_stats(df, "doc_id", "text").collect()
+    }
+    assert out[1]["top_word_frac"] == 1.0 and not out[1]["keep"]
+    assert out[2]["top_word_frac"] == 0.1 and out[2]["dup_word_frac"] == 0.0
+    assert out[2]["keep"]
+    # "ab cd" x5: every word appears 5x -> top 0.5; 2-grams: 9 total,
+    # 2 distinct -> dup 7/9
+    assert out[3]["top_word_frac"] == 0.5
+    assert abs(out[3]["dup_2gram_frac"] - round(7 / 9, 6)) < 1e-9
+    assert not out[3]["keep"]
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A training doc sharing an exact 5-gram with the eval split is
+    flagged; disjoint docs are not."""
+    df = spark.createDataFrame(
+        [
+            (1, "secret eval phrase lives right here in this benchmark row"),
+            (2, "totally unrelated training text with its own private words"),
+            (3, "contains the secret eval phrase lives right here too yes"),
+        ],
+        "doc_id long, text string",
+    )
+    out = T.decontaminate(
+        df, "doc_id", "text", eval_flag=(F.col("doc_id") == 1)
+    ).collect()
+    flagged = {r["doc_id"] for r in out}
+    assert flagged == {3}
+    assert all(r["n_shared_grams"] >= 1 for r in out)
+
+
+def test_mixture_resample_copy_counts(spark):
+    """Integer weights produce exactly w copies; fractional weights
+    produce floor/ceil split deterministically (same doc -> same count
+    on re-run); weight 0.x never yields more than one copy."""
+    rows = [(i, f"doc {i} unique words here", "en" if i % 2 else "de")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = T.mixture_resample(
+        df, "doc_id", "text", weights={"de": 2.0, "en": 0.5}, domain_col="lang"
+    )
+    pdf = out.toPandas()
+    per_doc = pdf.groupby("doc_id").copy_no.max()
+    langs = dict(zip(pdf.doc_id, pdf.lang))
+    for doc_id, n in per_doc.items():
+        if langs[doc_id] == "de":
+            assert n == 2
+        else:
+            assert n == 1  # survivors of the 0.5 coin get exactly one copy
+    # deterministic: identical second run
+    pdf2 = out.toPandas()
+    assert sorted(map(tuple, pdf.values.tolist())) == sorted(
+        map(tuple, pdf2.values.tolist())
+    )
+    # en docs present is a strict subset (roughly half kept)
+    n_en = sum(1 for l in langs.values() if l == "en")
+    assert 0 < n_en < 20

@@ -78,6 +78,7 @@ def test_no_python_udf_in_relational_paths(spark):
     explicitly-Python queries: pandas UDF demo, avro codec, multimodal)."""
     python_ok = {
         "udf_pandas_scalar",
+        "udtf_bigrams_lateral",
         "plc_avro_roundtrip",
         "multimodal_decode",
     }

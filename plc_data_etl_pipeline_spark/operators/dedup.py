@@ -169,13 +169,22 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs agreeing on ALL rows of any band become a candidate
     pair. Returns distinct (id_a, id_b) with id_a < id_b.
 
-    One union of ``bands`` bucket projections, shuffled on the band hash;
-    the self-join happens per-bucket (skew-safe for realistic corpora —
-    a degenerate bucket means near-identical docs, which ARE the output).
+    Pair generation is ONE keyed aggregation: bucket members are
+    collected per (band, bucket) and expanded to ordered pairs in-place
+    with JVM array HOFs. Compared to the textbook bucket self-join this
+    computes the signature subtree ONCE (a self-join would execute the
+    Python mapInPandas stage on both sides — no common-subexpression
+    reuse across join children), shuffles once instead of twice, and the
+    quadratic expansion stays inside each bucket. ``max_bucket_size``
+    guards the 100 TB degenerate case (a boilerplate-signature bucket
+    with millions of members): such buckets are near-identical spam
+    better handled by exact dedup first; capped buckets are dropped
+    whole, keeping the expansion O(cap²) per bucket.
     """
     rows_per_band = num_hashes // bands
     # All band buckets in ONE projection + explode — a union of per-band
@@ -198,16 +207,24 @@ def lsh_candidate_pairs(
     buckets = sig_df.select(
         F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = buckets.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
+    grouped = buckets.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
     )
-    b_ = buckets.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b")
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+    # ids is sorted ascending, so pairing each element with its suffix
+    # yields exactly the id_a < id_b pairs.
+    pair_expr = F.explode(
+        F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "y -> struct(x AS id_a, y AS id_b))))"
+        )
     )
     return (
-        a.join(b_, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.filter(F.size("ids") >= 2)
+        .select(pair_expr.alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -214,3 +214,50 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) s
         """
     )
+
+
+@query(
+    "scd2_dimension",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment,
+             DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      FROM customer
+    ),
+    u AS (
+      SELECT c_custkey, 'MACHINERY' AS new_seg, DATE '2024-06-01' AS ch
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    j AS (SELECT d.*, u.new_seg, u.ch
+          FROM dim d LEFT JOIN u USING (c_custkey))
+    SELECT c_custkey, c_mktsegment, valid_from, valid_to
+    FROM j WHERE ch IS NULL OR new_seg = c_mktsegment
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, valid_from, ch AS valid_to
+    FROM j WHERE ch IS NOT NULL AND new_seg <> c_mktsegment
+    UNION ALL
+    SELECT c_custkey, new_seg AS c_mktsegment, ch AS valid_from,
+           CAST(NULL AS DATE) AS valid_to
+    FROM j WHERE ch IS NOT NULL AND new_seg <> c_mktsegment
+    """,
+)
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension maintenance (operators/scd.py): every 10th
+    customer moves to MACHINERY on 2024-06-01 — changed rows are closed
+    and re-opened, restating updates are no-ops, history is untouched.
+    The update batch broadcasts; the whole apply is shuffle-free."""
+    from ..operators.scd import scd2_apply
+
+    c = load(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        F.lit("2024-06-01").cast("date").alias("change_date"),
+    )
+    return scd2_apply(dim, updates, "c_custkey", ["c_mktsegment"])

@@ -186,3 +186,24 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (0.95, "p95"), (0.99, "p99")]
     ]
     return ev.groupBy("event_type").agg(*cols)
+
+
+@query("agg_approx_percentiles", oracle=None)  # KLL-style sketch — bounded error
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch per event type — the 100 TB companion to
+    the exact agg_percentiles: a fixed-size mergeable sketch per
+    partition instead of a full sort, so cost is O(rows) map-side plus a
+    constant-size shuffle. accuracy=10000 bounds rank error at 1/10000;
+    tests/test_extensions.py pins observed error against the exact
+    quantiles."""
+    ev = load(spark, sf_dir, "events")
+    pct = F.approx_percentile(
+        F.col("value"), F.array(*[F.lit(q) for q in (0.25, 0.5, 0.75, 0.95, 0.99)]),
+        F.lit(10000),
+    )
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.element_at(pct, i + 1), 4).alias(n)
+            for i, n in enumerate(["p25", "p50", "p75", "p95", "p99"])
+        ]
+    )

@@ -379,3 +379,25 @@ def test_mixture_resample_copy_counts(spark):
     # en docs present is a strict subset (roughly half kept)
     n_en = sum(1 for l in langs.values() if l == "en")
     assert 0 < n_en < 20
+
+
+def test_approx_percentiles_rank_error_bounded(spark):
+    """The sketch's contract is RANK error, not value error (a tail value
+    can sit far from the exact quantile while being rank-adjacent):
+    the fraction of values <= the sketch's answer must be within 2% of
+    the requested quantile."""
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    qs = all_queries()
+    approx = {
+        r["event_type"]: r
+        for r in qs["agg_approx_percentiles"].fn(spark, SF_DIR).collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    for et, a in approx.items():
+        vals = ev.filter(F.col("event_type") == et)
+        n = vals.count()
+        for q, c in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"),
+                     (0.95, "p95"), (0.99, "p99")]:
+            rank = vals.filter(F.col("value") <= a[c]).count() / n
+            assert abs(rank - q) <= 0.02, (et, c, rank, q)

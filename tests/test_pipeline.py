@@ -398,3 +398,49 @@ def test_streaming_jdbc_micro_batch_sink(spark, tmp_path):
     )
     assert back.count() == n
     assert back.filter(F.col("machine_id").isNull()).count() == 0
+
+
+def test_csv_corrupt_record_modes(spark, tmp_path):
+    """Malformed-source tolerance (the batch analog of the Avro
+    poison-pill path): PERMISSIVE quarantines bad lines into
+    _corrupt_record with every typed field null, DROPMALFORMED silently
+    skips them, FAILFAST raises — the three documented contracts."""
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "machine_id,temperature\n"
+        "m1,20.5\n"
+        "m2,not_a_number\n"
+        "m3,30.25\n"
+    )
+    schema = "machine_id string, temperature double, _corrupt_record string"
+    permissive = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .csv(str(p))
+        .cache()
+    )
+    good = permissive.filter(F.col("_corrupt_record").isNull()).collect()
+    bad = permissive.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert {r["machine_id"] for r in good} == {"m1", "m3"}
+    assert len(bad) == 1 and bad[0]["temperature"] is None
+    assert "not_a_number" in bad[0]["_corrupt_record"]
+
+    dropped = (
+        spark.read.option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .schema("machine_id string, temperature double")
+        .csv(str(p))
+        .collect()
+    )
+    assert {r["machine_id"] for r in dropped} == {"m1", "m3"}
+
+    with pytest.raises(Exception):
+        (
+            spark.read.option("header", True)
+            .option("mode", "FAILFAST")
+            .schema("machine_id string, temperature double")
+            .csv(str(p))
+            .collect()
+        )

@@ -6,6 +6,7 @@ checks against the unsalted/unpartitioned equivalents."""
 from __future__ import annotations
 
 import contextlib
+import os
 import io
 
 import pytest
@@ -119,3 +120,48 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: (r.name, r.score) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 1.5)}
+
+
+def test_zorder_layout_shrinks_minmax_envelopes(spark, tmp_path):
+    """Z-ordered files must have dramatically tighter per-file min-max
+    envelopes on BOTH clustered dimensions than an arbitrary layout —
+    that envelope IS what parquet stats pruning consumes. (A plain sort
+    would tighten only the leading column.)"""
+    import pyarrow.parquet as pq
+    from plc_data_etl_pipeline_spark.catalog import load
+    from plc_data_etl_pipeline_spark.operators.scale import write_zordered
+
+    from .conftest import SF_DIR
+
+    ev = load(spark, SF_DIR, "events").select("user_id", "value")
+    lo_u, hi_u, lo_v, hi_v = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    plain_dir = str(tmp_path / "plain")
+    z_dir = str(tmp_path / "zorder")
+    ev.repartition(8).write.mode("overwrite").parquet(plain_dir)
+    write_zordered(
+        ev, z_dir, ["user_id", "value"],
+        [float(lo_u), float(lo_v)], [float(hi_u), float(hi_v)], num_files=8,
+    )
+
+    def mean_spread(d: str, col: str, full: float) -> float:
+        spreads = []
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        spreads.append(
+                            (c.statistics.max - c.statistics.min) / full
+                        )
+        return sum(spreads) / len(spreads)
+
+    fu, fv = float(hi_u - lo_u), float(hi_v - lo_v)
+    for col, full in [("user_id", fu), ("value", fv)]:
+        plain = mean_spread(plain_dir, col, full)
+        z = mean_spread(z_dir, col, full)
+        assert z < 0.55 * plain, (col, z, plain)

@@ -261,3 +261,54 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-06-01").cast("date").alias("change_date"),
     )
     return scd2_apply(dim, updates, "c_custkey", ["c_mktsegment"])
+
+
+@query(
+    "source_text_lines",
+    oracle="""
+    SELECT text AS value FROM documents
+    """,
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text sink + line source (spark.read.text): one row per line.
+    Documents contain no newlines, so the roundtrip is the identity."""
+    d = load(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.gettempdir(), "plc_etl_text_roundtrip")
+    d.select(F.col("text").alias("value")).write.mode("overwrite").text(out)
+    return spark.read.text(out)
+
+
+@query(
+    "source_binaryfile",
+    oracle="""
+    SELECT doc_id, n_chars AS n_bytes, md5(text) AS content_md5
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source — the multimodal ingestion path (image/audio
+    blobs as opaque bytes + file metadata). Fixture: 50 docs written as
+    one .bin file each (ASCII text, so bytes == chars and DuckDB's md5
+    over the text IS the md5 over the file bytes); the checked query is
+    the distributed read: path -> doc_id, content length, content md5.
+    At 100 TB this source partitions by file and never materializes a
+    blob on the driver."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    out = os.path.join(tempfile.gettempdir(), "plc_etl_binaryfiles")
+    os.makedirs(out, exist_ok=True)
+    # bounded fixture write (50 files) — the READ below is the operator
+    for r in d.select("doc_id", "text").collect():
+        with open(os.path.join(out, f"{r['doc_id']:06d}.bin"), "wb") as f:
+            f.write(r["text"].encode("ascii"))
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+    )

@@ -245,3 +245,29 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
     return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+           levenshtein(a.s_name, b.s_name) AS edit_dist
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching via edit distance — the record-linkage
+    primitive (near-identical entity names). The pair space here is the
+    (small) supplier dimension squared; at corpus scale you'd gate the
+    quadratic compare behind LSH candidates exactly like dedup_minhash
+    does, with levenshtein as the verify stage."""
+    s = load(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("key_a"), F.col("s_name").alias("name_a"))
+    b = s.select(F.col("s_suppkey").alias("key_b"), F.col("s_name").alias("name_b"))
+    d = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .filter(d <= 2)
+        .select("key_a", "key_b", d.alias("edit_dist"))
+    )

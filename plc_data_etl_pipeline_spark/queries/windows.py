@@ -211,3 +211,37 @@ def win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+@query(
+    "win_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LAST_VALUE(o_orderkey) OVER w AS last_key,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window navigation: each order sees its customer's
+    biggest, smallest and runner-up orders. The full-partition ROWS
+    frame is stated explicitly — default frames differ between engines
+    (RANGE..CURRENT ROW), which silently changes last_value."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )

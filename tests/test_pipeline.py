@@ -444,3 +444,43 @@ def test_csv_corrupt_record_modes(spark, tmp_path):
             .csv(str(p))
             .collect()
         )
+
+
+def test_task_retry_recovers_from_transient_failure(tmp_path):
+    """Fault tolerance at the task level: a transient failure on the
+    first attempt of one partition (worker OOM-kill, flaky NFS, spot
+    preemption at cluster scale) must be retried and the job must
+    complete with full, non-duplicated results. Needs its own
+    SparkContext (master local[2,2] = maxFailures 2), so it runs in a
+    subprocess rather than the shared session."""
+    import subprocess
+    import sys as _sys
+
+    script = r"""
+import sys
+from pyspark.sql import SparkSession
+from pyspark import TaskContext
+
+spark = (SparkSession.builder.master("local[2,2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+def flaky(batches):
+    tc = TaskContext.get()
+    if tc.partitionId() == 0 and tc.attemptNumber() == 0:
+        raise RuntimeError("transient failure (injected)")
+    for b in batches:
+        yield b
+
+df = spark.range(0, 1000, 1, 4).mapInPandas(flaky, "id long")
+rows = sorted(r["id"] for r in df.collect())
+assert rows == list(range(1000)), (len(rows), rows[:5])
+print("RETRY_OK", len(rows))
+"""
+    r = subprocess.run(
+        [_sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "RETRY_OK 1000" in r.stdout

@@ -221,3 +221,21 @@ def udtf_bigrams_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, b.bigram, b.pos "
         "FROM udtf_docs_v d, LATERAL plc_bigrams(d.text) b"
     )
+
+
+@query("plc_generate_pysource", oracle=None)  # Python RNG — no SQL twin
+def plc_generate_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1-R3 via the engine's custom Python DataSource
+    (pipeline/pysource.py): spark.read.format('plc_sensor') — the
+    reference's producer loop as a first-class, partition-parallel,
+    deterministic Spark source (streaming form tested in
+    tests/test_streaming.py)."""
+    from ..pipeline import pysource
+
+    pysource.register(spark)
+    return (
+        spark.read.format("plc_sensor")
+        .option("n_rows", 80)
+        .option("partitions", 4)
+        .load()
+    )

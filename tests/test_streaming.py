@@ -224,3 +224,109 @@ def test_stream_stream_join_state_is_watermark_bounded(spark, event_files):
         .count()
     )
     assert 0 < state_rows < n_sides
+
+
+def test_rocksdb_state_store_provider(spark, event_files, tmp_path):
+    """Streaming state in RocksDB instead of the default in-JVM-heap
+    HDFSBackedStateStore — THE knob for 100 TB streaming (state spills
+    to local disk + changelogs instead of OOMing executors). Runs the
+    tumbling window agg under the RocksDB provider, checks convergence
+    to the batch answer AND that RocksDB actually materialized state
+    files in the checkpoint."""
+    import os
+
+    schema = load(spark, SF_DIR, "events").schema
+    ckpt = str(tmp_path / "ckpt_rocks")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(event_files)
+    )
+    q = (
+        W.tumbling(stream, "1 hour")
+        .writeStream.format("memory")
+        .queryName("rocks_tumbling")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .option(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r)
+            for r in spark.sql("SELECT * FROM rocks_tumbling").collect()
+        )
+    finally:
+        q.stop()
+    want = sorted(
+        tuple(r)
+        for r in W.tumbling(load(spark, SF_DIR, "events"), "1 hour").collect()
+    )
+    assert got == want
+    rocks_artifacts = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(ckpt, "state"))
+        for f in fs
+        if f.endswith((".zip", ".sst")) or "rocksdb" in dp.lower()
+    ]
+    assert rocks_artifacts, "no RocksDB state artifacts under checkpoint"
+
+
+def test_python_datasource_batch_and_stream(spark, tmp_path):
+    """Custom Python DataSource (pipeline/pysource.py): batch read honors
+    n_rows/partitions and is deterministic; the streaming form advances
+    by rows_per_batch per trigger with replayable offsets."""
+    from plc_data_etl_pipeline_spark.pipeline import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("plc_sensor")
+        .option("n_rows", 120)
+        .option("partitions", 6)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 6
+    rows = df.collect()
+    assert len(rows) == 120
+    assert all(r["machine_id"] in ("M1", "M2", "M3") for r in rows)
+    assert all(r["sensor"] in ("temperature", "pressure", "vibration")
+               for r in rows)
+    assert all(0.0 <= r["reading"] < 100.0 for r in rows)
+    again = df.collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    sdf = (
+        spark.readStream.format("plc_sensor")
+        .option("rows_per_batch", 30)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("plc_pysource_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pys"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline and n < 60:
+            time.sleep(1.0)
+            n = spark.sql(
+                "SELECT COUNT(*) c FROM plc_pysource_stream"
+            ).first()["c"]
+    finally:
+        q.stop()
+    assert n >= 60 and n % 30 == 0, n
+    first = spark.sql(
+        "SELECT * FROM plc_pysource_stream ORDER BY t_stamp LIMIT 5"
+    ).collect()
+    from plc_data_etl_pipeline_spark.pipeline.pysource import _row
+    want = [_row(42, i, 0.5) for i in range(5)]
+    assert [tuple(r) for r in first] == want

@@ -42,6 +42,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(Exception):
@@ -106,6 +107,56 @@ class TransactionalParquetTable:
         return self.spark.read.parquet(
             *[os.path.join(self.path, f) for f in files]
         )
+
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change feed between two committed versions (CDF-style): every
+        row added or removed by each commit in ``(from_version,
+        to_version]``, tagged with ``_change_type`` ('inserted' /
+        'removed') and ``_commit_version``.
+
+        Computed purely from the log: a commit's change set is the FILE
+        diff of its manifest against its parent — rows in newly-listed
+        files are inserts, rows in dropped files are removals. No
+        per-row bookkeeping is ever written. Append commits therefore
+        produce exact inserts; merge/overwrite commits (which rewrite
+        the snapshot's files) degenerate to removed-snapshot +
+        inserted-snapshot — consumers diff the two sides for net
+        changes. A production table would partition data files so
+        merges rewrite only touched partitions, tightening this to
+        near-row granularity; the LOG semantics are identical.
+        """
+        to_v = self.version() if to_version is None else to_version
+        frames: list[DataFrame] = []
+        for v in range(from_version + 1, to_v + 1):
+            prev = (
+                set(self._read_manifest(v - 1)["files"]) if v > 1 else set()
+            )
+            cur = set(self._read_manifest(v)["files"])
+            for files, typ in (
+                (sorted(cur - prev), "inserted"),
+                (sorted(prev - cur), "removed"),
+            ):
+                if not files:
+                    continue
+                df = self.spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in files]
+                )
+                frames.append(
+                    df.withColumn("_change_type", F.lit(typ)).withColumn(
+                        "_commit_version", F.lit(v)
+                    )
+                )
+        if not frames:
+            schema = self._read_manifest(to_v)["schema"]
+            return self.spark.createDataFrame([], schema).withColumn(
+                "_change_type", F.lit("")
+            ).withColumn("_commit_version", F.lit(0))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     # --------------------------------------------------------------- write
     def _write_data_files(self, df: DataFrame) -> list[str]:

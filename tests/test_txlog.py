@@ -118,3 +118,40 @@ def test_transactional_streaming_sink_exactly_once(spark, tmp_path):
         batch0, txn=("micro_batch_sink", 0)
     )
     assert t.read().count() == 50  # no duplicates
+
+
+def test_change_feed_appends_and_merge(spark, tmp_path):
+    """read_changes: append commits yield exact inserts; a merge commit
+    (full-file rewrite) yields removed-snapshot + inserted-snapshot whose
+    multiset difference is exactly the net update."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "cdf"))
+    t.overwrite(_df(spark, [(1, "a"), (2, "b")]))          # v1
+    t.append(_df(spark, [(3, "c")]))                        # v2
+    t.merge_upsert(_df(spark, [(2, "B2")]), keys=["k"])     # v3
+
+    c12 = t.read_changes(1, 2).collect()
+    assert [(r["k"], r["v"], r["_change_type"], r["_commit_version"])
+            for r in c12] == [(3, "c", "inserted", 2)]
+
+    c23 = t.read_changes(2, 3).collect()
+    ins = sorted((r["k"], r["v"]) for r in c23
+                 if r["_change_type"] == "inserted")
+    rem = sorted((r["k"], r["v"]) for r in c23
+                 if r["_change_type"] == "removed")
+    from collections import Counter
+    net_added = Counter(ins) - Counter(rem)
+    net_removed = Counter(rem) - Counter(ins)
+    assert dict(net_added) == {(2, "B2"): 1}
+    assert dict(net_removed) == {(2, "b"): 1}
+
+    # full-range feed covers both commits; replaying it over v1 yields v3
+    all_changes = t.read_changes(1).collect()
+    assert {r["_commit_version"] for r in all_changes} == {2, 3}
+    base = Counter((r["k"], r["v"]) for r in t.read(1).collect())
+    for r in all_changes:
+        if r["_change_type"] == "inserted":
+            base[(r["k"], r["v"])] += 1
+        else:
+            base[(r["k"], r["v"])] -= 1
+    final = Counter((r["k"], r["v"]) for r in t.read(3).collect())
+    assert +base == final

@@ -2,7 +2,9 @@
 
 * ``cosine_topk``      — brute-force top-k for a bounded query set against
                          the full corpus (the exactness baseline and the
-                         oracle-checkable variant).
+                         oracle-checkable variant). Arrow ``mapInPandas``
+                         corpus scan; ``cosine_topk_fold`` is the
+                         bit-identical all-JVM twin.
 * ``lsh_ann_topk``     — random-hyperplane LSH bucketing: each vector maps
                          to a sign-bit bucket; search touches only the
                          query's bucket (multi-probe over Hamming-1
@@ -54,8 +56,91 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector (vec_id <
-    query_max_id) against the whole corpus.
+    """Exact top-k cosine neighbors for each query vector (``id <
+    query_max_id``) against the whole corpus — Arrow scan path.
+
+    The bounded query set (Q rows; the classic ANN-benchmark shape) is
+    collected once and closed over by a ``mapInPandas`` scorer, so the
+    corpus is scanned ONCE with no join and no shuffle of vectors: Arrow
+    ships each corpus partition to Python a single time and only (query,
+    neighbor, score) scalars come back — Q x N_partition_rows numpy
+    flops per batch instead of a Q x N joined-pair relation carrying
+    both 64-float arrays through the plan. The per-query top-k is a
+    windowed rank; Spark >= 3.5 pushes a WindowGroupLimit below the
+    shuffle, so each map task forwards only k rows per query.
+
+    Bit-exactness (oracle parity): scores accumulate dimension-by-
+    dimension in float64 (``acc = acc + q_i * c_i`` vectorized across
+    rows), the SAME sequential IEEE op order as ``dot_fold`` / DuckDB's
+    ``list_reduce`` — verified identical to the JVM fold path by
+    tests/test_extensions.py.
+    """
+    import pandas as pd
+
+    # Bounded by construction (Q = query_max_id rows), like the IVF
+    # centroid sample: the corpus side stays fully distributed.
+    qrows = (
+        emb.filter(F.col(id_col) < query_max_id)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    qids = [r[id_col] for r in qrows]
+    qmat = np.array([[float(x) for x in r[vec_col]] for r in qrows])
+
+    def _seq_norm(mat: np.ndarray) -> np.ndarray:
+        acc = np.zeros(mat.shape[0])
+        for i in range(mat.shape[1]):
+            acc = acc + mat[:, i] * mat[:, i]
+        return np.sqrt(acc)
+
+    qnorm = _seq_norm(qmat)
+
+    def score(batches):
+        for pdf in batches:
+            cmat = np.stack(pdf[vec_col].values).astype(np.float64)
+            cnorm = _seq_norm(cmat)
+            nbr = pdf[id_col].values.astype(np.int64)
+            for j, qid in enumerate(qids):
+                acc = np.zeros(len(pdf))
+                for i in range(cmat.shape[1]):
+                    acc = acc + qmat[j, i] * cmat[:, i]
+                out = pd.DataFrame(
+                    {
+                        "query_id": np.full(len(pdf), qid, dtype=np.int64),
+                        "neighbor_id": nbr,
+                        "cosine_sim": acc / (qnorm[j] * cnorm),
+                    }
+                )
+                yield out[out["neighbor_id"] != qid]
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cosine_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def cosine_topk_fold(
+    emb: DataFrame,
+    query_max_id: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pure-JVM twin of :func:`cosine_topk` (broadcast pair join +
+    sequential HOF folds) — kept as the all-declarative reference
+    implementation; tests assert both paths are bit-identical.
 
     The bounded query side is broadcast, so the corpus is scanned once
     with NO shuffle; the per-query top-k is a windowed rank over

@@ -145,6 +145,18 @@ def test_ann_recall_on_clustered_corpus(spark):
     assert recall >= 0.8, f"clustered-corpus ANN recall too low: {recall:.2f}"
 
 
+def test_cosine_topk_arrow_matches_jvm_fold(spark):
+    """The Arrow mapInPandas scorer and the all-JVM HOF fold are
+    bit-identical (same sequential IEEE add order) — every (query,
+    neighbor, rounded score, rank) row agrees on real parquet data."""
+    emb = load(spark, SF_DIR, "embeddings")
+    arrow = {tuple(r) for r in S.cosine_topk(emb, query_max_id=20, k=5).collect()}
+    fold = {
+        tuple(r) for r in S.cosine_topk_fold(emb, query_max_id=20, k=5).collect()
+    }
+    assert arrow == fold
+
+
 def test_embedding_near_dup_pairs_planted(spark):
     """Plant an exact duplicate vector and a noisy copy; both must pair
     with the original at cosine >= 0.9."""

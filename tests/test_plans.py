@@ -91,11 +91,22 @@ def test_no_python_udf_in_relational_paths(spark):
         )
 
 
-def test_broadcast_in_similarity_query_side(spark):
-    """cosine_topk broadcasts the bounded query side: the corpus is
-    scanned exactly once with no shuffle exchange before the join."""
+def test_similarity_arrow_scan_posture(spark):
+    """cosine_topk (Arrow path) scans the corpus once through a single
+    MapInPandas with no join and no shuffle below the top-k window; the
+    fold twin keeps the all-JVM broadcast-join shape."""
     p = plan(spark, "sim_topk")
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "MapInPandas" in p
+    assert "Join" not in p  # queries ride in the closure, not a join
+    from plc_data_etl_pipeline_spark.catalog import load
+    from plc_data_etl_pipeline_spark.operators import similarity as S
+
+    emb = load(spark, SF_DIR, "embeddings")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        S.cosine_topk_fold(emb, query_max_id=20, k=5).explain("formatted")
+    pf = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in pf or "BroadcastHashJoin" in pf
 
 
 def _n_exchanges(spark, name: str) -> int:
@@ -117,8 +128,9 @@ def test_shuffle_budgets(spark):
         "topk_per_group": 1,     # one shuffle to the window key
         "win_moving_avg": 1,
         "stream_tumbling": 1,
-        "join_multiway": 3,      # lineitem⋈orders + final agg (+AQE slack)
-        "sim_topk": 2,           # broadcast join + window topk
+        "join_multiway": 1,      # all joins broadcast (orders: semi on
+                                 # pruned PK) -> only the final agg shuffles
+        "sim_topk": 1,           # Arrow corpus scan + window topk
     }
     over = {}
     for name, budget in budgets.items():

@@ -308,9 +308,39 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.fingerprint("text").alias("fp"))
 
 
-@query("text_langid", oracle=None)  # CASE-cascade is expressible but the
-# marker lexicons make the SQL unwieldy; pytest checks accuracy on planted
-# multilingual texts instead.
+def _langid_oracle() -> str:
+    """Build the DuckDB twin of lang_id/lang_scores from the same
+    LANG_MARKERS table the Spark expressions use — one source of truth.
+    Everything is integer arithmetic (marker-hit counts), so the argmax
+    cascade and the JSON score string are bit-exact across engines."""
+    from ..operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hits = ",\n      ".join(
+        "len(list_filter(string_split(text, ' '), t -> t IN ({}))) AS {}".format(
+            ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    best = f"greatest({', '.join(langs)})"
+    # Same tie-break as lang_id: first language in alphabetical order
+    # reaching the max; 'und' when no marker fires at all.
+    cascade = " ".join(f"WHEN {lang} = {best} THEN '{lang}'" for lang in langs)
+    scores = " || ',' || ".join(f"'\"{lang}\":' || {lang}" for lang in langs)
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+      {hits}
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN {best} = 0 THEN 'und' {cascade} END AS pred_lang,
+           '{{' || {scores} || '}}' AS scores
+    FROM s
+    """
+
+
+@query("text_langid", oracle=_langid_oracle())
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID (marker-token hits, operators/text.py) plus
     the per-language score map."""
@@ -355,20 +385,49 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode", oracle=None)  # mapInPandas stub decode
+def _decode_oracle(dim: int = 8) -> str:
+    """DuckDB twin of the stub decoder: feature d = mean byte value of the
+    payload's d-stride slice / 255, rounded to 6. The corpus is ASCII, so
+    byte values equal code points and the stride slice over the UTF-8
+    payload is exactly the slice over characters. Each feature is two IEEE
+    divisions on exact integers — deterministic in both engines; the
+    decimal tie the round could hit ((2m+1)/2e6) is not binary-
+    representable, so rounding agrees too."""
+    feats = ",\n           ".join(
+        "ROUND((CAST(list_sum(list_transform(range({s}, length(text) + 1, {dim}),"
+        " i -> unicode(text[i:i]))) AS DOUBLE)"
+        " / len(range({s}, length(text) + 1, {dim}))) / 255.0, 6) AS f{d}".format(
+            s=d + 1, dim=dim, d=d
+        )
+        for d in range(dim)
+    )
+    return f"""
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                ELSE 'wav' END AS format,
+           octet_length(encode(text)) AS n_bytes,
+           {feats}
+    FROM documents
+    """
+
+
+@query("multimodal_decode", oracle=_decode_oracle())
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed decode/feature-extraction through the real Arrow-batched
     mapInPandas plumbing (schema, batch iteration, vector output).
-    Deterministic fake features; pytest pins exact values."""
+    Deterministic fake features (stride-mean byte moments) — exact enough
+    to oracle-check dimension by dimension."""
     d = load(spark, sf_dir, "documents")
     media = M.synthesize_media(d)
     # feature stays array<double> in the operator API; the declared query
-    # projects it to JSON (no top-level array columns in registry output).
-    return M.decode_media(media, real=False).select(
+    # projects the vector to scalar columns (no top-level array columns in
+    # registry output) so every dimension is value-checked by the driver.
+    dec = M.decode_media(media, real=False)
+    return dec.select(
         "media_id",
         "format",
         "n_bytes",
-        F.to_json("feature").alias("feature_json"),
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(8)],
     )
 
 

@@ -127,6 +127,51 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(e, threshold=0.9)
 
 
+@query(
+    "dedup_embedding_exact",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce([CAST(a.embedding[i] AS DOUBLE)
+                          * CAST(b.embedding[i] AS DOUBLE)
+                          FOR i IN range(1, len(a.embedding) + 1)],
+                         (x, y) -> x + y)
+             / (SQRT(list_reduce([CAST(a.embedding[i] AS DOUBLE)
+                                  * CAST(a.embedding[i] AS DOUBLE)
+                                  FOR i IN range(1, len(a.embedding) + 1)],
+                                 (x, y) -> x + y))
+                * SQRT(list_reduce([CAST(b.embedding[i] AS DOUBLE)
+                                    * CAST(b.embedding[i] AS DOUBLE)
+                                    FOR i IN range(1, len(b.embedding) + 1)],
+                                   (x, y) -> x + y))) AS sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(sim, 6) AS cosine_sim
+    FROM dots WHERE sim >= 0.30
+    """,
+)
+def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs over a bounded id range — the
+    oracle-checked counterpart of the LSH path (same role
+    dedup_ngram_jaccard plays for dedup_minhash). Sequential-fold doubles
+    (operators/similarity.dot_fold) are bit-identical to DuckDB's
+    list_reduce, so the >= threshold cut and the rounded similarity agree
+    exactly. The O(n²) pair space is bounded by the id filter; at scale
+    the LSH bucketing (dedup_embedding) generates the candidates
+    instead."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    sim = S.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= 0.30)
+        .select("id_a", "id_b", F.round("sim_raw", 6).alias("cosine_sim"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

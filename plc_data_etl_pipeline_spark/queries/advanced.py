@@ -312,3 +312,73 @@ def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("content")).alias("content_md5"),
         )
     )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE spine(d) AS (
+      SELECT DATE '1995-02-01'
+      UNION ALL
+      SELECT d + INTERVAL 1 DAY FROM spine WHERE d < DATE '1995-03-02'
+    )
+    SELECT CAST(s.d AS DATE) AS order_day,
+           COUNT(o.o_orderkey) AS n_orders
+    FROM spine s LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = s.d
+    GROUP BY s.d
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 recursive CTE): a 30-day calendar spine
+    unrolled by recursion, LEFT-joined to daily order counts so days with
+    zero orders still appear — the classic gap-preserving rollup that a
+    plain GROUP BY cannot produce. Recursion depth is a fixed constant
+    (30 << spark.sql.cteRecursionLevelLimit); each step is a one-row
+    union, so the unrolled plan stays trivially cheap, and the join side
+    remains a single distributed scan."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_rec_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(d) AS (
+          SELECT DATE '1995-02-01'
+          UNION ALL
+          SELECT date_add(d, 1) FROM spine WHERE d < DATE '1995-03-02'
+        )
+        SELECT s.d AS order_day,
+               COUNT(o.o_orderkey) AS n_orders
+        FROM spine s LEFT JOIN orders_rec_v o
+          ON CAST(o.o_orderdate AS DATE) = s.d
+        GROUP BY s.d
+        """
+    )
+
+
+@query(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+    FROM part WHERE p_partkey < 200
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source (Spark 4 built-in XML data source, rowTag
+    records): typed schema read-back through the markup round trip —
+    doubles survive exactly (shortest-repr write, exact parse)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    out = os.path.join(tempfile.gettempdir(), "plc_etl_xml_roundtrip")
+    (
+        p.select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+        .write.mode("overwrite")
+        .option("rowTag", "part")
+        .format("xml")
+        .save(out)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "part")
+        .schema(
+            "p_partkey long, p_name string, p_brand string,"
+            " p_size int, p_retailprice double"
+        )
+        .load(out)
+    )

@@ -155,6 +155,42 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udf_grouped_agg_trimmed",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(c) - MIN(c) - MAX(c) AS DOUBLE) / (COUNT(*) - 2)
+             AS trimmed_mean_cents
+    FROM (SELECT event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def udf_grouped_agg_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (the third Arrow UDF variant beside scalar
+    and grouped-map): per-event-type trimmed mean of integer-cents values
+    (drop one min and one max, average the rest). Integer-cents keeps the
+    sum exact under any accumulation order, so the single closing
+    division is bit-identical to the oracle. Scale note: grouped-agg
+    UDFs get a full map-side Arrow batch per group-partition but no
+    partial aggregation — fine for bounded group counts like this;
+    unbounded-cardinality keys should use built-in aggregates instead.
+    """
+
+    @F.pandas_udf(DoubleType())
+    def trimmed_mean_cents(value: pd.Series) -> float:
+        import numpy as np
+
+        c = np.floor(value.to_numpy() * 100 + 0.5).astype("int64")
+        return float(int(c.sum() - c.min() - c.max()) / (len(c) - 2))
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        trimmed_mean_cents("value").alias("trimmed_mean_cents")
+    )
+
+
+@query(
     "sink_txn_upsert",
     oracle="""
     SELECT o_orderkey,

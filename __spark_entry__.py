@@ -52,7 +52,11 @@ def _already_checked() -> set[str]:
             continue
         for name, row in rows.items():
             err = row.get("err")
-            if err is None or err == "no_oracle":
+            clean = (err is None or err == "no_oracle") and not any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            if clean:
                 done.add(name)
     return done
 

@@ -126,10 +126,18 @@ class TransactionalParquetTable:
         changes. A production table would partition data files so
         merges rewrite only touched partitions, tightening this to
         near-row granularity; the LOG semantics are identical.
+
+        Commits carrying ``dataChange: false`` (``compact``) are skipped
+        entirely: they rearrange bytes, not rows. The skip composes with
+        the file-diff because the NEXT data commit diffs against the
+        compacted manifest — rows the compaction repacked appear in
+        neither side of that diff.
         """
         to_v = self.version() if to_version is None else to_version
         frames: list[DataFrame] = []
         for v in range(from_version + 1, to_v + 1):
+            if not self._read_manifest(v).get("dataChange", True):
+                continue
             prev = (
                 set(self._read_manifest(v - 1)["files"]) if v > 1 else set()
             )
@@ -171,7 +179,8 @@ class TransactionalParquetTable:
         ]
 
     def _commit(self, files: list[str], schema_ddl: str,
-                txn: tuple[str, int] | None, base_version: int) -> int:
+                txn: tuple[str, int] | None, base_version: int,
+                data_change: bool = True) -> int:
         """Atomically publish ``files`` as version base_version+1."""
         os.makedirs(self._log_dir, exist_ok=True)
         next_v = base_version + 1
@@ -180,6 +189,7 @@ class TransactionalParquetTable:
             "files": files,
             "schema": schema_ddl,
             "txn": None if txn is None else {"app": txn[0], "id": txn[1]},
+            "dataChange": data_change,
         }
         payload = json.dumps(manifest, indent=1).encode()
         try:
@@ -267,6 +277,49 @@ class TransactionalParquetTable:
                 continue
         raise CommitConflict(
             f"gave up after {self.MAX_RETRIES} conflicting merges on {self.path}"
+        )
+
+    # ------------------------------------------------------------ compact
+    def compact(self, target_file_bytes: int = 128 << 20) -> int:
+        """OPTIMIZE: bin-pack the current snapshot's files into
+        ~``target_file_bytes`` outputs and commit the rewrite with
+        ``dataChange: false`` — readers see the identical row multiset,
+        ``read_changes`` skips the commit entirely, and time travel to
+        pre-compaction versions still works (old files stay referenced
+        by old manifests until the log itself is truncated).
+
+        This is the small-file fix for high-frequency streaming appends:
+        at 100 TB a table ingesting N micro-batches/hour accretes
+        thousands of KB-sized files whose per-file open/footer cost
+        dominates scans; periodic bin-packing restores
+        ~target-size scan units. A production table would compact per
+        partition; the commit protocol here is unchanged.
+        """
+        for _ in range(self.MAX_RETRIES):
+            base = self.version()
+            if base == 0:
+                raise FileNotFoundError(f"no committed version in {self.path}")
+            manifest = self._read_manifest(base)
+            old_files = manifest["files"]
+            total = sum(
+                os.path.getsize(os.path.join(self.path, f)) for f in old_files
+            )
+            n_out = max(1, -(-total // target_file_bytes))
+            if len(old_files) <= n_out:
+                return base  # already compact enough: no-op, no commit
+            snapshot = self.read(base)
+            files = self._write_data_files(snapshot.coalesce(int(n_out)))
+            try:
+                if self.version() != base:  # lost the race: re-plan
+                    continue
+                return self._commit(
+                    files, manifest["schema"], None, base, data_change=False
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"gave up after {self.MAX_RETRIES} conflicting compactions on "
+            f"{self.path}"
         )
 
     # ------------------------------------------------------------- vacuum

@@ -155,3 +155,47 @@ def test_change_feed_appends_and_merge(spark, tmp_path):
             base[(r["k"], r["v"])] -= 1
     final = Counter((r["k"], r["v"]) for r in t.read(3).collect())
     assert +base == final
+
+
+def test_compact_binpacks_without_changing_rows(spark, tmp_path):
+    """OPTIMIZE: repeated small appends -> many files; compact() rewrites
+    them into one, rows identical, dataChange=false, change feed skips
+    the compaction, time travel to pre-compaction versions intact."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    for i in range(4):  # 4 appends x 2 partitions = 8 small files
+        t.append(_df(spark, [(2 * i, f"v{2 * i}"), (2 * i + 1, f"v{2 * i + 1}")]).repartition(2))
+    before = sorted(map(tuple, t.read().collect()))
+    n_files_before = len(t.history()[-1]["files"])
+    assert n_files_before >= 8
+
+    v = t.compact()
+    assert v == 5
+    assert t.history()[-1]["dataChange"] is False
+    assert len(t.history()[-1]["files"]) == 1  # tiny table -> one file
+    assert sorted(map(tuple, t.read().collect())) == before
+    # time travel unaffected: version 2 still reads the old files
+    assert t.read(version=2).count() == 4
+
+    # change feed: the compaction contributes NOTHING; appends still do
+    ch = t.read_changes(0)
+    assert ch.filter(F.col("_commit_version") == 5).count() == 0
+    assert ch.filter(F.col("_change_type") == "removed").count() == 0
+    assert ch.filter(F.col("_change_type") == "inserted").count() == 8
+
+    # a post-compaction append diffs against the compacted manifest:
+    # exactly its own rows, never the repacked ones
+    t.append(_df(spark, [(100, "x")]))
+    ch2 = t.read_changes(5)
+    assert [tuple(r)[:2] for r in ch2.collect()] == [(100, "x")]
+
+    # the 2-file table (compacted + append) packs again, then the
+    # single-file result makes further compaction a no-op
+    assert t.compact() == 7
+    assert t.compact() == 7 and t.version() == 7
+
+
+def test_compact_is_a_noop_below_threshold(spark, tmp_path):
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]).coalesce(1))
+    assert t.compact() == 1
+    assert len(t.history()) == 1

@@ -45,6 +45,49 @@ def exact_dedup(df: DataFrame, content_cols: list[str], order_col: str) -> DataF
     )
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    content_cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Dedup a NEW batch against an already-ingested corpus plus itself —
+    the daily-crawl pattern: yesterday's 100 TB corpus is never rescanned
+    per-row, today's delta is.
+
+    Both steps key on a 256-bit content digest, not the content itself:
+
+    * the corpus side is projected to the single digest column before the
+      shuffle — at 100 TB the exchange carries 32-byte digests instead of
+      document bodies (and with a digest column materialized at ingest,
+      the scan reads one column);
+    * the within-batch survivor window partitions on the same ``__h``
+      key the anti-join already shuffled on, so it inherits the join's
+      output partitioning — two exchanges total (one per join side),
+      none for the window.
+
+    Survivor choice is deterministic (min ``order_col``), matching
+    :func:`exact_dedup`. SHA-256 collisions are negligible (birthday
+    bound ~2^128 rows).
+    """
+
+    def digest(df: DataFrame) -> Column:
+        return F.sha2(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]),
+            256,
+        )
+
+    seen = corpus.select(digest(corpus).alias("__h"))
+    w = Window.partitionBy("__h").orderBy(order_col)
+    return (
+        batch.withColumn("__h", digest(batch))
+        .join(seen, "__h", "left_anti")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__h")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shingling / n-grams
 # ---------------------------------------------------------------------------

@@ -58,6 +58,33 @@ def dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH corpus AS (SELECT text FROM documents WHERE doc_id < 300),
+         batch  AS (SELECT * FROM documents WHERE doc_id >= 200),
+         sur    AS (SELECT text, MIN(doc_id) AS keep_id FROM batch GROUP BY text)
+    SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars
+    FROM batch b
+    JOIN sur k ON b.doc_id = k.keep_id
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-corpus) exact dedup: today's batch
+    (doc_id>=200) is deduped against the already-ingested corpus
+    (doc_id<300 — the overlap simulates re-crawled content) and itself,
+    without rescanning corpus bodies: the corpus side ships only 32-byte
+    content digests (see operators/dedup.py:incremental_dedup)."""
+    d = load(spark, sf_dir, "documents")
+    return D.incremental_dedup(
+        d.filter(F.col("doc_id") >= 200),
+        d.filter(F.col("doc_id") < 300),
+        ["text"],
+        "doc_id",
+    )
+
+
 @query("dedup_minhash", oracle=None)  # xxhash64 signatures — engine-specific
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH fuzzy-dup pairs (shingle→sign→band→bucket-join→Jaccard

@@ -207,3 +207,48 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, n in enumerate(["p25", "p50", "p75", "p95", "p99"])
         ]
     )
+
+
+from ._conv import dsum, sql_dsum  # noqa: E402
+
+
+@query(
+    "ts_downsample_ohlc",
+    oracle=f"""
+    SELECT event_type,
+           STRFTIME(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           COUNT(*) AS n_events,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           {sql_dsum('value', 'volume')}
+    FROM events
+    GROUP BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+    """,
+)
+def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsample per event type — the classic time-series
+    compaction (first/last/extreme per bucket) used to shrink raw 100 TB
+    tick streams into per-bucket summaries. ``min_by``/``max_by`` pick
+    open/close in ONE hash-aggregate pass (no row_number window, no
+    second shuffle); ts is unique within (event_type, hour) in the
+    fixtures, so the pick is deterministic. Volume follows the exact
+    scaled-integer sum convention (_conv.dsum)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("__h"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            dsum("value", "volume"),
+        )
+        .select(
+            "event_type",
+            F.date_format("__h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_events", "open", "high", "low", "close", "volume",
+        )
+    )

@@ -92,6 +92,36 @@ def test_exact_dedup_idempotent_and_survivor(spark):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
 
 
+def test_incremental_dedup_semantics(spark):
+    """Batch is deduped against corpus AND itself; survivor is min-order;
+    multi-column content keys work; disjoint corpus is a no-op filter."""
+    batch = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "y"), (4, "c", "z")],
+        "id long, t1 string, t2 string",
+    )
+    corpus = spark.createDataFrame(
+        [(90, "b", "y"), (91, "d", "w")], "id long, t1 string, t2 string"
+    )
+    out = sorted(
+        tuple(r) for r in D.incremental_dedup(batch, corpus, ["t1", "t2"], "id").collect()
+    )
+    # "b/y" seen in corpus -> dropped; "a/x" internal dup -> min id survives
+    assert out == [(1, "a", "x"), (4, "c", "z")]
+    # disjoint corpus: reduces to plain within-batch exact dedup
+    empty = corpus.filter("id < 0")
+    alone = sorted(
+        tuple(r) for r in D.incremental_dedup(batch, empty, ["t1", "t2"], "id").collect()
+    )
+    assert alone == [(1, "a", "x"), (3, "b", "y"), (4, "c", "z")]
+    # content split across columns is NOT the same as concatenated equal
+    tricky = spark.createDataFrame([(5, "ab", "")], "id long, t1 string, t2 string")
+    kept = D.incremental_dedup(
+        tricky, spark.createDataFrame([(6, "a", "b")], "id long, t1 string, t2 string"),
+        ["t1", "t2"], "id",
+    )
+    assert kept.count() == 1
+
+
 def test_ann_lift_on_random_corpus(spark):
     """The fixture embeddings are isotropic noise (no cluster structure),
     so absolute recall at a tiny probe fraction is information-

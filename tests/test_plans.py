@@ -223,3 +223,23 @@ def test_ntile_single_shuffle(spark):
     p = plan(spark, "win_ntile_cume", mode="simple")
     n = p.count("Exchange") - p.count("BroadcastExchange")
     assert n <= 1
+
+
+def test_ohlc_single_agg_pass_no_window(spark):
+    """min_by/max_by pick open/close inside the hash aggregate — the plan
+    must be partial+final HashAggregate with NO window and NO sort."""
+    p = plan(spark, "ts_downsample_ohlc")
+    assert p.count("HashAggregate") >= 2, "OHLC must partial-aggregate"
+    assert "Window" not in p, "open/close must not fall back to a window"
+
+
+def test_incremental_dedup_digest_join_budget(spark):
+    """Anti-join keys on the 32-byte digest. At small SF the corpus side
+    broadcasts (zero join shuffle: only the survivor window exchanges);
+    at large SF it shuffle-anti-joins and the window reuses that
+    partitioning. Either way: <=2 hash exchanges, top-1 survivor runs
+    through WindowGroupLimit (partial group-limit before the shuffle)."""
+    p = plan(spark, "dedup_incremental")
+    assert "LeftAnti" in p
+    assert p.count("Arguments: hashpartitioning") <= 2, p
+    assert "WindowGroupLimit" in p, "row_number()=1 must partial-limit"

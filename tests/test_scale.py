@@ -165,3 +165,48 @@ def test_zorder_layout_shrinks_minmax_envelopes(spark, tmp_path):
         plain = mean_spread(plain_dir, col, full)
         z = mean_spread(z_dir, col, full)
         assert z < 0.55 * plain, (col, z, plain)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Big-big join posture: when neither side broadcasts, Catalyst
+    injects a runtime bloom filter built from the selective (filtered)
+    side and pushes might_contain() onto the fact scan — rows that can't
+    join die at the scan, before the shuffle. The size thresholds are
+    scaled down to this fixture (at real scale the 10 GB default
+    application-side threshold triggers naturally)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        # sf0.1 regardless of SF_DIR: at sf0.001 both sides are a few KB
+        # and the optimizer's cost heuristic (rightly) declines the filter.
+        # load() first — it runs ensure_tuned, which restores the 64 MB
+        # broadcast threshold; the no-broadcast override must outlive it.
+        li = load(spark, "/root/testdata/sf0.1", "lineitem")
+        o = load(spark, "/root/testdata/sf0.1", "orders").filter(
+            F.col("o_totalprice") > 500000
+        )
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ) == "true"
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        p = buf.getvalue()
+        assert "might_contain" in p, "no runtime bloom filter injected"
+        assert "bloom_filter_agg" in p
+        # the membership probe must sit on the lineitem (application) side
+        probe = [l for l in p.splitlines() if "might_contain" in l]
+        assert any("l_orderkey" in l for l in probe), probe
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

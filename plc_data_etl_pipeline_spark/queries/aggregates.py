@@ -163,6 +163,27 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_heavy_hitters", oracle=None)  # frequency sketch — engine-specific
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent terms via ``approx_top_k`` (Spark 4 frequency
+    sketch): the 100 TB heavy-hitters answer — per-partition sketches of
+    bounded size merge in one reduce instead of shuffling the full
+    term-count table and globally sorting it. With maxItemsTracked=10000
+    far above the fixture vocabulary the counts are exact; pytest asserts
+    equality with the exact group-by (SURVEY §5.2.5). Output is exploded
+    to scalar columns (driver canonicalizer: no top-level arrays)."""
+    from ..operators import text as T
+
+    d = load(spark, sf_dir, "documents")
+    sk = (
+        d.select(F.explode(T.tokens("text")).alias("term"))
+        .agg(F.expr("approx_top_k(term, 10, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("term"), F.col("e.count").alias("cnt"))
+    )
+    return sk.orderBy(F.desc("cnt"), "term")
+
+
 @query(
     "agg_grouping_sets",
     oracle=f"""

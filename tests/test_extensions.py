@@ -443,3 +443,32 @@ def test_approx_percentiles_rank_error_bounded(spark):
                      (0.95, "p95"), (0.99, "p99")]:
             rank = vals.filter(F.col("value") <= a[c]).count() / n
             assert abs(rank - q) <= 0.02, (et, c, rank, q)
+
+
+def test_heavy_hitters_sketch_exact_below_capacity(spark):
+    """With maxItemsTracked far above the vocabulary size the
+    approx_top_k sketch degenerates to exact counts: the reported top-10
+    must match the exact group-by's counts, and every reported count must
+    be >= the exact 10th-ranked count (boundary ties may swap WHICH term
+    is picked, never its count)."""
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    got = {
+        r["term"]: r["cnt"]
+        for r in all_queries()["agg_heavy_hitters"].fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["term"]: r["cnt"]
+        for r in (
+            load(spark, SF_DIR, "documents")
+            .select(F.explode(T.tokens("text")).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+    }
+    assert len(got) == 10
+    for term, cnt in got.items():
+        assert exact[term] == cnt, (term, cnt, exact.get(term))
+    kth = sorted(exact.values(), reverse=True)[9]
+    assert min(got.values()) >= kth

@@ -8,6 +8,7 @@ complete/append results converge to the batch answer.
 
 from __future__ import annotations
 
+import os
 import time
 
 import pytest
@@ -330,3 +331,91 @@ def test_python_datasource_batch_and_stream(spark, tmp_path):
     from plc_data_etl_pipeline_spark.pipeline.pysource import _row
     want = [_row(42, i, 0.5) for i in range(5)]
     assert [tuple(r) for r in first] == want
+
+
+def test_python_datasink_batch_two_phase_commit(spark, tmp_path):
+    """Custom Python DataSource WRITER (pipeline/pysink.py): staged
+    pieces become visible only through the commit manifest; a reader of
+    committed output sees exactly the written multiset."""
+    from plc_data_etl_pipeline_spark.pipeline import pysink, pysource
+
+    pysink.register(spark)
+    pysource.register(spark)
+    out = str(tmp_path / "db_sink")
+    df = (
+        spark.read.format("plc_sensor")
+        .option("n_rows", 60)
+        .option("partitions", 4)
+        .load()
+    )
+    df.write.format("plc_db_sink").option("path", out).mode("append").save()
+    schema = "machine_id string, sensor string, reading double, t_stamp double"
+    back = pysink.read_committed(spark, out, schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # nothing left staged; exactly one job manifest
+    assert os.listdir(os.path.join(out, "_staging")) == []
+    manifests = [f for f in os.listdir(out) if f.startswith("_manifest-")]
+    assert len(manifests) == 1
+    # overwrite mode is an explicit (honest) refusal, not silent append
+    with pytest.raises(Exception):
+        df.limit(1).write.format("plc_db_sink").option("path", out).mode(
+            "overwrite"
+        ).save()
+
+
+def test_python_datasink_stream_exactly_once_replay(spark, tmp_path):
+    """Streaming commits are batchId-idempotent: replaying a batch whose
+    manifest already exists discards the staged duplicate (the
+    reference's R16 crash window, upgraded to exactly-once)."""
+    from plc_data_etl_pipeline_spark.pipeline import pysink, pysource
+
+    pysink.register(spark)
+    pysource.register(spark)
+    out = str(tmp_path / "db_sink_stream")
+    q = (
+        spark.readStream.format("plc_sensor")
+        .option("rows_per_batch", 25)
+        .load()
+        .writeStream.format("plc_db_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sink"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        schema = (
+            "machine_id string, sensor string, reading double, t_stamp double"
+        )
+        n = 0
+        while time.time() < deadline and n < 50:
+            time.sleep(1.0)
+            n = pysink.read_committed(spark, out, schema).count()
+    finally:
+        q.stop()
+    n = pysink.read_committed(spark, out, schema).count()  # final, post-stop
+    assert n >= 50 and n % 25 == 0, n
+    # rows are the deterministic generator prefix — exactly once, no gaps
+    from plc_data_etl_pipeline_spark.pipeline.pysource import _row
+
+    got = sorted(
+        map(tuple, pysink.read_committed(spark, out, schema).collect()),
+        key=lambda t: t[3],
+    )
+    want = [_row(42, i, 0.5) for i in range(n)]
+    assert got == want
+
+    # simulate the replay window directly: re-commit an already-published
+    # batch -> staged duplicate is discarded, manifest content unchanged
+    import json as _json
+
+    w = pysink._StreamWriter({"path": out})
+    dup = pysink._stage_rows(
+        out, iter([spark.createDataFrame([("M1", "t", 1.0, 0.0)], schema).first()])
+    )
+    manifest0 = os.path.join(out, "_manifest-" + "0" * 20)
+    before = open(manifest0).read()
+    w.commit([dup], 0)
+    assert open(manifest0).read() == before
+    assert not os.path.exists(dup.file)
+    assert pysink.read_committed(spark, out, schema).count() == n

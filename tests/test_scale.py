@@ -210,3 +210,39 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Skew posture: AQE detects a hot key at RUNTIME from map-output
+    stats and splits its shuffle partition across tasks — no salting, no
+    code change. Thresholds scaled to the fixture; at 100 TB the 256 MB
+    defaults trigger naturally. (operators/scale.py::salted_join remains
+    the static fallback for engines/paths where AQE can't apply.)"""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        fact = spark.range(0, 300000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            (F.rand(7) * 1000).alias("v"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k")
+        rows = j.collect()
+        assert len(rows) == 300000  # every fact row matches exactly one dim
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in p, "AQE did not split the skewed partition"
+        assert "skewed" in p.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -382,3 +382,39 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .load(out)
     )
+
+
+@query(
+    "subquery_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F')
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL entry point.
+
+    Catalyst's RewritePredicateSubquery turns these into a left-semi and a
+    left-anti join on o_custkey — fully distributed, no per-row subquery
+    execution (the naive correlated evaluation a row-store would do). Both
+    probe sides carry their filters pushed into the scan."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer_ex c
+        WHERE EXISTS (SELECT 1 FROM orders_ex o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders_ex o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F')
+        """
+    )

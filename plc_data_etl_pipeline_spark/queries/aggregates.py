@@ -235,3 +235,29 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_quantity", "sum_qty"), dsum("l_extendedprice", "sum_price")
     )
     return wide.unpivot("l_returnflag", ["sum_qty", "sum_price"], "measure", "val")
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           STRING_AGG(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG): collect_set ->
+    array_sort -> array_join gives a deterministic comma list regardless of
+    row arrival order — the only safe way to emit collected values through
+    an order-insensitive hash compare. Distinct-set size is bounded by the
+    status domain (3), so the collected state stays tiny at any scale."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.count("*").alias("n_orders"),
+    )

@@ -1107,3 +1107,164 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+@query(
+    "dq_outlier_mad",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    d AS (
+      SELECT e.event_type, m.med, ABS(e.value - m.med) AS dev
+      FROM events e JOIN m USING (event_type)
+    ),
+    s AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM d GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN d.dev > 3 * s.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           ROUND(MIN(d.med), 4) AS med,
+           ROUND(MIN(s.mad), 4) AS mad
+    FROM d JOIN s USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per sensor: median-absolute-deviation
+    (|v - median| > 3*MAD) — the standard robust alternative to z-scores
+    for quality gating skewed sensor streams.
+
+    Two grouped median passes + two broadcast joins of the tiny per-type
+    stats (|event_type| rows) back onto the fact — the fact table itself
+    never shuffles on a new key, so the pattern holds at 100 TB. Medians
+    interpolate identically in Spark ``percentile`` and DuckDB
+    ``quantile_cont``; the 3*MAD comparison runs on bit-identical doubles
+    in both engines, so the outlier COUNT is exact (rounding is
+    presentation-only)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("dev"), F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(F.min("med"), 4).alias("med"),
+            F.round(F.min("mad"), 4).alias("mad"),
+        )
+    )
+
+
+@query(
+    "emb_norm_stats",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             SQRT(list_reduce([CAST(embedding[i] AS DOUBLE)
+                               * CAST(embedding[i] AS DOUBLE)
+                               FOR i IN range(1, len(embedding) + 1)],
+                              (x, y) -> x + y)) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(FLOOR(MIN(nrm) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             AS min_norm,
+           CAST(FLOOR(MAX(nrm) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             AS max_norm,
+           CAST(SUM(CAST(FLOOR(nrm * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / COUNT(*) AS avg_norm
+    FROM n
+    GROUP BY label
+    """,
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm distribution of the embedding corpus — the sanity
+    gate before any cosine pipeline (un-normalized vectors silently break
+    dot-product ANN).
+
+    JVM-side HOF fold (no Python): ``aggregate`` left-folds the squares in
+    element order, bit-identical to DuckDB's ``list_reduce`` (0+x==x in
+    IEEE for the init step), so even MIN/MAX of the per-row norms match
+    exactly; the mean goes through the scaled-integer convention
+    (_conv.py) to stay order-independent."""
+    e = load(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    n = e.select("label", F.sqrt(sq).alias("nrm"))
+    cents6 = F.floor(F.col("nrm") * 1000000.0 + 0.5)
+    return n.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        (F.floor(F.min("nrm") * 1000000.0 + 0.5).cast("double") / 1000000.0).alias(
+            "min_norm"
+        ),
+        (F.floor(F.max("nrm") * 1000000.0 + 0.5).cast("double") / 1000000.0).alias(
+            "max_norm"
+        ),
+        (F.sum(cents6).cast("double") / 1000000.0 / F.count("*")).alias(
+            "avg_norm"
+        ),
+    )
+
+
+@query(
+    "text_containment_ngram",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([text[i:i+4]
+                            FOR i IN range(1, GREATEST(LENGTH(text) - 4, 0) + 1)])
+               AS grams
+      FROM documents WHERE doc_id < 120
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(a.grams), 6) AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / len(a.grams) >= 0.5
+    """,
+)
+def text_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram containment |A∩B| / |A| — catches near-SUBSET
+    duplicates (a doc embedded inside a longer one) that symmetric Jaccard
+    under-scores, the classic quote/boilerplate case in corpus curation.
+    Pair space bounded by the id filter; at scale the same verify runs on
+    LSH candidates (dedup_minhash) instead of all pairs."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 4, 0)),"
+                " i -> substring(text, i, 5))"
+            )
+        ).alias("grams"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    cont = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size("ga")
+    return (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .withColumn("cont_raw", cont)
+        .filter(F.col("cont_raw") >= 0.5)
+        .select("id_a", "id_b", F.round("cont_raw", 6).alias("containment"))
+    )

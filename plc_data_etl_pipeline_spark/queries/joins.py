@@ -295,3 +295,59 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(d <= 2)
         .select("key_a", "key_b", d.alias("edit_dist"))
     )
+
+
+@query(
+    "join_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue', scale=4)},
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers -> unshipped orders ->
+    revenue per order, top 10. The classic 3-way join + agg + top-k plan.
+
+    Scale posture: customer filtered to one segment still scales with SF,
+    so it is NOT broadcast — both joins shuffle on their keys and AQE can
+    re-plan the post-filter sides at runtime. The final top-10 is a
+    TakeOrderedAndProject (no global sort materialization). The l_orderkey
+    tiebreaker makes the LIMIT selection deterministic for the oracle
+    compare (revenue ties are possible across the cut line)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                scale=4,
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )

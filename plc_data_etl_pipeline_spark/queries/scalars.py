@@ -355,3 +355,34 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.price", "double").alias("price"),
         F.variant_get(v, "$.meta.shard", "bigint").alias("shard"),
     )
+
+
+@query(
+    "scalar_try_cast",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           TRY_CAST(event_type AS BIGINT) AS not_a_number,
+           CAST(FLOOR((value / NULLIF(CAST(
+                 TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) - 50
+                 AS DOUBLE), 0)) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             AS ratio
+    FROM events
+    """,
+)
+def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casts/arithmetic (ANSI-mode-proof ingestion): try_cast
+    yields NULL instead of failing on malformed input; try_divide yields
+    NULL on /0 (DuckDB twin: NULLIF denominator). The divide-by-zero rows
+    (k=50) and the never-numeric event_type column exercise both NULL
+    paths; quantized to 6 digits for cross-engine bit-equality."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        F.col("event_type").try_cast("bigint").alias("not_a_number"),
+        quant(F.try_divide(F.col("value"), (k - 50).cast("double")), 6).alias(
+            "ratio"
+        ),
+    )

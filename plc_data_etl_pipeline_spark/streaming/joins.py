@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .windows import with_event_time
+
 
 def interval_join(
     left: DataFrame,
@@ -40,8 +42,8 @@ def interval_join(
     inputs (watermark is a no-op on batch DataFrames, so the exact same
     function body is the batch twin).
     """
-    l_ = left.withWatermark(left_ts, watermark).alias("l")
-    r_ = right.withWatermark(right_ts, watermark).alias("r")
+    l_ = with_event_time(left, left_ts).withWatermark(left_ts, watermark).alias("l")
+    r_ = with_event_time(right, right_ts).withWatermark(right_ts, watermark).alias("r")
     lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
@@ -71,8 +73,8 @@ def error_purchase_pairs(
         F.col("ts").alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
     )
-    e = errors.withWatermark("error_ts", watermark)
-    p = purchases.withWatermark("purchase_ts", watermark)
+    e = with_event_time(errors, "error_ts").withWatermark("error_ts", watermark)
+    p = with_event_time(purchases, "purchase_ts").withWatermark("purchase_ts", watermark)
     cond = (
         (e.user_id == p.p_user_id)
         & (p.purchase_ts >= e.error_ts)

@@ -20,6 +20,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+
+def with_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (LTZ) for watermarking.
+
+    Parquet written with isAdjustedToUTC=false reads back as
+    TIMESTAMP_NTZ, which ``withWatermark`` rejects
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session timezone is pinned
+    to UTC (session.py), so NTZ -> LTZ reinterprets the same wall-clock
+    instant — a no-op on values, required by the state-store clock."""
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def _agg_cols() -> list[Column]:
     # avg via exact integer-cents sum (order-independent, oracle
     # bit-parity — queries/_conv.py rationale).
@@ -39,7 +53,7 @@ def tumbling(df: DataFrame, duration: str = "1 hour",
              watermark: str | None = None) -> DataFrame:
     """Non-overlapping event-time buckets per event_type."""
     if watermark:
-        df = df.withWatermark("ts", watermark)
+        df = with_event_time(df).withWatermark("ts", watermark)
     return (
         df.groupBy(F.window("ts", duration).alias("w"), F.col("event_type"))
         .agg(*_agg_cols())
@@ -58,7 +72,7 @@ def sliding(df: DataFrame, duration: str = "1 hour", slide: str = "30 minutes",
             watermark: str | None = None) -> DataFrame:
     """Overlapping windows: each event lands in duration/slide windows."""
     if watermark:
-        df = df.withWatermark("ts", watermark)
+        df = with_event_time(df).withWatermark("ts", watermark)
     return (
         df.groupBy(F.window("ts", duration, slide).alias("w"), F.col("event_type"))
         .agg(*_agg_cols())
@@ -78,7 +92,7 @@ def session(df: DataFrame, gap: str = "10 minutes",
     """Session windows per user: events closer than ``gap`` merge; a gap
     >= ``gap`` starts a new session (session_window, Spark >= 3.2)."""
     if watermark:
-        df = df.withWatermark("ts", watermark)
+        df = with_event_time(df).withWatermark("ts", watermark)
     return (
         df.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
         .agg(*_agg_cols())
@@ -97,4 +111,4 @@ def dedup_with_watermark(df: DataFrame, keys: list[str],
                          watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: state holds keys only until the watermark
     passes (bounded memory — the streaming analog of dedup_exact)."""
-    return df.withWatermark("ts", watermark).dropDuplicates(keys)
+    return with_event_time(df).withWatermark("ts", watermark).dropDuplicates(keys)

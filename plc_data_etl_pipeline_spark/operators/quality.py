@@ -17,23 +17,23 @@ from pyspark.sql import functions as F
 
 
 def not_null(col: str) -> tuple[str, Column]:
-    return (f"{col}_not_null", F.col(col).isNull())
+    return (f"{col}_null_count", F.col(col).isNull())
 
 
 def in_range(col: str, lo: float, hi: float) -> tuple[str, Column]:
     """Violated when non-null and outside [lo, hi]."""
     c = F.col(col)
-    return (f"{col}_in_range", c.isNotNull() & ~c.between(lo, hi))
+    return (f"{col}_out_of_range_count", c.isNotNull() & ~c.between(lo, hi))
 
 
 def in_set(col: str, values: tuple) -> tuple[str, Column]:
     c = F.col(col)
-    return (f"{col}_in_set", c.isNotNull() & ~c.isin(*values))
+    return (f"{col}_not_in_set_count", c.isNotNull() & ~c.isin(*values))
 
 
 def matches(col: str, pattern: str) -> tuple[str, Column]:
     c = F.col(col)
-    return (f"{col}_matches", c.isNotNull() & ~c.rlike(pattern))
+    return (f"{col}_no_match_count", c.isNotNull() & ~c.rlike(pattern))
 
 
 def validate_summary(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:

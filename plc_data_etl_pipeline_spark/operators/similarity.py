@@ -421,3 +421,151 @@ def ivf_ann_topk(
             "rank",
         )
     )
+
+
+def _pq_codebooks(
+    emb: DataFrame,
+    m: int,
+    n_codes: int,
+    dim: int,
+    vec_col: str,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: per-subspace k-means on a seeded,
+    bounded sample (train-on-sample / encode-at-scale — same split as
+    IVF). Returns m codebooks of n_codes centroids of dim/m floats."""
+    sample = (
+        emb.select(vec_col)
+        .sample(fraction=1.0, seed=42)
+        .limit(max(n_codes * 32, 256))
+        .collect()
+    )
+    X = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    d_sub = dim // m
+    rng = np.random.default_rng(42)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * d_sub : (j + 1) * d_sub]
+        cents = S[rng.choice(len(S), size=n_codes, replace=False)]
+        for _ in range(5):  # Lloyd refinement in the subspace (L2)
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = S[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents.round(6).tolist())
+    return books
+
+
+def pq_encode(vec: Column, books: list[list[list[float]]], m: int,
+              d_sub: int) -> Column:
+    """JVM-side PQ encoding: per subspace, argmin L2 distance to the
+    codebook == argmax (x·c - |c|²/2) — built as a flat dot array +
+    array_position(array_max), the same analyzer-safe argmax shape as
+    ivf_assign. Output: array<int> of m code ids (whole-stage codegen,
+    no Python in the corpus pass)."""
+    codes = []
+    for j, book in enumerate(books):
+        sub = F.slice(vec, j * d_sub + 1, d_sub)
+        scores = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(float(x)) for x in cent]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(-float(sum(c * c for c in cent)) / 2.0),
+                    lambda a, x: a + x,
+                )
+                for cent in book
+            ]
+        )
+        codes.append((F.array_position(scores, F.array_max(scores)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_ann_topk(
+    emb: DataFrame,
+    query_max_id: int,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 32,
+    dim: int = 64,
+    rerank_factor: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization approximate top-k with exact re-rank.
+
+    The third ANN scale path next to LSH buckets and IVF cells: the
+    corpus is encoded ONCE into m small code ids (here 8 codes -> 8
+    bytes/vector vs 256 bytes raw — the 32x memory compression that lets
+    a 100 TB embedding corpus fit an in-memory scan), queries score
+    candidates via an ADC lookup table (sum of m array lookups, pure JVM,
+    no per-pair float math), and only the top rerank_factor*k ADC
+    candidates get the exact cosine. Asymmetric-distance PQ per
+    Jegou et al., "Product Quantization for Nearest Neighbor Search"
+    (TPAMI 2011).
+    """
+    d_sub = dim // m
+    books = _pq_codebooks(emb, m, n_codes, dim, vec_col)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm_fold(F.col(vec_col)).alias("cnorm"),
+        pq_encode(F.col(vec_col), books, m, d_sub).alias("codes"),
+    )
+    B = np.array(books)  # m x n_codes x d_sub
+    q_rows = emb.filter(F.col(id_col) < query_max_id).collect()
+    lut_rows = []
+    for r in q_rows:
+        v = np.array(list(r[vec_col]), dtype=np.float64)
+        luts = [
+            (B[j] @ v[j * d_sub : (j + 1) * d_sub]).round(6).tolist()
+            for j in range(m)
+        ]
+        lut_rows.append((r[id_col], list(r[vec_col]), luts))
+    spark = emb.sparkSession
+    queries = spark.createDataFrame(
+        lut_rows,
+        "query_id long, qvec array<float>, luts array<array<double>>",
+    ).withColumn("qnorm", norm_fold(F.col("qvec")))
+    # ADC score: sum_j luts[j][codes[j]] ~= q . reconstructed(x)
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    adc = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("luts"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        ),
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    candidates = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_score", adc)
+        .withColumn("cand_rank", F.row_number().over(cand_w))
+        .filter(F.col("cand_rank") <= rerank_factor * k)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        candidates.withColumn(
+            "cosine_sim",
+            dot_fold(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )

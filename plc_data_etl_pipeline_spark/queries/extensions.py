@@ -528,14 +528,14 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COUNT(*) AS n_rows,
            CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS value_not_null,
+             AS value_null_count,
            CAST(SUM(CASE WHEN value IS NOT NULL AND value NOT BETWEEN 0.0 AND 500.0
-                    THEN 1 ELSE 0 END) AS BIGINT) AS value_in_range,
+                    THEN 1 ELSE 0 END) AS BIGINT) AS value_out_of_range_count,
            CAST(SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
                     ('signup','click','error','view','purchase')
-                    THEN 1 ELSE 0 END) AS BIGINT) AS event_type_in_set,
+                    THEN 1 ELSE 0 END) AS BIGINT) AS event_type_not_in_set_count,
            CAST(SUM(CASE WHEN props IS NOT NULL AND NOT regexp_matches(props, '^\\{.*\\}$')
-                    THEN 1 ELSE 0 END) AS BIGINT) AS props_matches
+                    THEN 1 ELSE 0 END) AS BIGINT) AS props_no_match_count
     FROM events
     """,
 )
@@ -1268,3 +1268,43 @@ def text_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cont_raw") >= 0.5)
         .select("id_a", "id_b", F.round("cont_raw", 6).alias("containment"))
     )
+
+
+@query("sim_topk_pq", oracle=None)  # approximate by construction
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-5 with exact re-rank: the
+    corpus is PQ-encoded once (8 code ids/vector — 32x smaller than raw
+    floats), queries score via ADC lookup tables, and only the top-4k ADC
+    candidates pay the exact cosine. Pytest checks recall vs sim_topk."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.pq_ann_topk(e, query_max_id=20, k=5)
+
+
+@query("agg_hll_union", oracle=None)  # sketch estimate, +-epsilon by design
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, built
+    into Spark 3.5+): per-event-type user sketches UNION to the global
+    sketch WITHOUT rescanning the fact — the re-aggregatable form a
+    100 TB incremental pipeline stores in its rollup tables (exact
+    COUNT(DISTINCT) cannot merge; sketches can). Pytest bounds the
+    estimates within 5% of exact. Output stringifies nothing binary:
+    estimates only."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    est = per_type.select(
+        "event_type",
+        "exact_users",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    union = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.max(F.lit(0)).alias("_z"),
+    ).select(
+        F.lit("__ALL__").alias("event_type"),
+        F.lit(None).cast("long").alias("exact_users"),
+        "approx_users",
+    )
+    return est.unionByName(union)

@@ -327,9 +327,9 @@ def test_dq_violations_row_level(spark):
         for r in Q.violations(df, rules, ["id"]).collect()
     )
     assert got == [
-        (2, "value_not_null"),
-        (3, "event_type_in_set"),
-        (3, "value_in_range"),
+        (2, "value_null_count"),
+        (3, "event_type_not_in_set_count"),
+        (3, "value_out_of_range_count"),
     ]
 
 
@@ -472,3 +472,62 @@ def test_heavy_hitters_sketch_exact_below_capacity(spark):
         assert exact[term] == cnt, (term, cnt, exact.get(term))
     kth = sorted(exact.values(), reverse=True)[9]
     assert min(got.values()) >= kth
+
+
+def test_pq_recall_vs_exact(spark):
+    """PQ+ADC with exact re-rank recovers most true top-k neighbors on
+    the real embeddings fixture (same bar as the LSH variant)."""
+    emb = load(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(emb, query_max_id=10, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.pq_ann_topk(emb, query_max_id=10, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"PQ recall too low: {recall:.2f}"
+
+
+def test_pq_encoding_compresses_and_reranks(spark):
+    """PQ codes are m small ints (the 32x memory story) and every
+    reported neighbor carries an exact (re-ranked) cosine."""
+    emb = load(spark, SF_DIR, "embeddings")
+    books = S._pq_codebooks(emb, m=8, n_codes=16, dim=64, vec_col="embedding")
+    codes = (
+        emb.select(S.pq_encode(F.col("embedding"), books, 8, 8).alias("codes"))
+        .limit(20)
+        .collect()
+    )
+    for r in codes:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+    got = S.pq_ann_topk(emb, query_max_id=5, k=3).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rows in per_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        sims = [r.cosine_sim for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_hll_union_estimates_within_bounds(spark):
+    """HLL sketch estimates are within 5% of exact per group, and the
+    merged (union) sketch estimates the global distinct within 5% —
+    without rescanning the input."""
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["agg_hll_union"].fn(spark, SF_DIR).collect()
+    exact_total = (
+        load(spark, SF_DIR, "events")
+        .agg(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    for r in rows:
+        if r.event_type == "__ALL__":
+            assert abs(r.approx_users - exact_total) <= 0.05 * exact_total
+        else:
+            assert abs(r.approx_users - r.exact_users) <= 0.05 * r.exact_users

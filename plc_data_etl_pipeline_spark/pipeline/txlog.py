@@ -33,6 +33,15 @@ Scale: the log is O(versions) tiny JSON; data file counts per commit
 come from Spark's normal partitioned write, and MERGE rewrites only the
 files of the current snapshot (at real scale you'd partition and prune
 — the protocol is unchanged).
+
+Data skipping: every commit also records per-file min/max envelopes for
+the leaf numeric/string/date columns (read from the parquet footers the
+writer already produced — a metadata-only pass, no data re-read; the
+same stats Delta keeps in its log and Iceberg in manifests).
+``read(where=...)`` prunes files whose envelope cannot satisfy a
+conjunctive predicate BEFORE Spark ever lists them — on a 100 TB table
+with range-clustered files (write_zordered / repartitionByRange) this is
+the difference between scanning everything and scanning one file.
 """
 
 from __future__ import annotations
@@ -107,6 +116,134 @@ class TransactionalParquetTable:
         return self.spark.read.parquet(
             *[os.path.join(self.path, f) for f in files]
         )
+
+    # ------------------------------------------------------ data skipping
+    @staticmethod
+    def _envelope_may_match(stats: dict, col: str, op: str, value) -> bool:
+        """Can any row of a file with this [min,max] envelope satisfy
+        ``col op value``? Missing stats -> conservatively True."""
+        env = stats.get(col)
+        if env is None:
+            return True
+        lo, hi = env
+        if lo is None or hi is None:
+            return True
+        if op == "=":
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+        if op == "between":
+            vlo, vhi = value
+            return not (hi < vlo or lo > vhi)
+        raise ValueError(f"unsupported predicate op {op!r}")
+
+    def candidate_files(
+        self, where: list[tuple], version: int | None = None
+    ) -> list[str]:
+        """Table-relative files whose stat envelopes may satisfy the
+        conjunction ``where`` = [(col, op, value), ...] — the pruning
+        decision alone, exposed for tests/observability (how many of the
+        snapshot's files a predicate actually touches)."""
+        v = self.version() if version is None else version
+        m = self._read_manifest(v)
+        stats = m.get("stats", {})
+        return [
+            f
+            for f in m["files"]
+            if all(
+                self._envelope_may_match(stats.get(f, {}), c, op, val)
+                for (c, op, val) in where
+            )
+        ]
+
+    def read_where(
+        self, where: list[tuple], version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read with file-level data skipping: files whose
+        min/max envelope cannot satisfy the conjunctive predicate are
+        never given to Spark (no listing, no footer read, no scan task),
+        and the exact predicate is still applied row-level to the
+        survivors. ``where`` literals: numbers or strings."""
+        v = self.version() if version is None else version
+        if v == 0:
+            raise FileNotFoundError(f"no committed version in {self.path}")
+        keep = self.candidate_files(where, version=v)
+        if not keep:
+            schema = self._read_manifest(v).get("schema")
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in keep]
+        )
+        for col, op, val in where:
+            c = F.col(col)
+            cond = {
+                "=": c == val,
+                "<": c < val,
+                "<=": c <= val,
+                ">": c > val,
+                ">=": c >= val,
+            }.get(op)
+            if cond is None and op == "between":
+                cond = c.between(val[0], val[1])
+            df = df.filter(cond)
+        return df
+
+    def _collect_file_stats(
+        self, rel_files: list[str], prior: dict | None = None
+    ) -> dict:
+        """Per-file {col: [min, max]} envelopes from parquet footers —
+        metadata-only (no row read). Envelopes for files already present
+        in ``prior`` (the parent manifest) are carried forward unread:
+        files are immutable, so a 100 TB table re-reads footers only for
+        the files THIS commit added."""
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        def jsonable(x):
+            if isinstance(x, (int, float, str)):
+                return x if not (isinstance(x, float) and x != x) else None
+            if isinstance(x, (datetime.datetime, datetime.date)):
+                return x.isoformat()
+            return None  # binary/decimal/etc: skip, prune stays sound
+
+        out: dict = {}
+        for rel in rel_files:
+            if prior and rel in prior:
+                out[rel] = prior[rel]
+                continue
+            meta = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+            env: dict = {}
+            for rg in range(meta.num_row_groups):
+                row_group = meta.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        env[col.path_in_schema] = None
+                        continue
+                    lo, hi = jsonable(st.min), jsonable(st.max)
+                    if lo is None or hi is None:
+                        env[col.path_in_schema] = None
+                        continue
+                    cur = env.get(col.path_in_schema)
+                    if cur is None and col.path_in_schema in env:
+                        continue  # a previous row group had no stats
+                    if cur is None:
+                        env[col.path_in_schema] = [lo, hi]
+                    else:
+                        env[col.path_in_schema] = [
+                            min(cur[0], lo),
+                            max(cur[1], hi),
+                        ]
+            out[rel] = {k: v for k, v in env.items() if v is not None}
+        return out
 
     def read_changes(
         self, from_version: int, to_version: int | None = None
@@ -184,9 +321,15 @@ class TransactionalParquetTable:
         """Atomically publish ``files`` as version base_version+1."""
         os.makedirs(self._log_dir, exist_ok=True)
         next_v = base_version + 1
+        prior = (
+            self._read_manifest(base_version).get("stats")
+            if base_version > 0
+            else None
+        )
         manifest = {
             "version": next_v,
             "files": files,
+            "stats": self._collect_file_stats(files, prior),
             "schema": schema_ddl,
             "txn": None if txn is None else {"app": txn[0], "id": txn[1]},
             "dataChange": data_change,

@@ -199,3 +199,65 @@ def test_compact_is_a_noop_below_threshold(spark, tmp_path):
     t.append(_df(spark, [(1, "a")]).coalesce(1))
     assert t.compact() == 1
     assert len(t.history()) == 1
+
+
+def test_data_skipping_prunes_files_by_stats(spark, tmp_path):
+    """Range-clustered appends leave tight per-file envelopes; a point /
+    range predicate reads only the files that can match, and the
+    pruned read returns exactly what a full-scan filter would."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    # three commits with disjoint k ranges -> disjoint file envelopes
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(50)], "k int, v string"
+            ).coalesce(1)
+        )
+    all_files = t._read_manifest(t.version())["files"]
+    assert len(all_files) == 3
+
+    # point lookup: exactly one file survives pruning
+    cand = t.candidate_files([("k", "=", 120)])
+    assert len(cand) == 1
+    got = sorted(map(tuple, t.read_where([("k", "=", 120)]).collect()))
+    assert got == [(120, "v120")]
+
+    # range predicate spanning two commits: two files survive
+    cand = t.candidate_files([("k", "between", (40, 110))])
+    assert len(cand) == 2
+    got = sorted(map(tuple, t.read_where([("k", "between", (40, 110))]).collect()))
+    want = sorted(
+        map(tuple, t.read().filter(F.col("k").between(40, 110)).collect())
+    )
+    assert got == want
+
+    # impossible predicate: zero files, empty result, schema preserved
+    assert t.candidate_files([("k", ">", 10_000)]) == []
+    empty = t.read_where([("k", ">", 10_000)])
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "v"}
+
+
+def test_data_skipping_string_stats_and_carry_forward(spark, tmp_path):
+    """String envelopes prune too, and a commit re-reads footers only
+    for its own new files (parent stats carried forward by identity)."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "apple"), (2, "banana")], "k int, v string"
+        ).coalesce(1)
+    )
+    m1 = t._read_manifest(1)
+    t.append(
+        spark.createDataFrame([(3, "zebra")], "k int, v string").coalesce(1)
+    )
+    m2 = t._read_manifest(2)
+    # parent file's stats are byte-identical carried-forward objects
+    for f in m1["files"]:
+        assert m2["stats"][f] == m1["stats"][f]
+    # string envelope pruning: only the zebra file can hold v >= 'x'
+    cand = t.candidate_files([("v", ">=", "x")])
+    assert len(cand) == 1
+    assert [tuple(r) for r in t.read_where([("v", ">=", "x")]).collect()] == [
+        (3, "zebra")
+    ]

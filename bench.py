@@ -44,6 +44,8 @@ HEADLINE = [
     "sim_topk_lsh",          # hyperplane-LSH ANN — the 100 TB scale path
     #   (recall >= 60% vs exact sim_topk, pinned by
     #   tests/test_extensions.py; approximate by construction)
+    "sim_topk_pq",           # product-quantization ANN (Arrow encode +
+    #   ADC + exact re-rank; recall pinned like the LSH entry)
     "multimodal_decode",     # Arrow mapInPandas path
 ]
 

@@ -485,6 +485,32 @@ def pq_encode(vec: Column, books: list[list[list[float]]], m: int,
     return F.array(*codes)
 
 
+def pq_encode_arrow(books: list[list[list[float]]], m: int, d_sub: int):
+    """Arrow-vectorized PQ encoder: one numpy matmul per batch instead of
+    m*n_codes interpreted HOF folds per row (~10x on wide codebooks —
+    the pandas_udf-beats-interpreted-expressions case, not the
+    pandas-udf-beats-codegen one). Bit-identical to ``pq_encode``:
+    double-precision scores, same argmax tie-break (numpy argmax and
+    array_position(array_max) both take the FIRST maximum)."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = [np.array(b, dtype=np.float64) for b in books]  # n_codes x d_sub
+    half_norms = [0.5 * (b * b).sum(axis=1) for b in B]
+
+    @pandas_udf("array<int>")
+    def encode(vecs):
+        import pandas as pd
+
+        X = np.array(vecs.tolist(), dtype=np.float64)  # n x dim
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            scores = X[:, j * d_sub : (j + 1) * d_sub] @ B[j].T - half_norms[j]
+            codes[:, j] = scores.argmax(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
 def pq_ann_topk(
     emb: DataFrame,
     query_max_id: int,
@@ -510,11 +536,12 @@ def pq_ann_topk(
     """
     d_sub = dim // m
     books = _pq_codebooks(emb, m, n_codes, dim, vec_col)
+    encode = pq_encode_arrow(books, m, d_sub)
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm_fold(F.col(vec_col)).alias("cnorm"),
-        pq_encode(F.col(vec_col), books, m, d_sub).alias("codes"),
+        encode(F.col(vec_col)).alias("codes"),
     )
     B = np.array(books)  # m x n_codes x d_sub
     q_rows = emb.filter(F.col(id_col) < query_max_id).collect()

@@ -1308,3 +1308,33 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "approx_users",
     )
     return est.unionByName(union)
+
+
+@query(
+    "sample_train_split",
+    oracle="""
+    SELECT CASE WHEN b < 12 THEN 'train'
+                WHEN b < 14 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS b,
+                 n_chars
+          FROM documents)
+    GROUP BY 1
+    """,
+)
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test split keyed on content
+    md5 (not rand()): stable across runs, engines, and re-ingestion of
+    the same document — the property that keeps eval sets leak-free when
+    the corpus is rebuilt. One scan, no shuffle beyond the 3-row agg."""
+    d = load(spark, sf_dir, "documents")
+    b = T.hash_bucket16("text")
+    split = (
+        F.when(b < 12, "train").when(b < 14, "val").otherwise("test")
+    ).alias("split")
+    return d.select(split, "n_chars").groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

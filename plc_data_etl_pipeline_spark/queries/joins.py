@@ -351,3 +351,39 @@ def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue', scale=4)}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join, oracle-checked against the PLAIN join: the
+    big side's key is salted into 8 buckets, the small side replicated
+    once per bucket, the join runs on (key, salt) — and the aggregate
+    proves row multiplicity is preserved exactly (the salt changes
+    execution, never semantics). The defense for power-law keys beyond
+    what AQE's skew split handles (operators/scale.py:salted_join)."""
+    from ..operators.scale import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    j = salted_join(li, o, "l_orderkey", salt_buckets=8, how="inner")
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "revenue",
+            scale=4,
+        ),
+    )

@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import query
+from ._conv import davg, sql_davg
 
 
 @query(
@@ -251,4 +252,29 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("__h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
             "n_events", "open", "high", "low", "close", "volume",
         )
+    )
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle=f"""
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+           COUNT(*) AS n_events,
+           {sql_davg('value', 'avg_value')}
+    FROM events
+    GROUP BY event_type, CAST(EXTRACT(hour FROM ts) AS INT)
+    """,
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per sensor type — the diurnal
+    baseline a monitoring pipeline compares live traffic against.
+    Group-key cardinality is |event_type| x 24 regardless of input size,
+    so the post-shuffle reduce is constant-size at any scale."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        davg("value", "avg_value"),
     )

@@ -243,3 +243,46 @@ def test_incremental_dedup_digest_join_budget(spark):
     assert "LeftAnti" in p
     assert p.count("Arguments: hashpartitioning") <= 2, p
     assert "WindowGroupLimit" in p, "row_number()=1 must partial-limit"
+
+
+def test_shipping_priority_topk_and_joins(spark):
+    """Q3 shape: final top-10 must be TakeOrderedAndProject (no global
+    sort materialization), and no cartesian anywhere."""
+    p = plan(spark, "join_shipping_priority")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final revenue agg
+
+
+def test_exists_subqueries_rewrite_to_semi_anti(spark):
+    """Correlated EXISTS / NOT EXISTS must decorrelate to one semi and
+    one anti join — never a per-row subquery or a cartesian."""
+    p = plan(spark, "subquery_exists")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_outlier_mad_broadcasts_stats_back(spark):
+    """The per-type median/MAD stats (|event_type| rows) must broadcast
+    onto the fact table — the fact never re-shuffles on a new key."""
+    p = plan(spark, "dq_outlier_mad")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_salted_join_no_extra_shuffle_of_salt(spark):
+    """Salted join: the replicated small side must not produce a
+    cartesian; the join itself is a plain equi-join on (key, salt)."""
+    p = plan(spark, "join_salted_skew")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_emb_norm_stats_stays_jvm(spark):
+    """L2-norm audit must be pure JVM HOFs: no Python evaluation in the
+    plan (the fold runs inside codegen, not a UDF)."""
+    p = plan(spark, "emb_norm_stats")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert p.count("HashAggregate") >= 2

@@ -596,3 +596,50 @@ def pq_ann_topk(
             "rank",
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space (sample-trained
+    k-means cells, the IVF building blocks), compare pairs ONLY within a
+    cell, drop every vector whose cosine to a lower-id cell-mate exceeds
+    ``threshold``. Returns the surviving rows.
+
+    Scale posture: candidate generation is the cell equi-self-join — the
+    pair space is sum over cells of |cell|² instead of N² (with balanced
+    cells, N²/n_cells; n_cells grows with corpus size). The known
+    SemDeDup caveat applies: near-dups straddling a cell boundary are
+    missed — the recall/cost knob is n_cells, same trade as the paper.
+    """
+    cents = _seeded_centroids(emb, n_cells, id_col, vec_col, dim)
+    with_cell = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_assign(F.col(vec_col), cents).alias("cell"),
+    )
+    a = with_cell.select(
+        F.col("cell"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    b = with_cell.select(
+        F.col("cell"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    dup_ids = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return emb.join(dup_ids, id_col, "left_anti")

@@ -1338,3 +1338,13 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query("dedup_semantic", oracle=None)  # cell-bounded, approximate recall
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means-cell-bounded cosine pairs,
+    drop the higher-id member of every >=0.95 pair. Pytest plants exact
+    duplicates and checks survivors. Output: surviving ids + label
+    (vectors stay internal — no array columns in declared output)."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(e, threshold=0.95).select("vec_id", "label")

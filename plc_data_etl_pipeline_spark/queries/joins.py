@@ -387,3 +387,33 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             scale=4,
         ),
     )
+
+
+@query(
+    "join_shuffle_hash",
+    oracle=f"""
+    SELECT n.n_name,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c.c_acctbal', 'total_acctbal')}
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control surface: SHUFFLE_HASH hint forces a
+    ShuffledHashJoin (no sort phase on either side) where the planner
+    would default to broadcast/sort-merge — the right call when both
+    sides are large but one partition's build side fits memory, and
+    sorting would dominate (plan locked by tests/test_plans.py).
+    Results are strategy-invariant, which is exactly what the oracle
+    check proves."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation").hint("shuffle_hash")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+    )

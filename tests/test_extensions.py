@@ -531,3 +531,26 @@ def test_hll_union_estimates_within_bounds(spark):
             assert abs(r.approx_users - exact_total) <= 0.05 * exact_total
         else:
             assert abs(r.approx_users - r.exact_users) <= 0.05 * r.exact_users
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    """Exact duplicates planted into the corpus land in the same cell
+    and are dropped; the lower id survives."""
+    emb = load(spark, SF_DIR, "embeddings")
+    dup = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = emb.unionByName(dup)
+    survivors = {
+        r.vec_id for r in S.semantic_dedup(corpus, threshold=0.99).collect()
+    }
+    for i in range(5):
+        assert i in survivors, "original must survive"
+        assert 100000 + i not in survivors, "planted exact dup must drop"
+    # idempotent: re-running on the survivors drops nothing more
+    kept = corpus.join(
+        spark.createDataFrame([(v,) for v in survivors], "vec_id long"),
+        "vec_id",
+    )
+    again = {r.vec_id for r in S.semantic_dedup(kept, threshold=0.99).collect()}
+    assert again == survivors

@@ -286,3 +286,16 @@ def test_emb_norm_stats_stays_jvm(spark):
     assert "BatchEvalPython" not in p
     assert "ArrowEvalPython" not in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_shuffle_hash_hint_respected(spark):
+    p = plan(spark, "join_shuffle_hash")
+    assert "ShuffledHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_semantic_dedup_cell_join_not_cartesian(spark):
+    """SemDeDup candidate pairs must come from the cell equi-join."""
+    p = plan(spark, "dedup_semantic")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

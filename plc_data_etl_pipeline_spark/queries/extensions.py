@@ -1348,3 +1348,42 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vectors stay internal — no array columns in declared output)."""
     e = load(spark, sf_dir, "embeddings")
     return S.semantic_dedup(e, threshold=0.95).select("vec_id", "label")
+
+
+@query(
+    "multimodal_framesample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             ['png', 'jpeg', 'wav'][(doc_id % 3) + 1] AS format,
+             text,
+             CAST(FLOOR(LENGTH(text) / 64.0) AS BIGINT) AS n_frames
+      FROM documents
+    )
+    SELECT media_id, format, n_frames,
+           md5(array_to_string(
+             [text[i * 64 + 1 : i * 64 + 16]
+              FOR i IN range(0, CAST(GREATEST(n_frames - 1, 0) AS INT) + 1)],
+             '')) AS frame_digest
+    FROM m
+    """,
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque media payloads (the video keyframe
+    stand-in): JVM-side binary slicing every 64 bytes, 16-byte frames —
+    no Python in the sampling pass. ORACLE-CHECKED because the synthetic
+    payloads are UTF-8 text bytes, so the byte slices are expressible as
+    SQL substrings; the declared output digests the frame list to one
+    md5 scalar (frames stay internal — no array/binary output columns)."""
+    m = M.synthesize_media(load(spark, sf_dir, "documents"))
+    fs = M.frame_sample(m, every_n_bytes=64)
+    return fs.select(
+        "media_id",
+        "format",
+        "n_frames",
+        F.md5(
+            F.concat_ws(
+                "", F.transform("frames", lambda f: F.decode(f, "UTF-8"))
+            )
+        ).alias("frame_digest"),
+    )

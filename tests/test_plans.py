@@ -81,6 +81,8 @@ def test_no_python_udf_in_relational_paths(spark):
         "udtf_bigrams_lateral",
         "plc_avro_roundtrip",
         "multimodal_decode",
+        "sim_topk_pq",  # Arrow-vectorized PQ encode (deliberate: one
+        #   numpy matmul/batch beats m*n_codes interpreted HOF folds)
     }
     for name in _Q:
         if name in python_ok:

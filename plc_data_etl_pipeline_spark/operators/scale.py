@@ -165,3 +165,46 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    band_us: int,
+) -> DataFrame:
+    """Keyless time-proximity join (|right.ts - left.ts| <= band_us)
+    WITHOUT a cartesian: both sides bucket their event time into
+    band-width cells, the right side probes its own cell and both
+    neighbors (explode x3), and candidates join on the cell id before
+    the exact band predicate runs. Any match is within one band of the
+    left row, so its right bucket is one of {b-1, b, b+1} — each true
+    pair is produced exactly once (the probe set is distinct).
+
+    Scale: pair space is sum over cells of |L_cell| x 3|R_cell| —
+    density-bounded instead of |L| x |R|. The band width is the skew
+    knob: it bounds per-cell population exactly like LSH bucket size.
+    Emits left/right columns prefixed ``l_`` / ``r_`` plus ``dt_us``.
+    """
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    lb = left.select(
+        *[F.col(c).alias(f"l_{c}") for c in left.columns],
+        l_us.alias("__l_us"),
+        F.floor(l_us / band_us).alias("__cell"),
+    )
+    rcell = F.floor(r_us / band_us)
+    rb = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns],
+        r_us.alias("__r_us"),
+        F.explode(
+            F.array(rcell - 1, rcell, rcell + 1)
+        ).alias("__cell"),
+    )
+    return (
+        lb.join(rb, "__cell")
+        .withColumn("dt_us", F.col("__r_us") - F.col("__l_us"))
+        .filter(F.abs(F.col("dt_us")) <= band_us)
+        .drop("__cell", "__l_us", "__r_us")
+    )

@@ -417,3 +417,33 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "total_acctbal"),
         )
     )
+
+
+@query(
+    "join_band_time",
+    oracle="""
+    SELECT a.event_id AS err_id, b.event_id AS buy_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+    FROM events a JOIN events b
+      ON ABS(epoch_us(b.ts) - epoch_us(a.ts)) <= 60000000
+    WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+    """,
+)
+def join_band_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless band join: every purchase within +-60s of an error event —
+    NO shared key exists, so a naive theta join is a cartesian. The
+    bucketed band join (operators/scale.py:band_join) cells event time
+    into band-width buckets and probes only neighbor cells; the oracle
+    is the brute-force inequality join, proving the bucketing loses no
+    pair and invents none."""
+    from ..operators.scale import band_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    buys = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    j = band_join(errors, buys, "ts", "ts", band_us=60_000_000)
+    return j.select(
+        F.col("l_event_id").alias("err_id"),
+        F.col("r_event_id").alias("buy_id"),
+        "dt_us",
+    )

@@ -301,3 +301,11 @@ def test_semantic_dedup_cell_join_not_cartesian(spark):
     p = plan(spark, "dedup_semantic")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_band_join_no_cartesian(spark):
+    """The keyless time-band join must run as an equi-join on the cell
+    id — never a nested-loop/cartesian over the two sides."""
+    p = plan(spark, "join_band_time")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

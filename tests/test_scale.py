@@ -246,3 +246,40 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_band_join_exact_boundaries_and_cross_cell(spark):
+    """Band join finds pairs exactly at the band edge and pairs whose
+    cells differ (neighbor-probe coverage), and emits each pair once."""
+    import datetime as dt
+
+    from plc_data_etl_pipeline_spark.operators.scale import band_join
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def t(sec, us=0):
+        return base + dt.timedelta(seconds=sec, microseconds=us)
+
+    left = spark.createDataFrame(
+        [(1, t(100)), (2, t(500))], "id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, t(40)),        # exactly -60s from id 1: in band
+            (11, t(160)),       # exactly +60s from id 1: in band
+            (12, t(160, 1)),    # 60s + 1us: out of band
+            (13, t(119)),       # same pair, different cell than id 1
+            (14, t(505)),       # near id 2
+        ],
+        "id long, ts timestamp",
+    )
+    got = sorted(
+        (r.l_id, r.r_id, r.dt_us)
+        for r in band_join(left, right, "ts", "ts", 60_000_000).collect()
+    )
+    assert got == [
+        (1, 10, -60_000_000),
+        (1, 11, 60_000_000),
+        (1, 13, 19_000_000),
+        (2, 14, 5_000_000),
+    ]

@@ -13,6 +13,7 @@ Importing this package registers every query into
 * advanced     — pivot, subqueries, SQL CTEs, CSV/JSON source round-trips
 * stream_batch — batch-expressible event-time windows (tumbling/sliding/session)
 * timeseries   — gap fill / LOCF interpolation / deterministic mode
+* tpch_shapes  — classic decision-support shapes (Q2/Q7/Q8/Q10/Q13-Q19/Q22)
 * extensions   — dedup / similarity / text analysis / multimodal
 * parity       — reference-pipeline parity queries (avro, sink, UDF paths)
 """
@@ -28,5 +29,6 @@ from . import (  # noqa: F401
     sort_set,
     stream_batch,
     timeseries,
+    tpch_shapes,
     windows,
 )

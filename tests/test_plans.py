@@ -309,3 +309,58 @@ def test_band_join_no_cartesian(spark):
     p = plan(spark, "join_band_time")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q19_disjunction_pushes_common_ranges(spark):
+    """Q19 shape: Catalyst must extract the common quantity range from
+    the OR'd triples and push it into the lineitem scan, and the part
+    side must broadcast — one fact pass, no shuffle."""
+    p = plan(spark, "q19_disjunctive_revenue")
+    assert "PushedFilters:" in p
+    pushed = p.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_quantity" in pushed, "common OR range not pushed to scan"
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q17_decorrelated_single_fact_agg(spark):
+    """Q17 shape: the correlated avg-quantity subquery must decorrelate
+    into a broadcast join-back, never a per-row subquery; both fact
+    passes keep partial aggregation."""
+    p = plan(spark, "q17_small_quantity_revenue")
+    assert p.count("BroadcastHashJoin") >= 2  # part filter + avg join-back
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q13_outer_join_count_two_level_agg(spark):
+    """Q13 shape: outer join preserves zero-order customers and the two
+    stacked aggs are both partial+final (4 HashAggregate nodes)."""
+    p = plan(spark, "q13_order_count_distribution")
+    assert p.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in p
+
+
+def test_q18_having_agg_runs_before_joins(spark):
+    """Q18 shape: the qty>300 HAVING must filter the grouped fact BEFORE
+    the orders/customer joins (survivors then broadcast under AQE)."""
+    p = plan(spark, "q18_large_orders")
+    assert "sum_qty" in p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q15_scalar_max_broadcasts(spark):
+    """Q15 shape: the 1-row max revenue and the supplier dim both
+    broadcast — the rev view never re-shuffles for the threshold."""
+    p = plan(spark, "q15_top_supplier")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_q10_top20_no_global_sort(spark):
+    """Q10 shape: the LIMIT 20 over exact-cents revenue must compile to
+    TakeOrderedAndProject, not a full sort of the grouped result."""
+    p = plan(spark, "q10_returned_revenue")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p

@@ -21,6 +21,7 @@ Importing this package registers every query into
 from . import (  # noqa: F401
     advanced,
     aggregates,
+    curation,
     extensions,
     joins,
     parity,

@@ -1,0 +1,227 @@
+"""Corpus-curation audit operators: character-class entropy, exact
+percentile length trimming, and int8 embedding-quantization QA.
+
+These extend the training-data family (SURVEY.md §8 "Sampling/packing" /
+"Text" / "Similarity") with three ops a 100 TB curation pipeline runs
+routinely: a cheap gibberish/binary-noise detector, distribution-tail
+document trimming, and a compression-loss audit before shipping
+quantized embeddings to an ANN index.
+
+Determinism notes (per ``_conv`` conventions): the entropy is a FIXED
+four-term expression evaluated in the same written order on both
+engines, floor-quantized to 6 digits to absorb last-ulp libm log2
+differences; the trim thresholds are pure integer arithmetic; the
+quantization audit is exact — every output is either integer math or a
+MAX over bit-identical IEEE intermediates (no float summation anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+from ._conv import quant, sql_quant
+
+# Per-class entropy term: p*log2(p) with the zero-count guard. The four
+# terms are summed in one fixed textual order on both engines.
+_TERM_SQL = (
+    "CASE WHEN {c} > 0 THEN (CAST({c} AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * LOG2(CAST({c} AS DOUBLE) / CAST(n AS DOUBLE)) ELSE 0.0 END"
+)
+
+
+def _term(c: F.Column) -> F.Column:
+    p = c.cast("double") / F.col("n").cast("double")
+    return F.when(c > 0, p * F.log2(p)).otherwise(F.lit(0.0))
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, LENGTH(text) AS n,
+             LENGTH(text) - LENGTH(regexp_replace(lower(text), '[a-z]', '', 'g')) AS c_alpha,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS c_digit,
+             LENGTH(text) - LENGTH(replace(text, ' ', '')) AS c_space
+      FROM documents WHERE LENGTH(text) > 0
+    )
+    SELECT doc_id, n, c_alpha, c_digit, c_space,
+           {ent} AS char_entropy
+    FROM (SELECT *, n - c_alpha - c_digit - c_space AS c_other FROM c) t
+    """.format(
+        ent=sql_quant(
+            "-(" + " + ".join(
+                _TERM_SQL.format(c=c)
+                for c in ("c_alpha", "c_digit", "c_space", "c_other")
+            ) + ")",
+            6,
+        )
+    ),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class entropy (alpha/digit/space/other, base-2): the
+    cheap gibberish detector — natural prose sits near ~1.2-1.6 bits,
+    base64/binary noise saturates toward 2, single-class runs hit 0.
+
+    Scale posture: four regexp_replace+length expressions per row inside
+    whole-stage codegen, one scan, zero shuffles (no aggregation). The
+    entropy sum is a fixed 4-term expression — NOT a float aggregation —
+    so cross-engine determinism needs only the 6-digit floor quant
+    (absorbing last-ulp libm log2 differences).
+    """
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    base = d.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.lower(F.col("text")), "[a-z]", ""))
+        ).alias("c_alpha"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).alias("c_digit"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+        ).alias("c_space"),
+    ).withColumn("c_other", F.col("n") - F.col("c_alpha") - F.col("c_digit") - F.col("c_space"))
+    ent = -(
+        _term(F.col("c_alpha"))
+        + _term(F.col("c_digit"))
+        + _term(F.col("c_space"))
+        + _term(F.col("c_other"))
+    )
+    return base.select(
+        "doc_id", "n", "c_alpha", "c_digit", "c_space",
+        quant(ent, 6).alias("char_entropy"),
+    )
+
+
+@query(
+    "text_length_trim",
+    oracle="""
+    WITH g AS (SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY n_chars),
+         w AS (SELECT n_chars,
+                      SUM(c) OVER (ORDER BY n_chars
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+               FROM g),
+         t AS (SELECT COUNT(*) AS n FROM documents),
+         b AS (SELECT MIN(CASE WHEN cum >= (5 * n + 99) // 100
+                               THEN n_chars END) AS lo_cut,
+                      MIN(CASE WHEN cum >= (95 * n + 99) // 100
+                               THEN n_chars END) AS hi_cut
+               FROM w, t)
+    SELECT d.doc_id, d.n_chars, d.source, b.lo_cut, b.hi_cut
+    FROM documents d, b
+    WHERE d.n_chars BETWEEN b.lo_cut AND b.hi_cut
+    """,
+)
+def text_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-tail trimming: keep documents inside the exact
+    [p5, p95] band of the corpus length distribution (ceil-rank
+    definition), the standard too-short/too-long curation cut.
+
+    Scale posture: the percentile does NOT sort the corpus — lengths
+    first collapse to a per-value count (partial agg over a small value
+    domain), the cumulative rank runs over that tiny table (single
+    in-memory window), and the two cut points broadcast back as a 1-row
+    scalar. All threshold math is integer (ceil via (k*n+99) div 100) —
+    no float percentile ambiguity between engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("n_chars").agg(F.count("*").alias("c"))
+    w = g.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    tot = d.agg(F.count("*").alias("n"))
+    b = (
+        w.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(5 * n + 99) div 100"), F.col("n_chars")
+                )
+            ).alias("lo_cut"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(95 * n + 99) div 100"), F.col("n_chars")
+                )
+            ).alias("hi_cut"),
+        )
+    )
+    return (
+        d.crossJoin(F.broadcast(b))
+        .filter(F.col("n_chars").between(F.col("lo_cut"), F.col("hi_cut")))
+        .select("doc_id", "n_chars", "source", "lo_cut", "hi_cut")
+    )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, xd,
+             list_max(list_transform(xd, y -> abs(y))) / 127.0 AS scale
+      FROM e
+      WHERE list_max(list_transform(xd, y -> abs(y))) > 0
+    ),
+    r AS (SELECT vec_id, scale, unnest(xd) AS x FROM s),
+    q AS (SELECT vec_id, scale, x,
+                 CAST(FLOOR(x / scale + 0.5) AS BIGINT) AS qv
+          FROM r)
+    SELECT vec_id, scale,
+           MAX(abs(CAST(qv AS DOUBLE) * scale - x)) AS max_abs_err,
+           CAST(SUM(qv) AS BIGINT) AS q_sum,
+           CAST(SUM(CASE WHEN abs(qv) = 127 THEN 1 ELSE 0 END) AS INT)
+             AS n_saturated
+    FROM q GROUP BY vec_id, scale
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization audit: per-vector scale = max|x|/127,
+    round-half-up codes, and the reconstruction-error report a pipeline
+    checks before swapping an ANN index to quantized storage.
+
+    Exactness: scale is one IEEE division; codes are floor(x/scale+0.5)
+    (identical in both engines — no ROUND tie ambiguity); max_abs_err is
+    a MAX over bit-identical products (never a float sum); q_sum is
+    integer. So the whole audit hash-matches DuckDB with NO rounding.
+
+    Scale posture: pure JVM higher-order functions over the embedding
+    array — one scan, no explode, no shuffle, no Python. The oracle
+    unnests instead (exact aggregates make the two shapes equivalent).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", xd.alias("xd")).withColumn(
+        "maxabs", F.array_max(F.transform("xd", F.abs))
+    ).filter(F.col("maxabs") > 0)
+    scaled = base.withColumn("scale", F.col("maxabs") / 127.0).withColumn(
+        "qv",
+        F.transform(
+            "xd", lambda x: F.floor(x / F.col("scale") + 0.5).cast("bigint")
+        ),
+    )
+    return scaled.select(
+        "vec_id",
+        "scale",
+        F.array_max(
+            F.zip_with(
+                "xd", "qv", lambda x, q: F.abs(q.cast("double") * F.col("scale") - x)
+            )
+        ).alias("max_abs_err"),
+        F.aggregate(
+            "qv", F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        ).alias("q_sum"),
+        F.size(F.filter("qv", lambda v: F.abs(v) == 127)).alias("n_saturated"),
+    )

@@ -364,3 +364,32 @@ def test_q10_top20_no_global_sort(spark):
     p = plan(spark, "q10_returned_revenue")
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_char_entropy_single_scan_no_shuffle(spark):
+    """Entropy is per-row expression work: no aggregation, no exchange,
+    no Python evaluation — one codegen'd projection over the scan."""
+    p = plan(spark, "text_char_entropy")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_length_trim_never_sorts_corpus(spark):
+    """The exact percentile must come from the per-value count table —
+    the document corpus itself is never globally sorted."""
+    p = plan(spark, "text_length_trim")
+    assert "TakeOrderedAndProject" not in p
+    # the only Sort allowed is the tiny cumulative window over distinct
+    # length values, which sits above a HashAggregate of n_chars; the
+    # 1-row bounds frame may broadcast-nested-loop, but never cartesian
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
+
+
+def test_emb_quantize_stays_jvm_no_explode(spark):
+    """Quantization audit is pure JVM HOFs: no Python eval, no
+    Generate/explode, no shuffle."""
+    p = plan(spark, "emb_quantize_int8")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Generate" not in p
+    assert "Exchange" not in p

@@ -77,14 +77,17 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n"),
         (
             F.length("text")
-            - F.length(F.regexp_replace(F.lower(F.col("text")), "[a-z]", ""))
+            - F.length(
+                F.translate(
+                    F.lower(F.col("text")), "abcdefghijklmnopqrstuvwxyz", ""
+                )
+            )
         ).alias("c_alpha"),
         (
-            F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+            F.length("text") - F.length(F.translate("text", "0123456789", ""))
         ).alias("c_digit"),
         (
-            F.length("text")
-            - F.length(F.regexp_replace("text", " ", ""))
+            F.length("text") - F.length(F.translate("text", " ", ""))
         ).alias("c_space"),
     ).withColumn("c_other", F.col("n") - F.col("c_alpha") - F.col("c_digit") - F.col("c_space"))
     ent = -(

@@ -96,3 +96,34 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly ``gap`` after its predecessor starts a NEW session — Spark's
     window end is exclusive)."""
     return W.session(load(spark, sf_dir, "events"), "10 minutes")
+
+
+@query(
+    "stream_enrich_static",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100 AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (batch twin): events broadcast-joined to
+    the customer dimension, rolled up per (segment, event_type). The
+    identical join body runs under Structured Streaming in
+    tests/test_streaming.py with an AvailableNow trigger — the static
+    side is re-read per micro-batch, never buffered in state."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.joins import enrich_stream_with_dim
+    from ._conv import dsum
+
+    ev = load(spark, sf_dir, "events")
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        enrich_stream_with_dim(ev, dim)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+    )

@@ -93,3 +93,26 @@ def error_purchase_pairs(
         ),
         "purchase_value",
     )
+
+
+def enrich_stream_with_dim(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (batch) dimension with an explicit broadcast hint.
+
+    Scale posture: the static side is stateless — Structured Streaming
+    re-evaluates the dim per micro-batch (picking up new dim files on
+    object storage), and the broadcast keeps the stream side from ever
+    shuffling. State stores are NOT involved: unlike stream-stream
+    joins, nothing is buffered, so this composes freely under any
+    watermark. The same function body is the batch twin (a broadcast
+    hash join) — oracle-checked as ``stream_enrich_static``.
+    """
+    return stream_df.join(
+        F.broadcast(dim_df), stream_df[stream_key] == dim_df[dim_key], how
+    )

@@ -419,3 +419,43 @@ def test_python_datasink_stream_exactly_once_replay(spark, tmp_path):
     assert open(manifest0).read() == before
     assert not os.path.exists(dup.file)
     assert pysink.read_committed(spark, out, schema).count() == n
+
+
+def test_stream_static_enrich_available_now(spark, event_files):
+    """Stream-static broadcast enrichment under Trigger.AvailableNow:
+    the streaming rollup over all micro-batches must equal the batch
+    twin (the oracle-checked stream_enrich_static shape), and the
+    static side must never appear in streaming state."""
+    from plc_data_etl_pipeline_spark.queries._conv import dsum
+    from plc_data_etl_pipeline_spark.streaming.joins import enrich_stream_with_dim
+
+    schema = load(spark, SF_DIR, "events").schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(
+        event_files
+    )
+    dim = load(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+
+    def rollup(df):
+        return (
+            enrich_stream_with_dim(df, dim)
+            .groupBy("c_mktsegment", "event_type")
+            .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        )
+
+    q = (
+        rollup(stream)
+        .writeStream.format("memory")
+        .queryName("enrich_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM enrich_mem").collect())
+    want = _batch_rows(rollup(load(spark, SF_DIR, "events")))
+    assert got == want
+    # AvailableNow drains everything and terminates on its own
+    assert q.lastProgress is not None

@@ -31,6 +31,7 @@ HEADLINE = [
     "agg_rollup",            # grouping sets
     "join_inner",            # fact-fact equi join
     "join_multiway",         # 5-way star join (broadcast dims)
+    "q19_disjunctive_revenue",  # disjunctive-pushdown scan + broadcast join
     "join_asof",             # as-of join (window top-1)
     "win_moving_avg",        # window frames over event stream
     "topk_per_group",        # per-group top-k
@@ -40,6 +41,7 @@ HEADLINE = [
     "dedup_minhash",         # MinHash+LSH fuzzy dedup
     "text_wordcount",        # explode + count
     "text_quality",          # text feature extraction
+    "text_char_entropy",     # char-class entropy (translate-based curation)
     "sim_topk",              # brute-force cosine top-k (exactness baseline)
     "sim_topk_lsh",          # hyperplane-LSH ANN — the 100 TB scale path
     #   (recall >= 60% vs exact sim_topk, pinned by

@@ -185,7 +185,13 @@ def minhash_signatures_arrow(
         import pandas as pd
 
         for pdf in it:
-            ids, sigs = [], []
+            # Python does only the irreducible string work (tokenize +
+            # crc32 per shingle); the permutation/min runs ONCE per batch
+            # as a single k x N matrix + segmented min (minimum.reduceat)
+            # instead of one tiny matmul per document. At sf0.1 batch
+            # sizes (~150 docs) the crc32 loop dominates either way; the
+            # batched form matters at real Arrow batch sizes (10k docs).
+            ids, hs_parts, counts = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 toks = text.split(" ") if isinstance(text, str) else []
                 if len(toks) < shingle_n:
@@ -194,13 +200,22 @@ def minhash_signatures_arrow(
                     zlib.crc32(" ".join(toks[i : i + shingle_n]).encode())
                     for i in range(len(toks) - shingle_n + 1)
                 }
-                hs = np.fromiter(grams, dtype=np.int64) % p
                 ids.append(doc_id)
-                sigs.append(((a_vec[:, None] * hs[None, :] + b_vec[:, None]) % p).min(axis=1))
+                hs_parts.append(
+                    np.fromiter(grams, dtype=np.int64, count=len(grams))
+                )
+                counts.append(len(grams))
             out = {id_col: ids}
-            arr = np.array(sigs) if sigs else np.empty((0, num_hashes), dtype=np.int64)
+            if ids:
+                hs = np.concatenate(hs_parts) % p
+                mat = (a_vec[:, None] * hs[None, :] + b_vec[:, None]) % p
+                bounds = np.zeros(len(counts), dtype=np.int64)
+                np.cumsum(counts[:-1], out=bounds[1:])
+                sig = np.minimum.reduceat(mat, bounds, axis=1)
+            else:
+                sig = np.empty((num_hashes, 0), dtype=np.int64)
             for i in range(num_hashes):
-                out[f"h{i}"] = arr[:, i]
+                out[f"h{i}"] = sig[i]
             yield pd.DataFrame(out)
 
     schema = f"{id_col} long, " + ", ".join(f"h{i} long" for i in range(num_hashes))

@@ -537,12 +537,15 @@ def pq_ann_topk(
     d_sub = dim // m
     books = _pq_codebooks(emb, m, n_codes, dim, vec_col)
     encode = pq_encode_arrow(books, m, d_sub)
+    # The PQ *index*: ids + m byte-sized codes only (the 32x-compressed
+    # representation) — built once and cached, exactly like a real PQ
+    # index is built once at ingest. Raw vectors are NOT carried through
+    # the ADC scan; the exact re-rank fetches them for the tiny
+    # candidate set only (fetch-on-rerank, Jegou et al. §V).
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        norm_fold(F.col(vec_col)).alias("cnorm"),
         encode(F.col(vec_col)).alias("codes"),
-    )
+    ).cache()
     B = np.array(books)  # m x n_codes x d_sub
     q_rows = emb.filter(F.col(id_col) < query_max_id).collect()
     lut_rows = []
@@ -558,17 +561,19 @@ def pq_ann_topk(
         lut_rows,
         "query_id long, qvec array<float>, luts array<array<double>>",
     ).withColumn("qnorm", norm_fold(F.col("qvec")))
-    # ADC score: sum_j luts[j][codes[j]] ~= q . reconstructed(x)
-    idx = F.sequence(F.lit(0), F.lit(m - 1))
-    adc = F.aggregate(
-        idx,
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(
+    # ADC score: sum_j luts[j][codes[j]] ~= q . reconstructed(x).
+    # Unrolled as a fixed m-term expression (m is a compile-time constant)
+    # — stays in whole-stage codegen instead of an interpreted HOF fold.
+    terms = [
+        F.element_at(
             F.element_at(F.col("luts"), j + 1),
             F.element_at(F.col("codes"), j + 1) + 1,
-        ),
-    )
+        )
+        for j in range(m)
+    ]
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
     cand_w = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id")
     )
@@ -582,10 +587,15 @@ def pq_ann_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
+    raw = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
     return (
-        candidates.withColumn(
+        candidates.join(raw, "neighbor_id")
+        .withColumn(
             "cosine_sim",
-            dot_fold(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+            dot_fold(F.col("qvec"), F.col("cvec"))
+            / (F.col("qnorm") * norm_fold(F.col("cvec"))),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -278,3 +278,53 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         davg("value", "avg_value"),
     )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(vals) AS INT) AS n_events,
+           list_reduce(vals, (acc, x) -> acc + 0.2 * (x - acc)) AS ewma_final
+    FROM s
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful streaming EWMA detector
+    (streaming/stateful.py ewma_step: ewma += alpha*(x - ewma),
+    alpha = 0.2): final per-user EWMA over the event stream in event
+    order.
+
+    Determinism: the recursion is ORDER-DEPENDENT by definition, so
+    both engines fold the SAME deterministic sequence — values sorted
+    by (ts, event_id) — with the identical expression acc + 0.2*(x-acc)
+    (Spark F.aggregate left fold ≡ DuckDB list_reduce). The results are
+    bit-exact with no rounding: same operands, same op order.
+
+    Scale posture: one shuffle to group by key; per-key sequences are
+    bounded (a device's history fits an array — the same state-fits-
+    in-memory assumption the streaming operator already makes). For
+    unbounded keys the streaming path with RocksDB state is the
+    answer; this query is its auditable batch oracle.
+    """
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("evs")
+    )
+    vals = F.transform("evs", lambda e: e["value"])
+    sv = s.select("user_id", vals.alias("vals"))
+    fold = F.aggregate(
+        F.expr("slice(vals, 2, greatest(size(vals) - 1, 0))"),
+        F.element_at("vals", 1),
+        lambda acc, x: acc + F.lit(0.2) * (x - acc),
+    )
+    return sv.select(
+        "user_id",
+        F.size("vals").alias("n_events"),
+        fold.alias("ewma_final"),
+    )

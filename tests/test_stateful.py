@@ -128,3 +128,40 @@ def test_transform_with_state_fails_fast_without_protobuf(spark):
     )
     with pytest.raises(RuntimeError, match="protobuf"):
         ST.detect_anomalies_tws(stream)
+
+
+def test_batch_ewma_twin_matches_pure_step_function(spark):
+    """The oracle-checked ts_ewma batch query must reproduce, bit-exactly,
+    the final EWMA the streaming step function (ewma_step) reaches after
+    consuming each user's events in event order — tying the DuckDB-
+    verified batch twin to the stateful streaming operator's math."""
+    from plc_data_etl_pipeline_spark.catalog import load
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_final"])
+        for r in all_queries()["ts_ewma"].fn(spark, SF_DIR).collect()
+    }
+    rows = (
+        load(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    by_user_n: dict = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        # same recursion as ewma_step: ewma += alpha * (x - ewma)
+        if r["user_id"] not in by_user:
+            by_user[r["user_id"]] = r["value"]
+            by_user_n[r["user_id"]] = 1
+        else:
+            prev = by_user[r["user_id"]]
+            by_user[r["user_id"]] = prev + ST.ALPHA * (r["value"] - prev)
+            by_user_n[r["user_id"]] += 1
+    assert set(got) == set(by_user)
+    for uid, ewma in by_user.items():
+        n, final = got[uid]
+        assert n == by_user_n[uid]
+        assert final == ewma, f"user {uid}: {final} != {ewma}"

@@ -132,3 +132,40 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_returnflag", "l_linestatus", F.col("l_shipdate").cast("date").alias("ship_date")
     ).distinct()
+
+
+@query(
+    "set_ops_all",
+    oracle="""
+    WITH a AS (SELECT o_orderpriority, CAST(YEAR(o_orderdate) AS INT) AS yr
+               FROM orders WHERE o_orderstatus = 'F'),
+         b AS (SELECT o_orderpriority, CAST(YEAR(o_orderdate) AS INT) AS yr
+               FROM orders WHERE o_orderstatus = 'O')
+    SELECT 'intersect_all' AS op, *
+    FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'except_all' AS op, *
+    FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    """,
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicity-preserving set operations (INTERSECT ALL / EXCEPT
+    ALL): bag semantics — a row appearing 3x in A and 2x in B survives
+    INTERSECT ALL twice and EXCEPT ALL once. Spark plans both as a
+    single aggregate producing per-row counts on each side followed by a
+    generate (replicate min/diff count) — one shuffle per operator, no
+    join explosion; DuckDB's bag operators are the oracle."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    )
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    )
+    inter = a.intersectAll(b).select(
+        F.lit("intersect_all").alias("op"), "o_orderpriority", "yr"
+    )
+    exc = a.exceptAll(b).select(
+        F.lit("except_all").alias("op"), "o_orderpriority", "yr"
+    )
+    return inter.unionByName(exc)

@@ -245,3 +245,38 @@ def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("last_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     )
+
+
+@query(
+    "win_cumulative_distinct",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    d AS (SELECT first_day AS day, COUNT(*) AS new_users FROM f GROUP BY first_day)
+    SELECT day, new_users,
+           SUM(new_users) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_users
+    FROM d
+    """,
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT count over time (daily new users + running
+    total) — the window shape no engine supports directly
+    (COUNT(DISTINCT) OVER is illegal); the scalable rewrite is
+    first-occurrence-per-key (one keyed agg) -> per-day counts (tiny) ->
+    cumulative sum over the day domain. The corpus never sorts; the
+    window runs over |days| rows only."""
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("first_day")
+    )
+    per_day = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )

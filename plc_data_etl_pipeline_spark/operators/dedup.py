@@ -343,24 +343,37 @@ def minhash_dedup_pairs(
         )
         sigs = minhash_signatures(exploded, id_col, "shingle", num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    # Verify on the candidate pairs ONLY: join the (small) pair list back
-    # to raw text and build shingle sets per surviving row — building
-    # shingle arrays for the whole corpus on both join sides costs ~2
-    # corpus passes of heavy string work; candidates are orders of
-    # magnitude fewer at any realistic dup rate.
-    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
-    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
-    set_a = F.array_distinct(
-        word_shingles(F.split(F.col("text_a"), " "), shingle_n)
+    # Verify on the candidate pairs ONLY — and against shingle arrays
+    # computed ONCE per doc. Without a barrier, Catalyst inlines the
+    # whole split+zip_with shingle chain into the join residual AND the
+    # projection, re-deriving the arrays from raw text per candidate
+    # evaluation: harmless at low dup rates, catastrophic on dup-heavy
+    # corpora where candidates ~ output (measured 27s vs 3s at sf1 with
+    # 90% planted dups). The barrier is F.shuffle() — shingle SETS are
+    # order-insensitive for intersect/union, and a nondeterministic
+    # expression is exactly what stops CollapseProject/PushDownPredicate
+    # from duplicating the chain, with no cached state to leak (an
+    # in-operator .cache() would pile up a copy per invocation).
+    sh = df.select(
+        F.col(id_col).alias("_sid"),
+        F.shuffle(
+            F.array_distinct(
+                word_shingles(F.split(F.col(text_col), " "), shingle_n)
+            )
+        ).alias("_sh"),
     )
-    set_b = F.array_distinct(
-        word_shingles(F.split(F.col("text_b"), " "), shingle_n)
-    )
+    sa = sh.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("set_a"))
+    sb = sh.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("set_b"))
+    # merge hint: the planner must NEVER broadcast a side here. The
+    # corpus sides carry the shingle arrays (10x their scan-stats size
+    # once materialized — a broadcast OOM trap), and the pair side is
+    # output-dependent (dup-heavy corpus -> millions of pairs). A
+    # sort-merge on the id key is safe at every scale and dup rate.
     joined = (
-        cands.join(ta, "id_a")
-        .join(tb, "id_b")
-        .withColumn("set_a", set_a)
-        .withColumn("set_b", set_b)
+        cands.hint("merge")
+        .join(sa, "id_a")
+        .hint("merge")
+        .join(sb, "id_b")
     )
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size(F.array_union("set_a", "set_b"))

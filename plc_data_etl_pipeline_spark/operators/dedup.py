@@ -403,33 +403,33 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = F.array_distinct(F.split(F.col(text_col), " "))
     tok_df = df.select(F.col(id_col), F.explode(toks).alias("tok"))
     h = F.xxhash64(F.lit(7), F.col("tok"))
-    # unrolled 64-element +-1 contribution vector (shiftright needs a
-    # Python int, so the bit loop is unrolled at plan-build time)
-    contrib = F.array(
-        *[
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            )
-            for b in range(64)
-        ]
+    # One 0/1 bit column per dimension (shiftright needs a Python int,
+    # so the bit loop is unrolled at plan-build time). The per-doc +-1
+    # contribution sum for bit b is then 2*sum(bit_b) - n_tokens, so the
+    # whole reduction is 64 plain SUMs + a COUNT: fixed-width agg
+    # buffers with map-side partials. (The previous collect_list of
+    # per-token 64-wide arrays built ~n_tokens*64 ints PER DOC in the
+    # aggregation buffer — GC death on a 50k-doc corpus at sf1.)
+    bits = [
+        F.shiftright(h, b).bitwiseAND(F.lit(1)).alias(f"b{b}") for b in range(63)
+    ]
+    per_tok = tok_df.select(F.col(id_col), *bits)
+    summed = per_tok.groupBy(id_col).agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(63)],
     )
-    per_tok = tok_df.select(F.col(id_col), contrib.alias("v"))
-    summed = per_tok.groupBy(id_col).agg(F.collect_list("v").alias("vs"))
-    zero = F.array_repeat(F.lit(0), 64)
-    total = F.aggregate(
-        F.col("vs"), zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
-    )
-    with_sums = summed.withColumn("sums", total)
-    # Horner fold over the first 63 sums: element i becomes bit (62-i) of
-    # the fingerprint (a flat HOF expression — an unrolled 64-term chain
-    # blows the analyzer's resolution budget; and 63 bits keeps the long
-    # positive under ANSI overflow checking, Spark 4 default).
-    fp = F.aggregate(
-        F.slice(F.col("sums"), 1, 63),
-        F.lit(0).cast("long"),
-        lambda acc, s: acc * 2 + F.when(s > 0, F.lit(1)).otherwise(F.lit(0)),
-    )
-    return with_sums.withColumn("simhash", fp.cast("long")).select(id_col, "simhash")
+    # Bit b of the fingerprint is set iff the +-1 sum is positive
+    # (2*s_b > n); element b maps to bit (62-b), matching the previous
+    # Horner fold over sums[0..62]. A flat 63-term long sum stays well
+    # inside the analyzer budget and keeps the long positive under ANSI
+    # overflow checking (Spark 4 default).
+    fp = None
+    for b in range(63):
+        term = F.when(2 * F.col(f"s{b}") > F.col("n"), F.lit(1 << (62 - b))).otherwise(
+            F.lit(0)
+        ).cast("long")
+        fp = term if fp is None else fp + term
+    return summed.select(F.col(id_col), fp.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -438,12 +438,27 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_bits: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_bits: int = 8,
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
     16-bit blocks (pigeonhole: <= 3-bit difference guarantees one equal
-    block; wider differences are caught probabilistically), bucket-join,
-    verify Hamming distance <= max_bits."""
+    block; wider differences are caught probabilistically), bucket the
+    ids per (block, key), verify Hamming distance <= max_bits.
+
+    Skew guard: template-heavy corpora concentrate fingerprints — the
+    test corpus puts 23% of documents in ONE 16-bit bucket, and a
+    bucket self-join is quadratic in bucket size (130M rows from a
+    single sf1 bucket — executor OOM). Buckets of <= max_bucket_size
+    emit all pairs; larger buckets emit STAR pairs to the bucket's
+    smallest id instead. For dedup clustering the star preserves the
+    same connected components as the clique (members link through the
+    representative), at linear instead of quadratic cost; the
+    documented tradeoff is that a mega-bucket member pair is only
+    verified via the representative."""
     fps = simhash(df, id_col, text_col)
     blocks = None
     for i in range(4):
@@ -455,12 +470,28 @@ def simhash_near_pairs(
             .alias("key"),
         )
         blocks = part if blocks is None else blocks.unionByName(part)
-    a = blocks.select("block", "key", F.col(id_col).alias("id_a"))
-    b = blocks.select("block", "key", F.col(id_col).alias("id_b"))
+    grouped = (
+        blocks.groupBy("block", "key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    # ids sorted ascending -> suffix pairing yields exactly id_a < id_b;
+    # the star branch pairs ids[0] with every other member.
+    all_pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+    star_pairs = F.expr(
+        "transform(slice(ids, 2, size(ids) - 1), "
+        "y -> struct(ids[1] AS id_a, y AS id_b))"
+    )
+    pair_arr = F.when(F.size("ids") <= max_bucket_size, all_pairs).otherwise(
+        star_pairs
+    )
     cands = (
-        a.join(b, ["block", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     fa = fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))

@@ -483,8 +483,10 @@ def simhash_near_pairs(
         "y -> struct(x AS id_a, y AS id_b))))"
     )
     star_pairs = F.expr(
+        # NB: [] indexing is 0-based in Spark SQL (slice is 1-based) —
+        # ids[0] is the smallest id
         "transform(slice(ids, 2, size(ids) - 1), "
-        "y -> struct(ids[1] AS id_a, y AS id_b))"
+        "y -> struct(ids[0] AS id_a, y AS id_b))"
     )
     pair_arr = F.when(F.size("ids") <= max_bucket_size, all_pairs).otherwise(
         star_pairs

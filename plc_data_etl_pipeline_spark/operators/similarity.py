@@ -277,9 +277,39 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) via LSH buckets:
     candidate pairs share a bucket (or a Hamming-1 probe), then exact
-    cosine verification. Embedding-space analog of MinHash dedup."""
+    cosine verification. Embedding-space analog of MinHash dedup.
+
+    Exact-first: byte-identical vectors are grouped BEFORE the LSH pass
+    (the production dedup ordering) — each identical-vector group emits
+    star pairs to its smallest id at cosine 1.0, and only the distinct
+    representatives enter the LSH candidate join. On dup-heavy corpora
+    this removes the quadratic identical-pair blowup (10 replicas of a
+    corpus would otherwise put 45x the pairs through the verify join);
+    the returned pair set is a spanning structure of the near-dup graph:
+    connected components (what dedup clustering consumes) are identical
+    to the full clique listing."""
+    groups = emb.groupBy(vec_col).agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    exact_stars = (
+        groups.filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    # NB: [] indexing is 0-based in Spark SQL (slice is
+                    # 1-based) — ids[0] is the smallest id
+                    "transform(slice(ids, 2, size(ids) - 1), "
+                    "y -> struct(ids[0] AS id_a, y AS id_b))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", F.lit(1.0).alias("cosine_sim"))
+    )
+    reps = groups.select(
+        F.element_at("ids", 1).alias(id_col), F.col(vec_col)
+    )
     planes = _hyperplanes(dim, n_planes)
-    with_bucket = emb.select(
+    with_bucket = reps.select(
         F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
     )
     probes = F.array(
@@ -298,15 +328,16 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()  # distinct on ids only; vectors joined back after
     )
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    return (
+    va = reps.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = reps.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    near = (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cosine_sim", cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
     )
+    return near.unionByName(exact_stars)
 
 
 def _seeded_centroids(emb: DataFrame, n_cells: int, id_col: str, vec_col: str,
@@ -628,8 +659,23 @@ def semantic_dedup(
     SemDeDup caveat applies: near-dups straddling a cell boundary are
     missed — the recall/cost knob is n_cells, same trade as the paper.
     """
+    # Exact-first: byte-identical vectors collapse to their smallest id
+    # before the cell self-join. Every non-representative is a dup BY
+    # DEFINITION (cosine 1.0 with its lower-id rep, which shares its
+    # cell), and the survivor set over representatives is provably the
+    # original survivor set (a lower-id identical mate implies an even
+    # lower-id rep with the same cosine). Output rows are EXACTLY the
+    # original semantics; the pair space shrinks from sum |cell|^2 over
+    # raw vectors to distinct vectors only (13x at sf1's 90% dup rate).
+    g = emb.groupBy(vec_col).agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    reps = g.select(F.element_at("ids", 1).alias(id_col), F.col(vec_col))
+    nonrep_ids = g.select(
+        F.explode(F.expr("slice(ids, 2, size(ids) - 1)")).alias(id_col)
+    )
     cents = _seeded_centroids(emb, n_cells, id_col, vec_col, dim)
-    with_cell = emb.select(
+    with_cell = reps.select(
         F.col(id_col),
         F.col(vec_col),
         ivf_assign(F.col(vec_col), cents).alias("cell"),
@@ -644,12 +690,12 @@ def semantic_dedup(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
     )
-    dup_ids = (
+    dup_reps = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("sim") >= threshold)
         .select(F.col("id_b").alias(id_col))
-        .distinct()
     )
+    dup_ids = nonrep_ids.unionByName(dup_reps).distinct()
     return emb.join(dup_ids, id_col, "left_anti")

@@ -554,3 +554,18 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
     )
     again = {r.vec_id for r in S.semantic_dedup(kept, threshold=0.99).collect()}
     assert again == survivors
+
+
+def test_simhash_star_branch_links_to_min_id_without_self_pairs(spark):
+    """Mega-bucket star pairing: identical texts above max_bucket_size
+    must produce (min_id, other) pairs only — no self pairs, and the
+    component stays connected through the representative."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(1, 7)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_pairs(
+            df, "doc_id", "text", max_bits=3, max_bucket_size=2
+        ).collect()
+    }
+    assert pairs == {(1, i) for i in range(2, 7)}

@@ -520,11 +520,36 @@ def minhash_ml_pairs(
     native pipeline (minhash_dedup_pairs). Kept for API parity with
     SURVEY §2.2; the native pipeline is preferred (no Vector conversion,
     map-side-combinable signatures, exact string-set verify instead of
-    hashed-feature Jaccard)."""
+    hashed-feature Jaccard).
+
+    Exact-first: byte-identical texts collapse to their smallest id
+    before the ML join — identical documents never need MinHash, and
+    approxSimilarityJoin has NO bucket cap, so a dup-heavy corpus
+    otherwise explodes its internal self-join (driver OOM at sf1 with
+    90% duplicates). Identical groups emit star pairs at jaccard 1.0;
+    components are preserved."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    g = df.groupBy(text_col).agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    exact_stars = (
+        g.filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    # [] is 0-based in Spark SQL; ids[0] is the smallest
+                    "transform(slice(ids, 2, size(ids) - 1), "
+                    "y -> struct(ids[0] AS id_a, y AS id_b))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
+    )
+    reps = g.select(F.element_at("ids", 1).alias(id_col), F.col(text_col))
+
     toks = F.split(F.col(text_col), " ")
-    sh = df.select(
+    sh = reps.select(
         F.col(id_col),
         F.array_distinct(word_shingles(toks, shingle_n)).alias("shingles"),
     ).filter(F.size("shingles") > 0)
@@ -537,7 +562,7 @@ def minhash_ml_pairs(
     pairs = model.approxSimilarityJoin(
         feats, feats, 1.0 - threshold, distCol="jaccard_dist"
     )
-    return (
+    near = (
         pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
         .select(
             F.col(f"datasetA.{id_col}").alias("id_a"),
@@ -545,6 +570,7 @@ def minhash_ml_pairs(
             F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard"),
         )
     )
+    return near.unionByName(exact_stars)
 
 
 # ---------------------------------------------------------------------------

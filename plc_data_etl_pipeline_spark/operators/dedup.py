@@ -222,6 +222,28 @@ def minhash_signatures_arrow(
     return df.select(id_col, text_col).mapInPandas(batches, schema)
 
 
+def suffix_pairs_expr(ids: str = "ids") -> Column:
+    """All ordered pairs from a SORTED id array: element i paired with
+    every later element — exactly the id_a < id_b pairs. (``[]`` is
+    0-based in Spark SQL; ``slice()`` is 1-based.)"""
+    return F.expr(
+        f"flatten(transform({ids}, (x, i) -> "
+        f"transform(slice({ids}, i + 2, size({ids})), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+
+
+def star_pairs_expr(ids: str = "ids") -> Column:
+    """Representative star over a SORTED id array: the smallest id
+    paired with every other member — linear in group size, and for
+    dedup clustering it preserves the same connected components as the
+    full clique. (``ids[0]`` — ``[]`` is 0-based in Spark SQL.)"""
+    return F.expr(
+        f"transform(slice({ids}, 2, size({ids}) - 1), "
+        f"y -> struct({ids}[0] AS id_a, y AS id_b))"
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str,
@@ -270,18 +292,9 @@ def lsh_candidate_pairs(
     )
     if max_bucket_size is not None:
         grouped = grouped.filter(F.size("ids") <= max_bucket_size)
-    # ids is sorted ascending, so pairing each element with its suffix
-    # yields exactly the id_a < id_b pairs.
-    pair_expr = F.explode(
-        F.expr(
-            "flatten(transform(ids, (x, i) -> "
-            "transform(slice(ids, i + 2, size(ids)), "
-            "y -> struct(x AS id_a, y AS id_b))))"
-        )
-    )
     return (
         grouped.filter(F.size("ids") >= 2)
-        .select(pair_expr.alias("p"))
+        .select(F.explode(suffix_pairs_expr()).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
@@ -295,7 +308,12 @@ def jaccard_verify(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs via two joins to the (bounded)
-    per-doc shingle arrays; keeps pairs with similarity >= threshold."""
+    per-doc shingle arrays; keeps pairs with similarity >= threshold.
+
+    Both joins are hinted sort-merge: the planner must NEVER broadcast a
+    side here — the set side is far larger materialized than its scan
+    stats suggest (a broadcast-OOM trap measured at sf1), and the pair
+    side is output-dependent (dup-heavy corpus -> millions of pairs)."""
     sa = shingle_sets.select(
         F.col(id_col).alias("id_a"), F.col(set_col).alias("set_a")
     )
@@ -305,7 +323,9 @@ def jaccard_verify(
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size(F.array_union("set_a", "set_b"))
     return (
-        pairs.join(sa, "id_a")
+        pairs.hint("merge")
+        .join(sa, "id_a")
+        .hint("merge")
         .join(sb, "id_b")
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
@@ -355,33 +375,14 @@ def minhash_dedup_pairs(
     # from duplicating the chain, with no cached state to leak (an
     # in-operator .cache() would pile up a copy per invocation).
     sh = df.select(
-        F.col(id_col).alias("_sid"),
+        F.col(id_col),
         F.shuffle(
             F.array_distinct(
                 word_shingles(F.split(F.col(text_col), " "), shingle_n)
             )
-        ).alias("_sh"),
+        ).alias("shingles"),
     )
-    sa = sh.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("set_a"))
-    sb = sh.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("set_b"))
-    # merge hint: the planner must NEVER broadcast a side here. The
-    # corpus sides carry the shingle arrays (10x their scan-stats size
-    # once materialized — a broadcast OOM trap), and the pair side is
-    # output-dependent (dup-heavy corpus -> millions of pairs). A
-    # sort-merge on the id key is safe at every scale and dup rate.
-    joined = (
-        cands.hint("merge")
-        .join(sa, "id_a")
-        .hint("merge")
-        .join(sb, "id_b")
-    )
-    inter = F.size(F.array_intersect("set_a", "set_b"))
-    union = F.size(F.array_union("set_a", "set_b"))
-    return (
-        joined.withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return jaccard_verify(cands, sh, id_col, "shingles", threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -396,8 +397,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the fingerprint sets bit b iff the sum is positive. Near-duplicate
     texts differ in few bits (compare via popcount of XOR).
 
-    Implementation: per-token ±1 contribution vectors (length-64 arrays),
-    reduced per document with an elementwise zip_with sum — no Python, no
+    Implementation: one 0/1 bit column per dimension from the token
+    hash, reduced per document with 63 plain SUM aggregates plus a
+    COUNT (the ±1 sum for bit b is 2*sum(bit_b) - n_tokens) — no
+    Python, fixed-width aggregation buffers, map-side partials, no
     explode blow-up beyond the token count.
     """
     toks = F.array_distinct(F.split(F.col(text_col), " "))
@@ -449,20 +452,37 @@ def simhash_near_pairs(
     block; wider differences are caught probabilistically), bucket the
     ids per (block, key), verify Hamming distance <= max_bits.
 
+    Exact-first on the fingerprint: documents sharing an IDENTICAL
+    fingerprint are Hamming-0 pairs by definition — each identical
+    group emits star pairs to its smallest id immediately (always
+    passing the verify), and only DISTINCT fingerprints enter the
+    block banding. This keeps identical near-dups from being lost to
+    the skew guard below, and shrinks the bucket join to distinct
+    fingerprints.
+
     Skew guard: template-heavy corpora concentrate fingerprints — the
     test corpus puts 23% of documents in ONE 16-bit bucket, and a
     bucket self-join is quadratic in bucket size (130M rows from a
     single sf1 bucket — executor OOM). Buckets of <= max_bucket_size
-    emit all pairs; larger buckets emit STAR pairs to the bucket's
-    smallest id instead. For dedup clustering the star preserves the
-    same connected components as the clique (members link through the
-    representative), at linear instead of quadratic cost; the
-    documented tradeoff is that a mega-bucket member pair is only
-    verified via the representative."""
+    DISTINCT fingerprints emit all pairs; larger buckets emit star
+    pairs to the bucket's smallest representative. The star preserves
+    connected components for dedup clustering at linear cost; the
+    documented recall tradeoff (a mega-bucket pair is only verified via
+    the representative) now applies only past max_bucket_size DISTINCT
+    fingerprints in one 16-bit bucket."""
     fps = simhash(df, id_col, text_col)
+    g = fps.groupBy("simhash").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    exact_stars = (
+        g.filter(F.size("ids") >= 2)
+        .select(F.explode(star_pairs_expr()).alias("p"))
+        .select("p.id_a", "p.id_b", F.lit(0).alias("hamming"))
+    )
+    reps = g.select(F.element_at("ids", 1).alias(id_col), F.col("simhash"))
     blocks = None
     for i in range(4):
-        part = fps.select(
+        part = reps.select(
             F.col(id_col),
             F.lit(i).alias("block"),
             F.shiftrightunsigned(F.col("simhash"), i * 16)
@@ -475,36 +495,24 @@ def simhash_near_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    # ids sorted ascending -> suffix pairing yields exactly id_a < id_b;
-    # the star branch pairs ids[0] with every other member.
-    all_pairs = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), "
-        "y -> struct(x AS id_a, y AS id_b))))"
-    )
-    star_pairs = F.expr(
-        # NB: [] indexing is 0-based in Spark SQL (slice is 1-based) —
-        # ids[0] is the smallest id
-        "transform(slice(ids, 2, size(ids) - 1), "
-        "y -> struct(ids[0] AS id_a, y AS id_b))"
-    )
-    pair_arr = F.when(F.size("ids") <= max_bucket_size, all_pairs).otherwise(
-        star_pairs
-    )
+    pair_arr = F.when(
+        F.size("ids") <= max_bucket_size, suffix_pairs_expr()
+    ).otherwise(star_pairs_expr())
     cands = (
         grouped.select(F.explode(pair_arr).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    fa = fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
-    fb = fps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
-    return (
+    fa = reps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"))
+    fb = reps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"))
+    near = (
         cands.join(fa, "id_a")
         .join(fb, "id_b")
         .withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
         .filter(F.col("hamming") <= max_bits)
         .select("id_a", "id_b", "hamming")
     )
+    return near.unionByName(exact_stars)
 
 
 def minhash_ml_pairs(
@@ -527,23 +535,21 @@ def minhash_ml_pairs(
     approxSimilarityJoin has NO bucket cap, so a dup-heavy corpus
     otherwise explodes its internal self-join (driver OOM at sf1 with
     90% duplicates). Identical groups emit star pairs at jaccard 1.0;
-    components are preserved."""
+    components are preserved. Degenerate rows (NULL text, or fewer
+    tokens than shingle_n) are excluded up front — exactly the rows
+    the shingle filter always dropped — so they are never reported as
+    jaccard-1.0 duplicates of each other."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    g = df.groupBy(text_col).agg(
+    eligible = df.filter(
+        F.size(F.split(F.col(text_col), " ")) >= F.lit(shingle_n)
+    )
+    g = eligible.groupBy(text_col).agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     )
     exact_stars = (
         g.filter(F.size("ids") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    # [] is 0-based in Spark SQL; ids[0] is the smallest
-                    "transform(slice(ids, 2, size(ids) - 1), "
-                    "y -> struct(ids[0] AS id_a, y AS id_b))"
-                )
-            ).alias("p")
-        )
+        .select(F.explode(star_pairs_expr()).alias("p"))
         .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
     )
     reps = g.select(F.element_at("ids", 1).alias(id_col), F.col(text_col))

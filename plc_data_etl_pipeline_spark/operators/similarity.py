@@ -287,22 +287,20 @@ def embedding_near_dup_pairs(
     corpus would otherwise put 45x the pairs through the verify join);
     the returned pair set is a spanning structure of the near-dup graph:
     connected components (what dedup clustering consumes) are identical
-    to the full clique listing."""
-    groups = emb.groupBy(vec_col).agg(
+    to the full clique listing. Degenerate vectors (NULL, or all-zero —
+    cosine undefined) are excluded up front, matching the original
+    behavior where they could never pass the cosine filter."""
+    from .dedup import star_pairs_expr
+
+    valid = emb.filter(
+        F.col(vec_col).isNotNull() & F.exists(F.col(vec_col), lambda x: x != 0)
+    )
+    groups = valid.groupBy(vec_col).agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     )
     exact_stars = (
         groups.filter(F.size("ids") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    # NB: [] indexing is 0-based in Spark SQL (slice is
-                    # 1-based) — ids[0] is the smallest id
-                    "transform(slice(ids, 2, size(ids) - 1), "
-                    "y -> struct(ids[0] AS id_a, y AS id_b))"
-                )
-            ).alias("p")
-        )
+        .select(F.explode(star_pairs_expr()).alias("p"))
         .select("p.id_a", "p.id_b", F.lit(1.0).alias("cosine_sim"))
     )
     reps = groups.select(
@@ -569,14 +567,15 @@ def pq_ann_topk(
     books = _pq_codebooks(emb, m, n_codes, dim, vec_col)
     encode = pq_encode_arrow(books, m, d_sub)
     # The PQ *index*: ids + m byte-sized codes only (the 32x-compressed
-    # representation) — built once and cached, exactly like a real PQ
-    # index is built once at ingest. Raw vectors are NOT carried through
-    # the ADC scan; the exact re-rank fetches them for the tiny
-    # candidate set only (fetch-on-rerank, Jegou et al. §V).
+    # representation). Raw vectors are NOT carried through the ADC
+    # scan; the exact re-rank fetches them for the tiny candidate set
+    # only (fetch-on-rerank, Jegou et al. §V). No in-operator cache —
+    # each call would pin a fresh copy of executor storage for the
+    # session; callers that reuse the index reuse the DataFrame.
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         encode(F.col(vec_col)).alias("codes"),
-    ).cache()
+    )
     B = np.array(books)  # m x n_codes x d_sub
     q_rows = emb.filter(F.col(id_col) < query_max_id).collect()
     lut_rows = []
@@ -667,7 +666,13 @@ def semantic_dedup(
     # lower-id rep with the same cosine). Output rows are EXACTLY the
     # original semantics; the pair space shrinks from sum |cell|^2 over
     # raw vectors to distinct vectors only (13x at sf1's 90% dup rate).
-    g = emb.groupBy(vec_col).agg(
+    # NULL/all-zero vectors are excluded from the grouping (cosine is
+    # undefined, so the original pairwise path never dropped them) —
+    # they pass through the final anti-join untouched.
+    valid = emb.filter(
+        F.col(vec_col).isNotNull() & F.exists(F.col(vec_col), lambda x: x != 0)
+    )
+    g = valid.groupBy(vec_col).agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     )
     reps = g.select(F.element_at("ids", 1).alias(id_col), F.col(vec_col))

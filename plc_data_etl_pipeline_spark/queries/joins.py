@@ -447,3 +447,64 @@ def join_band_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("buy_id"),
         "dt_us",
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e LEFT JOIN orders o
+        ON e.user_id = o.o_custkey
+           AND o.o_orderdate <= e.ts
+           AND o.o_orderdate >= e.ts - INTERVAL 90 DAY
+      WHERE e.event_type = 'purchase'
+    )
+    SELECT event_id, user_id, o_orderkey,
+           CAST(o_orderdate AS DATE) AS asof_orderdate
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (pandas merge_asof
+    ``tolerance`` analog): the most recent order at-or-before each
+    purchase event, but only within a 90-day window — events whose
+    nearest order is staler keep NULLs (LEFT semantics), the standard
+    contract for sensor/price lookups where an old reading is worse
+    than none.
+
+    Plan shape: same packed-BIGINT max aggregate as join_asof (map-side
+    partial, no window sort); the tolerance bound ALSO shrinks the
+    intermediate join — at 100 TB the [ts-90d, ts] band is what keeps
+    the per-event candidate set constant as history grows. LEFT
+    semantics come from joining the aggregated matches back to the
+    event spine (NULL-propagating unpack)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    o = load(spark, sf_dir, "orders")
+    joined = ev.join(
+        o,
+        (ev.user_id == o.o_custkey)
+        & (o.o_orderdate <= ev.ts)
+        & (o.o_orderdate >= ev.ts - F.expr("INTERVAL 90 DAYS")),
+    )
+    packed = (
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("long")
+        * F.lit(1 << 43)
+        + F.col("o_orderkey")
+    )
+    matches = joined.groupBy("event_id").agg(F.max(packed).alias("m"))
+    return (
+        ev.select("event_id", "user_id")
+        .join(matches, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("m") % F.lit(1 << 43)).alias("o_orderkey"),
+            F.date_from_unix_date(
+                F.shiftright(F.col("m"), 43).cast("int")
+            ).alias("asof_orderdate"),
+        )
+    )

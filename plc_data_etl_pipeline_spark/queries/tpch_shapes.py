@@ -607,3 +607,166 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("numcust"), dsum("c_acctbal", "totacctbal"))
     )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: orders per priority class that have at least one line
+    shipped after the order date (correlated EXISTS with a non-equi
+    correlate -> left-semi join with the date comparison as residual).
+
+    Plan: the quarter filter pushes into the orders scan first; the
+    semi-join never duplicates orders, so the final count needs no
+    dedup. The lineitem side prunes to (l_orderkey, l_shipdate) only.
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM({prod_c}) AS DOUBLE) / 10000 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """.format(prod_c=sql_cents("l_extendedprice * l_discount", 4)),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: the canonical scan-and-sum — revenue delta from a
+    discount-policy change, three conjunctive filters, no join at all.
+    Every predicate pushes into the parquet scan (row-group pruning on
+    shipdate); the single-row answer is a map-side partial sum.
+    l_discount is an exact 2-decimal value, so the BETWEEN bounds
+    compare exactly in both engines; the price*discount product is an
+    exact 4-decimal -> integer-cents sum."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice") * F.col("l_discount"), 4))
+                .cast("double")
+                / 10000
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM({profit_c}) AS DOUBLE) / 10000 AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, CAST(YEAR(o.o_orderdate) AS INT)
+    """.format(
+        profit_c=sql_cents(
+            "l.l_extendedprice * (1 - l.l_discount)"
+            " - p.p_retailprice * l.l_quantity",
+            4,
+        )
+    ),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (partsupp-free): profit per supplier nation per year for
+    a part-name pattern — revenue minus cost, where cost uses
+    p_retailprice*quantity in place of the missing ps_supplycost.
+
+    Determinism: the profit expression is exact at scale 4 (price and
+    retailprice are 2-decimal, discount 2-decimal, quantity integer),
+    so the signed cents sum is exact. Plan: the LIKE filter broadcasts
+    the pruned part list into the fact scan; supplier/nation broadcast;
+    the only big-big join is orders.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    profit = cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity"),
+        4,
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((F.sum(profit).cast("double") / 10000).alias("profit"))
+    )
+
+
+@query(
+    "q12_priority_class_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q12_priority_class_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipmode-free): conditional CASE counts — high- vs
+    low-priority orders per market segment for one year. The classic
+    pivot-in-aggregate pattern: one pass, two conditional sums, no
+    second grouping. Customer broadcasts under AQE after the year
+    filter shrinks orders."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load(spark, sf_dir, "customer")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )

@@ -396,3 +396,41 @@ def test_emb_quantize_stays_jvm_no_explode(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Generate" not in p
     assert "Exchange" not in p
+
+
+def test_q6_all_predicates_pushed_no_join(spark):
+    """Q6 shape: pure scan-and-sum — every predicate reaches the scan,
+    no join operator anywhere in the plan."""
+    p = plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters:" in p
+    pushed = " ".join(seg.split("\n")[0] for seg in p.split("PushedFilters:")[1:])
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    assert "Join" not in p
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    """Q4 shape: the correlated EXISTS with a non-equi correlate must be
+    a single LeftSemi join (date comparison as residual), never a
+    per-row subquery or cartesian."""
+    p = plan(spark, "q4_order_priority")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q9_dims_broadcast_single_fact_shuffle(spark):
+    """Q9 shape: part/supplier/nation broadcast; the only big-big join
+    is orders."""
+    p = plan(spark, "q9_product_profit")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q12_single_pass_conditional_counts(spark):
+    """Q12 shape: both CASE counts come from ONE aggregation over the
+    joined year slice — no second scan, partial+final agg."""
+    # simple mode prints each node once (formatted repeats scans in the
+    # details section)
+    p = plan(spark, "q12_priority_class_by_segment", mode="simple")
+    assert p.count("Scan parquet") <= 2
+    assert p.count("HashAggregate") >= 2

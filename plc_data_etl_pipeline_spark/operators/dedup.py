@@ -452,6 +452,14 @@ def simhash_near_pairs(
     block; wider differences are caught probabilistically), bucket the
     ids per (block, key), verify Hamming distance <= max_bits.
 
+    PAIR CONTRACT: the result is a SPANNING STRUCTURE of the near-dup
+    graph, not the full clique listing — members of an identical-
+    fingerprint group link through their smallest id (star), and only
+    group representatives pair across fingerprints. Connected
+    components (what dedup clustering consumes) are identical to the
+    clique listing; pair-level completeness is traded for linear cost
+    on dup-heavy corpora.
+
     Exact-first on the fingerprint: documents sharing an IDENTICAL
     fingerprint are Hamming-0 pairs by definition — each identical
     group emits star pairs to its smallest id immediately (always
@@ -480,16 +488,27 @@ def simhash_near_pairs(
         .select("p.id_a", "p.id_b", F.lit(0).alias("hamming"))
     )
     reps = g.select(F.element_at("ids", 1).alias(id_col), F.col("simhash"))
-    blocks = None
-    for i in range(4):
-        part = reps.select(
-            F.col(id_col),
-            F.lit(i).alias("block"),
-            F.shiftrightunsigned(F.col("simhash"), i * 16)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias("key"),
-        )
-        blocks = part if blocks is None else blocks.unionByName(part)
+    # all 4 block keys in ONE projection + explode — a unionByName of 4
+    # per-block projections would re-execute the fingerprint aggregate
+    # subtree once per branch (same reasoning as lsh_candidate_pairs)
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block"),
+                F.shiftrightunsigned(F.col("simhash"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+            for i in range(4)
+        ]
+    )
+    blocks = reps.select(
+        F.col(id_col), F.explode(block_structs).alias("bk")
+    ).select(
+        F.col(id_col),
+        F.col("bk.block").alias("block"),
+        F.col("bk.key").alias("key"),
+    )
     grouped = (
         blocks.groupBy("block", "key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))

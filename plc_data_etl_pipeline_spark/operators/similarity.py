@@ -45,6 +45,16 @@ def norm_fold(a: Column) -> Column:
     return F.sqrt(dot_fold(a, a))
 
 
+def valid_vectors(emb: DataFrame, vec_col: str) -> DataFrame:
+    """Rows whose vector has a defined cosine: non-NULL and not all-zero.
+    Shared by the exact-first dedup paths — degenerate vectors can never
+    pass a cosine threshold, so excluding them up front preserves the
+    pairwise semantics while keeping them out of identity grouping."""
+    return emb.filter(
+        F.col(vec_col).isNotNull() & F.exists(F.col(vec_col), lambda x: x != 0)
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot_fold(a, b) / (norm_fold(a) * norm_fold(b))
 
@@ -292,9 +302,7 @@ def embedding_near_dup_pairs(
     behavior where they could never pass the cosine filter."""
     from .dedup import star_pairs_expr
 
-    valid = emb.filter(
-        F.col(vec_col).isNotNull() & F.exists(F.col(vec_col), lambda x: x != 0)
-    )
+    valid = valid_vectors(emb, vec_col)
     groups = valid.groupBy(vec_col).agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     )
@@ -408,7 +416,11 @@ def ivf_ann_topk(
     """
     import numpy as np
 
-    cents = _seeded_centroids(emb, n_cells, id_col, vec_col, dim)
+    # train centroids on valid vectors only (a NULL vector in the
+    # driver-side sample is a TypeError)
+    cents = _seeded_centroids(
+        valid_vectors(emb, vec_col), n_cells, id_col, vec_col, dim
+    )
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
@@ -668,10 +680,10 @@ def semantic_dedup(
     # raw vectors to distinct vectors only (13x at sf1's 90% dup rate).
     # NULL/all-zero vectors are excluded from the grouping (cosine is
     # undefined, so the original pairwise path never dropped them) —
-    # they pass through the final anti-join untouched.
-    valid = emb.filter(
-        F.col(vec_col).isNotNull() & F.exists(F.col(vec_col), lambda x: x != 0)
-    )
+    # they pass through the final anti-join untouched. The centroid
+    # sample must also come from the VALID rows: a NULL vector in the
+    # driver-side training sample is a TypeError.
+    valid = valid_vectors(emb, vec_col)
     g = valid.groupBy(vec_col).agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     )
@@ -679,7 +691,7 @@ def semantic_dedup(
     nonrep_ids = g.select(
         F.explode(F.expr("slice(ids, 2, size(ids) - 1)")).alias(id_col)
     )
-    cents = _seeded_centroids(emb, n_cells, id_col, vec_col, dim)
+    cents = _seeded_centroids(valid, n_cells, id_col, vec_col, dim)
     with_cell = reps.select(
         F.col(id_col),
         F.col(vec_col),

@@ -97,8 +97,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_simhash", oracle=None)  # xxhash64-based fingerprint
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (63-bit fingerprint, 16-bit block LSH,
-    Hamming verify). Block-LSH guarantees all Hamming<=3 pairs
-    (pigeonhole over 4 blocks); wider radii are found probabilistically."""
+    Hamming verify). Returns a SPANNING STRUCTURE of the near-dup graph:
+    identical-fingerprint groups link through their smallest id, and
+    distinct fingerprints pair via block-LSH (pigeonhole over 4 blocks
+    finds every Hamming<=3 REPRESENTATIVE pair; wider radii are found
+    probabilistically). Connected components match the full clique
+    listing — see operators/dedup.py simhash_near_pairs."""
     d = load(spark, sf_dir, "documents")
     return D.simhash_near_pairs(d, "doc_id", "text", max_bits=3)
 

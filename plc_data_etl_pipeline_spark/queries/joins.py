@@ -17,6 +17,31 @@ from ..catalog import load
 from ..registry import query
 from ._conv import dsum, sql_dsum
 
+# As-of top-1 packing (shared by join_asof / join_asof_tolerance): pack
+# (date, key) into ONE BIGINT so the per-left-row top-1 is a plain
+# hash-aggregatable MAX. Numeric order on the packed value IS
+# lexicographic (latest date, highest key) order while key < 2^43
+# (TPC-H orderkeys reach ~6e12 around SF 100k — comfortably inside).
+_ASOF_KEY_BITS = 43
+
+
+def _pack_date_key(date_col: str, key_col: str) -> F.Column:
+    return (
+        F.unix_date(F.col(date_col).cast("date")).cast("long")
+        * F.lit(1 << _ASOF_KEY_BITS)
+        + F.col(key_col)
+    )
+
+
+def _unpack_date_key(m: str, key_alias: str, date_alias: str) -> list:
+    """NULL-propagating unpack — safe under LEFT semantics."""
+    return [
+        (F.col(m) % F.lit(1 << _ASOF_KEY_BITS)).alias(key_alias),
+        F.date_from_unix_date(
+            F.shiftright(F.col(m), _ASOF_KEY_BITS).cast("int")
+        ).alias(date_alias),
+    ]
+
 
 @query(
     "join_inner",
@@ -146,22 +171,13 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.join(
         o, (ev.user_id == o.o_custkey) & (o.o_orderdate <= ev.ts)
     )
-    packed = (
-        F.unix_date(F.col("o_orderdate").cast("date")).cast("long")
-        * F.lit(1 << 43)
-        + F.col("o_orderkey")
-    )
-    m = F.max(packed)
     return (
         joined.groupBy("event_id", "user_id")
-        .agg(m.alias("m"))
+        .agg(F.max(_pack_date_key("o_orderdate", "o_orderkey")).alias("m"))
         .select(
             "event_id",
             "user_id",
-            (F.col("m") % F.lit(1 << 43)).alias("o_orderkey"),
-            F.date_from_unix_date(
-                F.shiftright(F.col("m"), 43).cast("int")
-            ).alias("asof_orderdate"),
+            *_unpack_date_key("m", "o_orderkey", "asof_orderdate"),
         )
     )
 
@@ -490,21 +506,15 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (o.o_orderdate <= ev.ts)
         & (o.o_orderdate >= ev.ts - F.expr("INTERVAL 90 DAYS")),
     )
-    packed = (
-        F.unix_date(F.col("o_orderdate").cast("date")).cast("long")
-        * F.lit(1 << 43)
-        + F.col("o_orderkey")
+    matches = joined.groupBy("event_id").agg(
+        F.max(_pack_date_key("o_orderdate", "o_orderkey")).alias("m")
     )
-    matches = joined.groupBy("event_id").agg(F.max(packed).alias("m"))
     return (
         ev.select("event_id", "user_id")
         .join(matches, "event_id", "left")
         .select(
             "event_id",
             "user_id",
-            (F.col("m") % F.lit(1 << 43)).alias("o_orderkey"),
-            F.date_from_unix_date(
-                F.shiftright(F.col("m"), 43).cast("int")
-            ).alias("asof_orderdate"),
+            *_unpack_date_key("m", "o_orderkey", "asof_orderdate"),
         )
     )

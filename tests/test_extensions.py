@@ -569,3 +569,20 @@ def test_simhash_star_branch_links_to_min_id_without_self_pairs(spark):
         ).collect()
     }
     assert pairs == {(1, i) for i in range(2, 7)}
+
+
+def test_semantic_dedup_degenerate_vectors_survive(spark):
+    """NULL and all-zero vectors have no defined cosine: they must pass
+    through semantic_dedup untouched (the original pairwise path never
+    dropped them) and must NOT crash the driver-side centroid training
+    (regression: a NULL vector in the k-means sample was a TypeError)."""
+    emb = load(spark, SF_DIR, "embeddings").limit(40)
+    dim = len(emb.first().embedding)
+    extra = spark.createDataFrame(
+        [(9100, None, 0), (9101, [0.0] * dim, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    corpus = emb.unionByName(extra)
+    out = S.semantic_dedup(corpus, threshold=0.9)
+    kept = {r.vec_id for r in out.collect()}
+    assert 9100 in kept and 9101 in kept

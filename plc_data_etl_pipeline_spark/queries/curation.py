@@ -228,3 +228,65 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_sum"),
         F.size(F.filter("qv", lambda v: F.abs(v) == 127)).alias("n_saturated"),
     )
+
+
+@query(
+    "sample_quality_bins",
+    oracle="""
+    WITH t AS (SELECT COUNT(*) AS n FROM documents),
+         r AS (SELECT doc_id, n_chars, text,
+                      ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rnk
+               FROM documents)
+    SELECT r.doc_id, r.n_chars,
+           CAST((r.rnk - 1) * 10 // t.n + 1 AS INT) AS decile,
+           strpos('0123456789abcdef', substr(md5(r.text), 1, 1)) - 1
+             AS bucket16
+    FROM r, t
+    WHERE strpos('0123456789abcdef', substr(md5(r.text), 1, 1)) - 1
+          < (r.rnk - 1) * 10 // t.n + 1
+    """,
+)
+def sample_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified sampling (curriculum-style): rank documents by
+    a quality proxy (length, with doc_id tiebreak), split into exact
+    deciles, and keep decile d at rate d/16 via the content-keyed md5
+    bucket — low-quality tails are downsampled hard, top deciles kept
+    at the highest rate. Deterministic end to end (no rand()).
+
+    Scale posture: the global rank does NOT globally sort the corpus —
+    per-length counts collapse first (partial agg over a small value
+    domain), a tiny cumulative table broadcasts back, and the
+    within-length row_number window is PARTITIONED by length. The
+    decile formula floor((rank-1)*10/n)+1 is pure integer math, so both
+    engines agree exactly; the oracle can afford its plain global
+    window at test SF.
+    """
+    from ..operators.text import hash_bucket16
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    g = d.groupBy("n_chars").agg(F.count("*").alias("c"))
+    cum = g.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("c").over(
+                Window.orderBy("n_chars").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("n_chars", "cum_before")
+    tot = d.agg(F.count("*").alias("n"))
+    wn = Window.partitionBy("n_chars").orderBy("doc_id")
+    ranked = (
+        d.join(F.broadcast(cum), "n_chars")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.col("cum_before") + F.row_number().over(wn))
+        .withColumn(
+            "decile", F.expr("((rnk - 1) * 10) div n + 1").cast("int")
+        )
+        .withColumn("bucket16", hash_bucket16("text"))
+    )
+    return ranked.filter(F.col("bucket16") < F.col("decile")).select(
+        "doc_id", "n_chars", "decile", "bucket16"
+    )

@@ -434,3 +434,49 @@ def test_q12_single_pass_conditional_counts(spark):
     p = plan(spark, "q12_priority_class_by_segment", mode="simple")
     assert p.count("Scan parquet") <= 2
     assert p.count("HashAggregate") >= 2
+
+
+def test_q7_supplier_nation_prunes_before_orders_join(spark):
+    """Q7 shape: nation filters broadcast into the fact before the one
+    big-big (orders) join; no cartesian from the two-nation disjunction."""
+    p = plan(spark, "q7_nation_volume")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_q8_share_single_aggregation(spark):
+    """Q8 shape: numerator and denominator come from ONE aggregation
+    pass (two conditional sums) over ONE fact scan — nation legitimately
+    scans twice (supplier role + customer-region role)."""
+    p = plan(spark, "q8_market_share", mode="simple")
+    assert p.count("Scan parquet [l_orderkey") == 1, (
+        "lineitem must scan exactly once"
+    )
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    """Q16 shape: the NOT IN denylist must be a broadcast anti-join."""
+    p = plan(spark, "q16_supplier_count_by_part")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q22_scalar_threshold_broadcasts(spark):
+    """Q22 shape: the 1-row average-balance threshold broadcasts (the
+    only nested-loop site); the anti-join side is date-pruned."""
+    p = plan(spark, "q22_idle_customers")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_sample_quality_bins_no_global_sort(spark):
+    """The decile rank must come from the per-length cumulative table +
+    a PARTITIONED window — never a single-partition sort of the corpus
+    data rows (the only SinglePartition window runs over distinct
+    lengths)."""
+    p = plan(spark, "sample_quality_bins")
+    assert "partitionBy=[n_chars" in p.replace(" ", "").replace('"', "") or (
+        "n_chars" in p and "SinglePartition" in p
+    )
+    assert "TakeOrderedAndProject" not in p

@@ -386,3 +386,34 @@ def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ratio"
         ),
     )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS k_and,
+           o_orderkey | 4096 AS k_or,
+           xor(o_orderkey, 1365) AS k_xor,
+           o_orderkey << 3 AS k_shl,
+           o_orderkey >> 2 AS k_shr,
+           CAST(bit_count(o_orderkey) AS INT) AS k_pop
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface: AND/OR/XOR, shifts, popcount — the
+    primitives the engine's own SimHash/bitmap operators build on,
+    exercised as user-facing functions. Pure codegen projection over a
+    pushed-down key filter."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(4096)).alias("k_or"),
+        k.bitwiseXOR(F.lit(1365)).alias("k_xor"),
+        F.shiftleft(k, 3).alias("k_shl"),
+        F.shiftright(k, 2).alias("k_shr"),
+        F.bit_count(k).alias("k_pop"),
+    )

@@ -23,6 +23,7 @@ from . import (  # noqa: F401
     aggregates,
     curation,
     extensions,
+    graph,
     joins,
     parity,
     relational,

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import query
-from ._conv import davg, dsum, sql_davg, sql_dsum
+from ._conv import cents, davg, dsum, sql_cents, sql_davg, sql_dsum
 
 
 @query(
@@ -327,4 +327,97 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
             "g_flag", "g_status", "n",
         )
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           {sql_dsum("o_totalprice", "rev_all")},
+           CAST(COALESCE(SUM({sql_cents("o_totalprice")})
+                  FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) / 100
+             AS rev_finished,
+           BOOL_AND(o_totalprice > 0) AS all_positive,
+           BOOL_OR(o_totalprice > 400000) AS any_jumbo
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/boolean aggregate surface: COUNT FILTER (count_if),
+    conditional exact-cents SUM FILTER, BOOL_AND/BOOL_OR per group — the
+    one-pass alternative to self-joining per condition. All aggregates
+    remain map-side partial; the FILTER predicate evaluates per row
+    inside the same hash-aggregate, so the fact table is scanned once
+    for all six measures."""
+    o = load(spark, sf_dir, "orders")
+    fin = F.col("o_orderstatus") == "F"
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(fin).alias("n_finished"),
+        dsum("o_totalprice", "rev_all"),
+        (
+            F.coalesce(
+                F.sum(F.when(fin, cents("o_totalprice"))), F.lit(0)
+            ).cast("double")
+            / 100
+        ).alias("rev_finished"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+    )
+
+
+@query(
+    "agg_argmax",
+    oracle=f"""
+    SELECT event_type,
+           ARG_MIN(user_id, event_id) AS first_user,
+           ARG_MAX(user_id, event_id) AS last_user,
+           ARG_MAX(event_id,
+                   {sql_cents("value")} * 10000000000 + event_id)
+             AS peak_value_event
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARG_MAX/ARG_MIN (max_by/min_by): 'value of column A at the
+    extreme of column B' without a join-back — one pass, mergeable
+    partial state (the pair (best_key, payload) merges associatively,
+    so it scales exactly like min/max). Ordering keys are made unique
+    (event_id; value packed with event_id for the tiebreak) so the
+    answer is deterministic in both engines."""
+    ev = load(spark, sf_dir, "events")
+    peak_key = cents("value") * F.lit(10000000000) + F.col("event_id")
+    return ev.groupBy("event_type").agg(
+        F.min_by("user_id", "event_id").alias("first_user"),
+        F.max_by("user_id", "event_id").alias("last_user"),
+        F.max_by("event_id", peak_key).alias("peak_value_event"),
+    )
+
+
+@query(
+    "agg_crosstab",
+    oracle="""
+    SELECT o_orderpriority AS o_orderpriority_o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table (df.stat.crosstab): priority x status counts —
+    the quick two-way frequency audit. Spark implements it as one
+    hash-aggregate over the pair plus a tiny pivot of the distinct
+    statuses; the oracle states the pivoted counts directly. The status
+    domain is the TPC-H constant {F,O,P}, so the pivoted schema is
+    stable across scale factors."""
+    o = load(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderpriority", "o_orderstatus")
+    return ct.select(
+        "o_orderpriority_o_orderstatus",
+        *[F.col(c).alias(c) for c in sorted(ct.columns[1:])],
     )

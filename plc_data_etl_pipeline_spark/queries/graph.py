@@ -1,0 +1,106 @@
+"""Iterative graph analytics over the relational tables.
+
+The reference has no graph surface at all; a training-data pipeline
+needs one (connected components already powers dedup clustering in
+operators/dedup.py — `dedup_cluster_survivors`). This module adds
+PageRank, the canonical *iterative join* workload, expressed as plain
+DataFrame joins so every iteration is one shuffle-partitioned
+edge⋈rank join + one aggregation — the exact shape Pregel-style
+systems distribute.
+
+Determinism: ranks are kept in integer micro-units and every division
+is an integer division, so iteration results are bit-identical across
+engines and across any summation order (the oracle unrolls the same
+iterations as nested CTEs). Damping 0.85 becomes ``(85 * x) div 100``.
+
+Scale posture: the edge list lives partitioned on the source key; each
+iteration is a shuffle join on that key plus a map-side-combinable SUM
+— no driver-side state, no collect. At real depth (tens of
+iterations) the loop should checkpoint every ~5 iterations to truncate
+lineage; three unrolled iterations keep the demo plan bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+_PR_ITER = """
+    SELECT e.dst AS node,
+           CAST(150000 + (85 * SUM(r.pr // g.d)) // 100 AS BIGINT) AS pr
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN deg g ON e.src = g.node
+    GROUP BY e.dst
+"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST(1000000 AS BIGINT) AS pr FROM deg
+    ), r1 AS ({_PR_ITER.format(prev="r0")}
+    ), r2 AS ({_PR_ITER.format(prev="r1")}
+    ), r3 AS ({_PR_ITER.format(prev="r2")}
+    )
+    SELECT node, pr AS pr_micro FROM r3
+    ORDER BY pr DESC, node LIMIT 20
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, damping 0.85) over the undirected
+    customer—supplier trade graph (an edge per distinct trading pair
+    from lineitem⋈orders): the canonical iterative-join workload.
+    Ranks are integer micro-units and the damping step is
+    ``150000 + (85 * sum_contrib) div 100`` with integer contribution
+    division, so the fixpoint trajectory is bit-identical in both
+    engines regardless of aggregation order. Every node has degree
+    >= 1 (undirected edges), so no dangling-mass correction is needed.
+    Returns the top-20 nodes (node-id tiebreak)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # One reusable (src, dst, d) relation: rank joins hit it per round.
+    edges_deg = edges.join(deg, "src")
+    ranks = deg.select("src", F.lit(1000000).cast("bigint").alias("pr"))
+    for _ in range(3):
+        ranks = (
+            edges_deg.join(ranks, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("pr div d")).alias("c"))
+            .select(
+                F.col("dst").alias("src"),
+                (F.lit(150000) + F.expr("(85 * c) div 100"))
+                .cast("bigint")
+                .alias("pr"),
+            )
+        )
+    return (
+        ranks.select(F.col("src").alias("node"), F.col("pr").alias("pr_micro"))
+        .orderBy(F.desc("pr_micro"), "node")
+        .limit(20)
+    )

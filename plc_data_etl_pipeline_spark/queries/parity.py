@@ -222,6 +222,54 @@ def sink_txn_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_txn_time_travel",
+    oracle="""
+    SELECT 'seed' AS snapshot, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'merged' AS snapshot,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'RECLASSIFIED'
+                ELSE o_orderpriority END AS o_orderpriority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CASE WHEN o_orderkey % 10 = 0 THEN 'RECLASSIFIED'
+                  ELSE o_orderpriority END
+    """,
+)
+def sink_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel through the transactional log
+    (pipeline/txlog.py): write a seed version, MERGE a reclassification
+    on top, then read BOTH versions back by version number and roll
+    each up per priority. The oracle derives both snapshots' rollups
+    straight from the source table, so version isolation (the merge
+    must not leak into the seed snapshot) is value-checked, not just
+    asserted. Reads resolve a version's manifest and scan only its
+    files — history costs nothing at read time."""
+    import shutil
+
+    from ..pipeline.txlog import TransactionalParquetTable
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    path = os.path.join(tempfile.gettempdir(), "plc_etl_txn_timetravel")
+    shutil.rmtree(path, ignore_errors=True)
+    t = TransactionalParquetTable(spark, path)
+    v_seed = t.overwrite(o)
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_orderpriority", F.lit("RECLASSIFIED")
+    )
+    v_merged = t.merge_upsert(updates, keys=["o_orderkey"])
+
+    def rollup(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n")
+        ).select(F.lit(tag).alias("snapshot"), "o_orderpriority", "n")
+
+    return rollup(t.read(v_seed), "seed").unionAll(
+        rollup(t.read(v_merged), "merged")
+    )
+
+
+@query(
     "udtf_bigrams_lateral",
     oracle="""
     SELECT ws.doc_id, w[i] || ' ' || w[i + 1] AS bigram,

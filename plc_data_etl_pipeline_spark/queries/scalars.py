@@ -417,3 +417,70 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 2).alias("k_shr"),
         F.bit_count(k).alias("k_pop"),
     )
+
+
+@query(
+    "scalar_interval",
+    oracle="""
+    SELECT event_id,
+           STRFTIME(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS ts_plus_90m,
+           STRFTIME(ts + INTERVAL 2 MONTH, '%Y-%m-%d') AS date_plus_2mo,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s,
+           CAST(isodow(ts) AS INT) AS iso_dow,
+           CAST(FLOOR((FLOOR(epoch(ts))
+                       - FLOOR(epoch(date_trunc('month', ts)))) / 60)
+                AS BIGINT) AS mins_into_month
+    FROM events
+    """,
+)
+def scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/timestamp arithmetic surface: add minute- and
+    month-granularity intervals (month addition is calendar-aware),
+    epoch extraction, ISO day-of-week, and elapsed-minutes arithmetic
+    done in integer epoch space so both engines agree exactly.
+    Timestamps cross the collect boundary as formatted strings
+    (SURVEY §7.3)."""
+    ev = load(spark, sf_dir, "events")
+    epoch_s = F.unix_timestamp("ts")
+    month_start = F.unix_timestamp(F.date_trunc("month", "ts"))
+    return ev.select(
+        "event_id",
+        F.date_format(
+            F.col("ts") + F.expr("INTERVAL 90 MINUTES"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("ts_plus_90m"),
+        F.date_format(
+            F.col("ts") + F.expr("INTERVAL 2 MONTHS"), "yyyy-MM-dd"
+        ).alias("date_plus_2mo"),
+        epoch_s.alias("epoch_s"),
+        (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+        F.floor((epoch_s - month_start) / 60).alias("mins_into_month"),
+    )
+
+
+@query(
+    "array_explode_outer",
+    oracle="""
+    SELECT d.doc_id, t.tok
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '),
+                             x -> length(x) > 9) AS toks
+          FROM documents) d
+    LEFT JOIN LATERAL (SELECT UNNEST(d.toks) AS tok) t ON TRUE
+    """,
+)
+def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: unlike plain explode, documents whose filtered
+    token array is empty (no word longer than 9 chars) survive with a
+    NULL token — the generator form that preserves the left row set,
+    which matters whenever the exploded output is re-aggregated per
+    document (a dropped doc would silently vanish from the rollup).
+    Oracle is the LEFT JOIN LATERAL UNNEST equivalent."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split("text", " "), lambda x: F.length(x) > 9
+    )
+    return docs.select(
+        "doc_id", F.explode_outer(toks).alias("tok")
+    )

@@ -328,3 +328,183 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vals").alias("n_events"),
         fold.alias("ewma_final"),
     )
+
+
+@query(
+    "ts_interp_linear",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+             CAST(FLOOR(
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100 / COUNT(value) * 1000000 + 0.5) AS BIGINT) AS v_micro
+      FROM events WHERE user_id < 40 GROUP BY user_id, h
+    ), bounds AS (
+      SELECT user_id, MIN(h) AS h_min, MAX(h) AS h_max
+      FROM hourly GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, UNNEST(generate_series(h_min, h_max, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ), joined AS (
+      SELECT g.user_id, g.h,
+             CAST(FLOOR(epoch(g.h)) AS BIGINT) // 3600 AS t,
+             hr.v_micro
+      FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h
+    ), ctx AS (
+      SELECT user_id, h, t, v_micro,
+             last_value(CASE WHEN v_micro IS NOT NULL THEN t END IGNORE NULLS)
+               OVER wp AS t_prev,
+             last_value(v_micro IGNORE NULLS) OVER wp AS v_prev,
+             first_value(CASE WHEN v_micro IS NOT NULL THEN t END IGNORE NULLS)
+               OVER wn AS t_next,
+             first_value(v_micro IGNORE NULLS) OVER wn AS v_next
+      FROM joined
+      WINDOW wp AS (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           v_micro IS NULL AS is_interpolated,
+           CAST(COALESCE(
+             v_micro,
+             (v_prev * (t_next - t) + v_next * (t - t_prev)
+              - (v_prev * (t_next - t) + v_next * (t - t_prev))
+                % (t_next - t_prev)) / (t_next - t_prev)
+           ) AS DOUBLE) / 1000000 AS value_interp
+    FROM ctx
+    """,
+)
+def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the dense hourly grid (the upgrade
+    from ts_gap_fill_locf's step function): each gap hour gets the
+    time-weighted blend of the surrounding observed hourly averages.
+    Grid generation and window shapes match the LOCF query (bounded
+    per-entity state, no corpus sort); the blend is computed entirely
+    in scaled-integer space — micro-unit values, integer hour indexes,
+    and a divisibility-corrected integer division — so both engines
+    produce bit-identical doubles. Interior gaps always have both
+    neighbors because the grid spans min..max observed hours."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.floor(
+            F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("double")
+            / 100
+            / F.count("value")
+            * 1000000
+            + 0.5
+        ).alias("v_micro")
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h_min"), F.max("h").alias("h_max"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        (F.unix_timestamp("h") / 3600).cast("long").alias("t"),
+        "v_micro",
+    )
+    obs_t = F.when(F.col("v_micro").isNotNull(), F.col("t"))
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ctx = joined.select(
+        "user_id",
+        "h",
+        "t",
+        "v_micro",
+        F.last(obs_t, ignorenulls=True).over(wp).alias("t_prev"),
+        F.last("v_micro", ignorenulls=True).over(wp).alias("v_prev"),
+        F.first(obs_t, ignorenulls=True).over(wn).alias("t_next"),
+        F.first("v_micro", ignorenulls=True).over(wn).alias("v_next"),
+    )
+    num = F.col("v_prev") * (F.col("t_next") - F.col("t")) + F.col(
+        "v_next"
+    ) * (F.col("t") - F.col("t_prev"))
+    den = F.col("t_next") - F.col("t_prev")
+    interp = (num - num % den) / den  # exact: numerator made divisible
+    return ctx.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("v_micro").isNull().alias("is_interpolated"),
+        (
+            F.coalesce("v_micro", interp).cast("double") / 1000000
+        ).alias("value_interp"),
+    )
+
+
+@query(
+    "dq_rolling_outliers",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+      FROM events
+    ), w AS (
+      SELECT event_id, user_id, value, x,
+             COUNT(*) OVER win AS n,
+             SUM(x) OVER win AS s,
+             SUM(x * x) OVER win AS sq
+      FROM c
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, value, CAST(n AS BIGINT) AS n_window,
+           n >= 10 AND (n * x - s) * (n * x - s) > 9 * (n * sq - s * s)
+             AS is_outlier
+    FROM w
+    """,
+)
+def dq_rolling_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score outlier gate per sensor stream: each reading is
+    compared against the trailing-25-sample mean/variance of its own
+    user. The 3-sigma test is evaluated in pure integer algebra —
+    (n*x - s)^2 > 9*(n*sq - s^2) is the |x - mean| > 3*stddev_pop
+    condition multiplied through by n^2 — so no float division or sqrt
+    ever happens and both engines agree bit-exactly. One shuffle on
+    user_id; bounded 25-row frame state. Integer envelope: cents <=
+    6e4, so every term stays far below 2^63."""
+    ev = load(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * 100 + 0.5)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, 0)
+    )
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        x.alias("x"),
+        F.count("*").over(w).alias("n"),
+        F.sum(x).over(w).alias("s"),
+        F.sum(x * x).over(w).alias("sq"),
+    )
+    n, s, sq = F.col("n"), F.col("s"), F.col("sq")
+    dev = n * F.col("x") - s
+    return base.select(
+        "event_id",
+        "user_id",
+        "value",
+        n.cast("bigint").alias("n_window"),
+        ((n >= 10) & (dev * dev > 9 * (n * sq - s * s))).alias(
+            "is_outlier"
+        ),
+    )

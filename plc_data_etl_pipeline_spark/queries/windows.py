@@ -280,3 +280,37 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.select(
         "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
     )
+
+
+@query(
+    "win_share_of_total",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(
+             CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  AS DOUBLE)
+             / CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    OVER (PARTITION BY l_orderkey) AS DOUBLE)
+             * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS order_share
+    FROM lineitem
+    """,
+)
+def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report window: each line's share of its order's revenue
+    (the classic percent-of-total shape). One shuffle on the partition
+    key, unbounded frame collapses to a single per-partition total that
+    Spark computes in one pass — no self-join against a per-order
+    aggregate. Exact integer-cents numerator/denominator make the
+    double quotient bit-identical across engines; quantized to 6
+    decimals for presentation."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    line_c = F.floor(F.col("l_extendedprice") * 100 + 0.5)
+    share = line_c.cast("double") / F.sum(line_c).over(w).cast("double")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(share * 1000000.0 + 0.5).cast("double") / 1000000.0).alias(
+            "order_share"
+        ),
+    )

@@ -480,3 +480,43 @@ def test_sample_quality_bins_no_global_sort(spark):
         "n_chars" in p and "SinglePartition" in p
     )
     assert "TakeOrderedAndProject" not in p
+
+
+def test_pagerank_iterations_join_not_cartesian(spark):
+    """Each PageRank round is an equi-join on the source key plus a
+    partial-aggregated SUM per destination — never a cartesian, never a
+    broadcast of the (arbitrarily large) rank relation at real scale is
+    required for correctness (small inputs may still broadcast here)."""
+    p = plan(spark, "graph_pagerank")
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2  # map-side partials per round
+
+
+def test_share_of_total_single_window_no_self_join(spark):
+    """Percent-of-total must be ONE window over l_orderkey — not a
+    groupBy total joined back (which would scan/shuffle twice)."""
+    p = plan(spark, "win_share_of_total", mode="simple")
+    assert "Window" in p
+    assert "Join" not in p, "self-join detected; use a window"
+    assert p.count("Exchange") <= 1
+
+
+def test_rolling_outliers_single_window_pass(spark):
+    """n/s/sq must come from ONE bounded-frame window pass (one shuffle
+    on user_id), with the sigma test as a pure projection on top."""
+    p = plan(spark, "dq_rolling_outliers", mode="simple")
+    assert p.count("Window") == 1
+    assert p.count("Exchange") <= 1
+    assert "Join" not in p
+
+
+def test_filtered_agg_single_scan(spark):
+    """All six FILTER/bool aggregates must evaluate in one
+    hash-aggregate over one scan of orders — no per-condition self
+    joins or unions."""
+    p = plan(spark, "agg_filtered")
+    assert p.count("Scan parquet") + p.count("Scan ExistingRDD") <= 1 or (
+        p.count("InMemoryTableScan") <= 1
+    )
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 2

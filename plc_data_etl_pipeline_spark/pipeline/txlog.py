@@ -104,16 +104,23 @@ class TransactionalParquetTable:
 
     # ---------------------------------------------------------------- read
     def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read of ``version`` (default: latest committed)."""
+        """Snapshot read of ``version`` (default: latest committed).
+
+        Files are read under the MANIFEST's schema, not whatever schema
+        the first listed file happens to carry: after additive schema
+        evolution (``append(..., merge_schema=True)``) older files lack
+        the new columns, and the explicit schema makes Spark fill them
+        with NULL — the same read-time reconciliation Delta/Iceberg do.
+        """
         v = self.version() if version is None else version
         if v == 0:
             raise FileNotFoundError(f"no committed version in {self.path}")
-        files = self._read_manifest(v)["files"]
+        m = self._read_manifest(v)
+        files = m["files"]
         if not files:
             # empty table snapshot: preserve schema via the log
-            schema = self._read_manifest(v).get("schema")
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(
+            return self.spark.createDataFrame([], m.get("schema"))
+        return self.spark.read.schema(m["schema"]).parquet(
             *[os.path.join(self.path, f) for f in files]
         )
 
@@ -173,26 +180,34 @@ class TransactionalParquetTable:
         v = self.version() if version is None else version
         if v == 0:
             raise FileNotFoundError(f"no committed version in {self.path}")
+        m = self._read_manifest(v)
         keep = self.candidate_files(where, version=v)
         if not keep:
-            schema = self._read_manifest(v).get("schema")
-            return self.spark.createDataFrame([], schema)
-        df = self.spark.read.parquet(
+            return self.spark.createDataFrame([], m.get("schema"))
+        df = self.spark.read.schema(m["schema"]).parquet(
             *[os.path.join(self.path, f) for f in keep]
         )
+        return df.filter(self._condition(where))
+
+    @staticmethod
+    def _condition(where: list[tuple]):
+        """Conjunctive (col, op, value) predicate list -> one Column."""
+        cond = F.lit(True)
         for col, op, val in where:
             c = F.col(col)
-            cond = {
+            term = {
                 "=": c == val,
                 "<": c < val,
                 "<=": c <= val,
                 ">": c > val,
                 ">=": c >= val,
             }.get(op)
-            if cond is None and op == "between":
-                cond = c.between(val[0], val[1])
-            df = df.filter(cond)
-        return df
+            if term is None and op == "between":
+                term = c.between(val[0], val[1])
+            if term is None:
+                raise ValueError(f"unsupported predicate op {op!r}")
+            cond = cond & term
+        return cond
 
     def _collect_file_stats(
         self, rel_files: list[str], prior: dict | None = None
@@ -279,15 +294,18 @@ class TransactionalParquetTable:
                 set(self._read_manifest(v - 1)["files"]) if v > 1 else set()
             )
             cur = set(self._read_manifest(v)["files"])
-            for files, typ in (
-                (sorted(cur - prev), "inserted"),
-                (sorted(prev - cur), "removed"),
+            # Each side reads under ITS version's schema (inserted files
+            # under v, removed under v-1) so schema-evolved commits
+            # reconcile; the final union tolerates the column delta.
+            for files, typ, sv in (
+                (sorted(cur - prev), "inserted", v),
+                (sorted(prev - cur), "removed", max(v - 1, 1)),
             ):
                 if not files:
                     continue
-                df = self.spark.read.parquet(
-                    *[os.path.join(self.path, f) for f in files]
-                )
+                df = self.spark.read.schema(
+                    self._read_manifest(sv)["schema"]
+                ).parquet(*[os.path.join(self.path, f) for f in files])
                 frames.append(
                     df.withColumn("_change_type", F.lit(typ)).withColumn(
                         "_commit_version", F.lit(v)
@@ -300,20 +318,33 @@ class TransactionalParquetTable:
             ).withColumn("_commit_version", F.lit(0))
         out = frames[0]
         for f in frames[1:]:
-            out = out.unionByName(f)
+            out = out.unionByName(f, allowMissingColumns=True)
         return out
 
     # --------------------------------------------------------------- write
     def _write_data_files(self, df: DataFrame) -> list[str]:
-        """Write immutable data files; return table-relative paths."""
+        """Write immutable data files; return table-relative paths.
+
+        Zero-row part files (a Spark write emits one per empty task,
+        e.g. after a selective filter over many partitions) are dropped
+        before registration: they carry no stats (so they defeat file
+        pruning conservatively) and accrete open/footer cost on every
+        scan. The check reads footers only — no row data."""
+        import pyarrow.parquet as pq
+
         sub = os.path.join("data", uuid.uuid4().hex)
         target = os.path.join(self.path, sub)
         df.write.mode("overwrite").parquet(target)
-        return [
-            os.path.join(sub, f)
-            for f in sorted(os.listdir(target))
-            if f.endswith(".parquet")
-        ]
+        out = []
+        for f in sorted(os.listdir(target)):
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(target, f)
+            if pq.ParquetFile(full).metadata.num_rows == 0:
+                os.remove(full)
+                continue
+            out.append(os.path.join(sub, f))
+        return out
 
     def _commit(self, files: list[str], schema_ddl: str,
                 txn: tuple[str, int] | None, base_version: int,
@@ -367,15 +398,92 @@ class TransactionalParquetTable:
             f"gave up after {self.MAX_RETRIES} conflicting commits on {self.path}"
         )
 
-    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
-        """Add rows; previous files stay live (no rewrite)."""
+    def append(self, df: DataFrame, txn: tuple[str, int] | None = None,
+               merge_schema: bool = False) -> int:
+        """Add rows; previous files stay live (no rewrite).
+
+        ``merge_schema=True`` permits ADDITIVE schema evolution: columns
+        ``df`` carries beyond the table schema are appended to the
+        manifest schema, and snapshot reads fill them with NULL for the
+        pre-evolution files (see ``read``). Existing columns must keep
+        their types; a type change raises instead of silently corrupting
+        the table (matching Delta's mergeSchema contract). Without the
+        flag, a schema mismatch is an error."""
         new_files = self._write_data_files(df)  # write once, commit w/ retry
 
         def build(base: int):
-            prev = self._read_manifest(base)["files"] if base else []
-            return prev + new_files, df._jdf.schema().toDDL()
+            prev_m = self._read_manifest(base) if base else None
+            prev = prev_m["files"] if prev_m else []
+            ddl = df._jdf.schema().toDDL()
+            if prev_m is not None:
+                ddl = self._evolve_schema(prev_m["schema"], df, merge_schema)
+            return prev + new_files, ddl
 
         return self._retrying(build, txn)
+
+    def _evolve_schema(self, table_ddl: str, df: DataFrame,
+                       merge_schema: bool) -> str:
+        """Union the table schema with ``df``'s (additive only)."""
+        from pyspark.sql.types import StructType
+
+        table_schema = StructType.fromDDL(table_ddl)
+        have = {f.name: f for f in table_schema.fields}
+        extra = []
+        for f in df.schema.fields:
+            if f.name not in have:
+                extra.append(f)
+            elif have[f.name].dataType != f.dataType:
+                raise ValueError(
+                    f"column {f.name!r}: incompatible type change "
+                    f"{have[f.name].dataType} -> {f.dataType}"
+                )
+        if extra and not merge_schema:
+            raise ValueError(
+                f"append adds columns {[f.name for f in extra]}; pass "
+                "merge_schema=True to evolve the table schema"
+            )
+        if not extra:
+            return table_ddl
+        return StructType(table_schema.fields + extra).toDDL()
+
+    def delete_where(self, where: list[tuple],
+                     txn: tuple[str, int] | None = None) -> int:
+        """Row-level DELETE, copy-on-write with file-level pruning: only
+        files whose min/max envelope MAY contain matching rows are
+        rewritten (with the survivors of the exact predicate); every
+        other file is carried into the new version untouched. On a
+        range-clustered 100 TB table a selective delete therefore
+        rewrites a handful of files, not the table — the same dataflow
+        as Delta's DELETE with data skipping. Returns the committed
+        version (a no-op delete — no candidate files — commits nothing
+        and returns the current version)."""
+        if self._txn_already_committed(txn):
+            return self.version()
+        for _ in range(self.MAX_RETRIES):
+            base = self.version()
+            if base == 0:
+                raise FileNotFoundError(f"no committed version in {self.path}")
+            m = self._read_manifest(base)
+            touched = self.candidate_files(where, version=base)
+            if not touched:
+                return base
+            untouched = [f for f in m["files"] if f not in set(touched)]
+            survivors = self.spark.read.schema(m["schema"]).parquet(
+                *[os.path.join(self.path, f) for f in touched]
+            ).filter(~self._condition(where))
+            new_files = self._write_data_files(survivors)
+            try:
+                if self.version() != base:  # lost the race: re-plan
+                    continue
+                return self._commit(
+                    untouched + new_files, m["schema"], txn, base
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"gave up after {self.MAX_RETRIES} conflicting deletes on "
+            f"{self.path}"
+        )
 
     def overwrite(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """Replace the table contents with ``df``."""

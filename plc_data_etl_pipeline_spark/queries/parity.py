@@ -24,6 +24,7 @@ from ..pipeline import avro_codec as A
 from ..pipeline import generator as G
 from ..pipeline import sink as K
 from ..registry import query
+from ._conv import dsum, sql_dsum
 
 
 @query("plc_generate", oracle=None)  # rand(seed) is engine-specific
@@ -266,6 +267,108 @@ def sink_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return rollup(t.read(v_seed), "seed").unionAll(
         rollup(t.read(v_merged), "merged")
+    )
+
+
+@query(
+    "sink_txn_delete",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders WHERE NOT (o_totalprice >= 300000)
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_txn_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE through the transactional log
+    (pipeline/txlog.py::delete_where): the table is seeded
+    range-clustered on the delete column, so the copy-on-write delete
+    rewrites only the files whose min/max envelope can contain
+    o_totalprice >= 300000 — the rest of the snapshot is carried into
+    the new version untouched (file-pruned DELETE, the Delta/Iceberg
+    dataflow). The oracle states the surviving rollup in pure SQL, so
+    predicate semantics AND survivor completeness are value-checked."""
+    import shutil
+
+    from ..pipeline.txlog import TransactionalParquetTable
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = os.path.join(tempfile.gettempdir(), "plc_etl_txn_delete")
+    shutil.rmtree(path, ignore_errors=True)
+    t = TransactionalParquetTable(spark, path)
+    t.overwrite(o.repartitionByRange(8, "o_totalprice"))
+    t.delete_where([("o_totalprice", ">=", 300000.0)])
+    return t.read().groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), dsum("o_totalprice", "revenue")
+    )
+
+
+@query(
+    "sink_txn_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, CAST(NULL AS DOUBLE) AS o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+)
+def sink_txn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution (pipeline/txlog.py append
+    merge_schema=True): the seeded two-column table gains an
+    o_totalprice column when a later batch arrives with it; snapshot
+    reads reconcile the pre-evolution files with NULL for the new
+    column (read-time fill under the manifest schema — no rewrite of
+    old files). The oracle states the reconciled union, so the NULL
+    fill is value-checked, not just schema-checked."""
+    import shutil
+
+    from ..pipeline.txlog import TransactionalParquetTable
+
+    o = load(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.gettempdir(), "plc_etl_txn_evolve")
+    shutil.rmtree(path, ignore_errors=True)
+    t = TransactionalParquetTable(spark, path)
+    t.overwrite(o.select("o_orderkey", "o_orderpriority"))
+    late = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    t.append(late, merge_schema=True)
+    return t.read()
+
+
+@query(
+    "sink_partitioned_prune",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+           {sql_dsum("value", "sum_value")}
+    FROM events WHERE event_type = 'error'
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-pruned source: events are
+    written partitionBy(event_type) and read back with an event_type
+    predicate, which Catalyst satisfies from the directory layout alone
+    (the plan's PartitionFilters — only the matching directory is ever
+    listed or scanned; tests/test_plans.py locks this). At 100 TB this
+    is the standard ingest layout: partition on the hot dimension so
+    routine queries touch one directory subtree."""
+    import shutil
+
+    ev = load(spark, sf_dir, "events")
+    path = os.path.join(tempfile.gettempdir(), "plc_etl_part_prune")
+    shutil.rmtree(path, ignore_errors=True)
+    ev.select("event_id", "ts", "value", "event_type").write.partitionBy(
+        "event_type"
+    ).parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "error")
+    return back.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n"), dsum("value", "sum_value")
     )
 
 

@@ -510,6 +510,16 @@ def test_rolling_outliers_single_window_pass(spark):
     assert "Join" not in p
 
 
+def test_partitioned_sink_prunes_directories(spark):
+    """The event_type predicate must be satisfied from the Hive layout
+    (PartitionFilters on the scan) — not as a post-scan row filter over
+    every directory."""
+    p = plan(spark, "sink_partitioned_prune")
+    pf = p.split("PartitionFilters:", 1)
+    assert len(pf) == 2, "no PartitionFilters section in scan"
+    assert "event_type" in pf[1].split("\n")[0]
+
+
 def test_filtered_agg_single_scan(spark):
     """All six FILTER/bool aggregates must evaluate in one
     hash-aggregate over one scan of orders — no per-condition self

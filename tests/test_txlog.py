@@ -261,3 +261,61 @@ def test_data_skipping_string_stats_and_carry_forward(spark, tmp_path):
     assert [tuple(r) for r in t.read_where([("v", ">=", "x")]).collect()] == [
         (3, "zebra")
     ]
+
+
+def test_delete_where_prunes_untouched_files(spark, tmp_path):
+    """Copy-on-write DELETE must rewrite ONLY envelope-candidate files:
+    files that cannot contain matching rows are carried into the new
+    version byte-identically (same relative path)."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    t.overwrite(df.repartitionByRange(4, "k"))
+    before = t._read_manifest(t.version())["files"]
+    cand = t.candidate_files([("k", ">=", 900)])
+    assert 0 < len(cand) < len(before), "range clustering should localize"
+    v = t.delete_where([("k", ">=", 900)])
+    after = t._read_manifest(v)["files"]
+    # every non-candidate file survives verbatim
+    for f in before:
+        if f not in cand:
+            assert f in after
+    # no candidate file survives (all rewritten)
+    assert not set(cand) & set(after)
+    rows = t.read().count()
+    assert rows == 900
+    assert t.read().agg(F.max("k")).collect()[0][0] == 899
+
+
+def test_delete_where_noop_commits_nothing(spark, tmp_path):
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).select(F.col("id").alias("k")))
+    v1 = t.version()
+    assert t.delete_where([("k", ">", 1000)]) == v1
+    assert t.version() == v1  # no empty commit
+
+
+def test_schema_evolution_null_fill_and_guards(spark, tmp_path):
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    )
+    extra = spark.createDataFrame([(3, "c", 9.5)], "k int, v string, w double")
+    # without the flag: adding a column is an error, table unchanged
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(extra)
+    # type change is never allowed
+    with pytest.raises(ValueError, match="incompatible type"):
+        t.append(
+            spark.createDataFrame([(4, 5)], "k int, v int"),
+            merge_schema=True,
+        )
+    v = t.append(extra, merge_schema=True)
+    got = {tuple(r) for r in t.read(v).collect()}
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 9.5)}
+    # time travel to the pre-evolution version keeps the OLD schema
+    assert t.read(v - 1).columns == ["k", "v"]
+    # change feed reconciles across the evolution boundary
+    cdf = t.read_changes(v - 1, v)
+    assert {tuple(r) for r in cdf.collect()} == {(3, "c", 9.5, "inserted", v)}

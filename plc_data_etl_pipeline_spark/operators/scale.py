@@ -38,13 +38,26 @@ def write_bucketed(
     bucket_col: str,
     num_buckets: int = 8,
     sort_col: str | None = None,
+    path: str | None = None,
+    align_tasks: bool = True,
 ) -> None:
-    """Bucketed managed table (saveAsTable — bucketing metadata lives in
-    the catalog). Joining two tables bucketed on the same key with the
-    same bucket count skips both shuffles."""
+    """Bucketed table (saveAsTable — bucketing metadata lives in the
+    catalog; ``path`` makes it external). Joining two tables bucketed on
+    the same key with the same bucket count skips both shuffles.
+
+    ``align_tasks`` pre-repartitions on the bucket column with one task
+    per bucket (repartition and bucketBy share the Murmur3 hash), so
+    each bucket is exactly one sorted file — without it, every write
+    task emits a file per bucket it touches, and while bucket-locality
+    survives, per-bucket multi-file layouts cost more open/merge work
+    at read time."""
+    if align_tasks:
+        df = df.repartition(num_buckets, F.col(bucket_col))
     writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

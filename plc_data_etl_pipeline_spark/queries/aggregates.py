@@ -398,6 +398,54 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_pivot_multi",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F_n,
+           CAST(COALESCE(SUM({sql_cents("o_totalprice")})
+                  FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) / 100
+             AS F_rev,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O_n,
+           CAST(COALESCE(SUM({sql_cents("o_totalprice")})
+                  FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) / 100
+             AS O_rev,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P_n,
+           CAST(COALESCE(SUM({sql_cents("o_totalprice")})
+                  FILTER (WHERE o_orderstatus = 'P'), 0) AS DOUBLE) / 100
+             AS P_rev
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure PIVOT: each pivoted status column carries BOTH a
+    count and an exact-cents revenue (Spark suffixes the aggregate
+    alias per pivot value). The status domain is listed explicitly —
+    at 100 TB the values-known form skips the extra distinct-values
+    job and keeps the pivot a single pass."""
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # count("*") is illegal in pivot
+            (F.sum(cents("o_totalprice")).cast("double") / 100).alias("rev"),
+        )
+    )
+    # A pivot cell with no contributing rows is NULL; the FILTER-based
+    # oracle (and most BI expectations) say 0 — normalize explicitly.
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(
+                F.col(c), F.lit(0 if c.endswith("_n") else 0.0)
+            ).alias(c)
+            for c in piv.columns[1:]
+        ],
+    )
+
+
+@query(
     "agg_crosstab",
     oracle="""
     SELECT o_orderpriority AS o_orderpriority_o_orderstatus,

@@ -518,3 +518,50 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             *_unpack_date_key("m", "o_orderkey", "asof_orderdate"),
         )
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed layout: both sides are
+    written ``bucketBy(8, custkey)`` + sorted, so the join reads
+    pre-partitioned, pre-sorted buckets and the SortMergeJoin needs NO
+    Exchange on either side (plan-locked in tests/test_plans.py). This
+    is THE layout strategy for a 100 TB fact table joined on the same
+    key every day — the shuffle is paid once at write time, then every
+    subsequent join is bucket-local. The only Exchange left in this
+    plan belongs to the final rollup."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.scale import write_bucketed
+
+    base = os.path.join(tempfile.gettempdir(), "plc_etl_bucketed")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    for name, df, key in (
+        ("bkt_orders", o, "o_custkey"),
+        ("bkt_customer", c, "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        path = os.path.join(base, name)
+        shutil.rmtree(path, ignore_errors=True)
+        write_bucketed(df, name, key, 8, sort_col=key, path=path)
+    # merge hint pins SortMergeJoin (at test SF the planner would
+    # broadcast the tiny side, hiding the bucket-locality being proven;
+    # at 100 TB SMJ is what the planner picks anyway).
+    joined = spark.table("bkt_orders").hint("merge").join(
+        spark.table("bkt_customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), dsum("o_totalprice", "revenue")
+    )

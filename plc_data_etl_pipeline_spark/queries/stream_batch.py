@@ -127,3 +127,29 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
     )
+
+
+@query(
+    "stream_join_interval",
+    oracle="""
+    SELECT e.user_id, e.event_id AS error_id, p.event_id AS purchase_id,
+           STRFTIME(e.ts, '%Y-%m-%d %H:%M:%S') AS error_time,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+           p.value AS purchase_value
+    FROM events e JOIN events p
+      ON e.user_id = p.user_id
+     AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 10 MINUTE
+    WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+    """,
+)
+def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/joins.py::error_purchase_pairs): each error paired with
+    the same user's purchases in the following 10 minutes. The exact
+    same function body runs as a watermarked two-stream join (the
+    interval bounds are what let Spark evict buffered state —
+    tests/test_streaming.py proves streaming/batch convergence); here
+    the batch form is value-checked against the SQL self-join."""
+    from ..streaming.joins import error_purchase_pairs
+
+    return error_purchase_pairs(load(spark, sf_dir, "events"))

@@ -283,6 +283,42 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_lag_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_purchase_value
+    FROM events
+    """,
+)
+def win_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-tolerant LAG: each event sees the user's most recent
+    PURCHASE value strictly before it (non-purchase rows are NULL and
+    skipped) — the sparse-signal carry-forward every sessionized
+    feature pipeline needs. Expressed as last_value IGNORE NULLS over
+    an exclusive trailing frame, the portable form of
+    ``LAG(...) IGNORE NULLS``; one shuffle on user_id, bounded
+    per-partition state."""
+    ev = load(spark, sf_dir, "events")
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(purchase_val, ignorenulls=True)
+        .over(w)
+        .alias("prev_purchase_value"),
+    )
+
+
+@query(
     "win_share_of_total",
     oracle="""
     SELECT l_orderkey, l_linenumber,

@@ -520,6 +520,23 @@ def test_partitioned_sink_prunes_directories(spark):
     assert "event_type" in pf[1].split("\n")[0]
 
 
+def test_bucketed_join_no_shuffle(spark):
+    """Both sides bucketed on the join key: the SortMergeJoin must
+    consume the buckets directly — zero Exchange in the join subtree
+    (the only Exchange belongs to the final rollup). The per-bucket
+    Sort nodes remain: Spark >= 3.0 ignores bucket sort metadata at
+    scan time by default (spark.sql.legacy.bucketedTableScan.
+    outputOrdering) — the shuffle elimination is the property that
+    matters at 100 TB; sorting already-sorted runs is a cheap local
+    pass."""
+    p = plan(spark, "join_bucketed_colocated", mode="simple")
+    assert "SortMergeJoin" in p
+    assert p.count("Exchange") <= 1
+    join_part = p.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_part, "bucket join shuffled a side"
+    assert p.count("Bucketed: true") == 2 or "SelectedBucketsCount" in p
+
+
 def test_filtered_agg_single_scan(spark):
     """All six FILTER/bool aggregates must evaluate in one
     hash-aggregate over one scan of orders — no per-condition self

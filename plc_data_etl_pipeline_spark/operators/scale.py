@@ -39,7 +39,7 @@ def write_bucketed(
     num_buckets: int = 8,
     sort_col: str | None = None,
     path: str | None = None,
-    align_tasks: bool = True,
+    align_tasks: bool = False,
 ) -> None:
     """Bucketed table (saveAsTable — bucketing metadata lives in the
     catalog; ``path`` makes it external). Joining two tables bucketed on
@@ -50,7 +50,9 @@ def write_bucketed(
     each bucket is exactly one sorted file — without it, every write
     task emits a file per bucket it touches, and while bucket-locality
     survives, per-bucket multi-file layouts cost more open/merge work
-    at read time."""
+    at read time. Off by default: it collapses write parallelism to
+    ``num_buckets`` tasks, so only enable it when the bucket count is
+    sized to the cluster (or the table is small enough not to care)."""
     if align_tasks:
         df = df.repartition(num_buckets, F.col(bucket_col))
     writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)

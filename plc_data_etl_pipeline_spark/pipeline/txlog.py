@@ -446,6 +446,43 @@ class TransactionalParquetTable:
             return table_ddl
         return StructType(table_schema.fields + extra).toDDL()
 
+    def _snapshot_retrying(self, compute, txn: tuple[str, int] | None,
+                           verb: str) -> int:
+        """Shared optimistic-concurrency loop for snapshot-recomputing
+        writers (merge/delete/compact): per attempt, honor an
+        already-committed txn marker, recompute against the current
+        snapshot, and commit only if the snapshot is still current.
+
+        ``compute(base) -> (files, schema_ddl, data_change) | None``;
+        None means the operation is a logical no-op. A no-op WITH a txn
+        marker still commits a marker-only manifest (same files,
+        ``dataChange: false``) so exactly-once replay detection works —
+        otherwise a crash-replay of the no-op batch could re-execute
+        against LATER data that now matches."""
+        for _ in range(self.MAX_RETRIES):
+            if self._txn_already_committed(txn):
+                return self.version()
+            base = self.version()
+            res = compute(base)
+            if res is None:
+                if txn is None:
+                    return base
+                m = self._read_manifest(base)
+                res = (m["files"], m["schema"], False)
+            files, ddl, data_change = res
+            try:
+                if self.version() != base:  # lost the race: re-plan
+                    continue
+                return self._commit(
+                    files, ddl, txn, base, data_change=data_change
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"gave up after {self.MAX_RETRIES} conflicting {verb}s on "
+            f"{self.path}"
+        )
+
     def delete_where(self, where: list[tuple],
                      txn: tuple[str, int] | None = None) -> int:
         """Row-level DELETE, copy-on-write with file-level pruning: only
@@ -454,36 +491,29 @@ class TransactionalParquetTable:
         other file is carried into the new version untouched. On a
         range-clustered 100 TB table a selective delete therefore
         rewrites a handful of files, not the table — the same dataflow
-        as Delta's DELETE with data skipping. Returns the committed
-        version (a no-op delete — no candidate files — commits nothing
-        and returns the current version)."""
-        if self._txn_already_committed(txn):
-            return self.version()
-        for _ in range(self.MAX_RETRIES):
-            base = self.version()
+        as Delta's DELETE with data skipping.
+
+        SQL DELETE semantics: a row is deleted only when the predicate
+        is TRUE — rows where it evaluates to NULL (e.g. a column added
+        by schema evolution that is NULL in pre-evolution rows) are
+        KEPT, so survivors filter on ``predicate IS NOT TRUE``, not
+        ``NOT predicate``."""
+
+        def compute(base: int):
             if base == 0:
                 raise FileNotFoundError(f"no committed version in {self.path}")
             m = self._read_manifest(base)
             touched = self.candidate_files(where, version=base)
             if not touched:
-                return base
+                return None
             untouched = [f for f in m["files"] if f not in set(touched)]
+            cond = self._condition(where)
             survivors = self.spark.read.schema(m["schema"]).parquet(
                 *[os.path.join(self.path, f) for f in touched]
-            ).filter(~self._condition(where))
-            new_files = self._write_data_files(survivors)
-            try:
-                if self.version() != base:  # lost the race: re-plan
-                    continue
-                return self._commit(
-                    untouched + new_files, m["schema"], txn, base
-                )
-            except CommitConflict:
-                continue
-        raise CommitConflict(
-            f"gave up after {self.MAX_RETRIES} conflicting deletes on "
-            f"{self.path}"
-        )
+            ).filter(~F.coalesce(cond, F.lit(False)))
+            return untouched + self._write_data_files(survivors), m["schema"], True
+
+        return self._snapshot_retrying(compute, txn, "delete")
 
     def overwrite(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """Replace the table contents with ``df``."""
@@ -500,11 +530,10 @@ class TransactionalParquetTable:
         version, unmatched target rows kept, new rows inserted — the
         Delta/Iceberg ``MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED
         INSERT`` dataflow (anti-join + union) under this log's snapshot
-        isolation."""
-        if self._txn_already_committed(txn):
-            return self.version()
-        for _ in range(self.MAX_RETRIES):
-            base = self.version()
+        isolation (the merge recomputes against the current snapshot on
+        every commit-conflict retry)."""
+
+        def compute(base: int):
             if base:
                 target = self.read(base)
                 keep = target.join(
@@ -514,21 +543,9 @@ class TransactionalParquetTable:
             else:
                 merged = updates
             files = self._write_data_files(merged)
+            return files, merged._jdf.schema().toDDL(), True
 
-            def build(_base_inner: int):
-                return files, merged._jdf.schema().toDDL()
-
-            try:
-                # commit against the SAME base we merged with: if someone
-                # else committed meanwhile, recompute the merge.
-                if self.version() != base:
-                    continue
-                return self._commit(files, merged._jdf.schema().toDDL(), txn, base)
-            except CommitConflict:
-                continue
-        raise CommitConflict(
-            f"gave up after {self.MAX_RETRIES} conflicting merges on {self.path}"
-        )
+        return self._snapshot_retrying(compute, txn, "merge")
 
     # ------------------------------------------------------------ compact
     def compact(self, target_file_bytes: int = 128 << 20) -> int:
@@ -546,8 +563,7 @@ class TransactionalParquetTable:
         ~target-size scan units. A production table would compact per
         partition; the commit protocol here is unchanged.
         """
-        for _ in range(self.MAX_RETRIES):
-            base = self.version()
+        def compute(base: int):
             if base == 0:
                 raise FileNotFoundError(f"no committed version in {self.path}")
             manifest = self._read_manifest(base)
@@ -557,21 +573,12 @@ class TransactionalParquetTable:
             )
             n_out = max(1, -(-total // target_file_bytes))
             if len(old_files) <= n_out:
-                return base  # already compact enough: no-op, no commit
+                return None  # already compact enough: no-op
             snapshot = self.read(base)
             files = self._write_data_files(snapshot.coalesce(int(n_out)))
-            try:
-                if self.version() != base:  # lost the race: re-plan
-                    continue
-                return self._commit(
-                    files, manifest["schema"], None, base, data_change=False
-                )
-            except CommitConflict:
-                continue
-        raise CommitConflict(
-            f"gave up after {self.MAX_RETRIES} conflicting compactions on "
-            f"{self.path}"
-        )
+            return files, manifest["schema"], False
+
+        return self._snapshot_retrying(compute, None, "compaction")
 
     # ------------------------------------------------------------- vacuum
     def vacuum(self) -> int:

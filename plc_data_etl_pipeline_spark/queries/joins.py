@@ -554,7 +554,9 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         path = os.path.join(base, name)
         shutil.rmtree(path, ignore_errors=True)
-        write_bucketed(df, name, key, 8, sort_col=key, path=path)
+        write_bucketed(
+            df, name, key, 8, sort_col=key, path=path, align_tasks=True
+        )
     # merge hint pins SortMergeJoin (at test SF the planner would
     # broadcast the tiny side, hiding the bucket-locality being proven;
     # at 100 TB SMJ is what the planner picks anyway).

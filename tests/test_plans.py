@@ -541,9 +541,12 @@ def test_filtered_agg_single_scan(spark):
     """All six FILTER/bool aggregates must evaluate in one
     hash-aggregate over one scan of orders — no per-condition self
     joins or unions."""
-    p = plan(spark, "agg_filtered")
-    assert p.count("Scan parquet") + p.count("Scan ExistingRDD") <= 1 or (
-        p.count("InMemoryTableScan") <= 1
+    p = plan(spark, "agg_filtered", mode="simple")
+    n_scans = (
+        p.count("Scan parquet")
+        + p.count("Scan ExistingRDD")
+        + p.count("InMemoryTableScan")
     )
+    assert n_scans <= 1, f"orders scanned {n_scans}x; expected one pass"
     assert "Join" not in p
     assert p.count("HashAggregate") >= 2

@@ -319,3 +319,39 @@ def test_schema_evolution_null_fill_and_guards(spark, tmp_path):
     # change feed reconciles across the evolution boundary
     cdf = t.read_changes(v - 1, v)
     assert {tuple(r) for r in cdf.collect()} == {(3, "c", 9.5, "inserted", v)}
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates to NULL
+    are KEPT. The schema-evolution interaction is the sharp edge:
+    pre-evolution rows have NULL in the new column AND their files have
+    no stats for it, so every old file is a rewrite candidate — the
+    rewrite must not drop those rows."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    t.append(
+        spark.createDataFrame([(3, "c", 5.0), (4, "d", 9.0)],
+                              "k int, v string, w double"),
+        merge_schema=True,
+    )
+    t.delete_where([("w", "=", 5.0)])
+    got = {tuple(r) for r in t.read().collect()}
+    assert got == {(1, "a", None), (2, "b", None), (4, "d", 9.0)}
+
+
+def test_delete_where_noop_with_txn_records_marker(spark, tmp_path):
+    """Exactly-once: a no-op delete carrying a txn marker must still
+    commit a marker-only manifest, so a crash-replay of that batch is
+    recognized and does NOT re-execute against later-arriving data."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(10).select(F.col("id").alias("k")))
+    v = t.delete_where([("k", ">", 1000)], txn=("app", 7))
+    m = t._read_manifest(v)
+    assert m["txn"] == {"app": "app", "id": 7}
+    assert m["dataChange"] is False
+    assert t.read().count() == 10
+    # later data that WOULD match the predicate arrives...
+    t.append(spark.createDataFrame([(2000,)], "k long"))
+    # ...then the crashed batch replays: must be a no-op, row survives
+    assert t.delete_where([("k", ">", 1000)], txn=("app", 7)) == t.version()
+    assert t.read().count() == 11

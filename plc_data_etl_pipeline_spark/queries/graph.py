@@ -98,16 +98,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # This is the standard Spark iterative-algorithm pattern
     # (GraphX/ALS checkpoint the same way); at real depth, checkpoint
     # ranks every ~5 rounds too. The checkpointed relation loses its
-    # size stats, so the rank join is hinted sort-merge — without the
-    # hint the planner may try to build+broadcast the (arbitrarily
-    # large) edge relation and OOM the driver.
-    edges_deg = (
-        edges.join(deg, "src").localCheckpoint(eager=False).hint("merge")
-    )
+    # size stats, so the planner must be pinned: without a hint it may
+    # try to build+broadcast the (arbitrarily large) edge relation and
+    # OOM the driver. SHUFFLE_HASH on the rank side beats sort-merge
+    # here (measured 18.6 s -> ~8 s warm at 12M edges): the edge
+    # relation would otherwise be re-SORTED every round (the
+    # checkpoint's partitioning/order is opaque to Catalyst), while
+    # hashing builds only on the per-partition slice of the much
+    # smaller rank relation — bounded memory at any graph size.
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
     ranks = deg.select("src", F.lit(1000000).cast("bigint").alias("pr"))
     for _ in range(3):
         ranks = (
-            edges_deg.join(ranks, "src")
+            edges_deg.join(ranks.hint("shuffle_hash"), "src")
             .groupBy("dst")
             .agg(F.sum(F.expr("pr div d")).alias("c"))
             .select(

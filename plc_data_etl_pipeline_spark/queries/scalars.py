@@ -460,6 +460,35 @@ def scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           md5(text) = md5(md5(text)) AS md5_collision_sanity
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest surface (md5 / sha-256): the
+    engine-independent content keys behind dedup_exact's survivor
+    election, sample_train_split's leak-free hashing, and every
+    content-addressed artifact store. Both engines emit lowercase hex,
+    so digests are directly comparable across systems — unlike
+    xxhash64, whose seed/implementation is engine-specific (and which
+    the engine therefore only uses internally)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        (F.md5("text") == F.md5(F.md5("text"))).alias(
+            "md5_collision_sanity"
+        ),
+    )
+
+
+@query(
     "array_explode_outer",
     oracle="""
     SELECT d.doc_id, t.tok

@@ -1,0 +1,69 @@
+"""Graph operators over DataFrame edge lists.
+
+Connected components (min-label propagation) lives in operators/dedup.py
+where dedup clustering consumes it; this module holds the general
+iterative-join algorithms. Everything takes/returns DataFrames — an edge
+list is just a two-column relation, so graph analytics inherit Spark's
+partitioning, AQE, and shuffle machinery with no special runtime.
+
+Determinism contract (for oracle checking and cross-run stability): ranks
+are integer micro-units, damping is integer arithmetic
+(``150000 + (85 * s) div 100``), contributions use integer division —
+the trajectory is bit-identical under any aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    pairs: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Integer-deterministic PageRank over an UNDIRECTED pair list.
+
+    ``pairs`` must have columns (a, b); each row is one undirected edge
+    (deduplicate first if multiplicity should not weight the walk).
+    Returns (node, pr) with pr in micro-units (1_000_000 = initial mass
+    per node). Every node appearing in ``pairs`` has degree >= 1, so no
+    dangling-mass correction is needed.
+
+    Scale posture: each round is one equi-join edge⋈rank on the source
+    key plus a map-side-combinable SUM per destination. The edge
+    relation is localCheckpoint-ed once (without it, round k's plan
+    re-derives the edge aggregation k+1 times) and the rank join is
+    hinted SHUFFLE_HASH: after checkpointing, Catalyst has no stats —
+    unhinted it may try to broadcast the (arbitrarily large) edge side
+    and OOM; hinted merge it re-sorts the edges every round. Ranks are
+    re-checkpointed every ``checkpoint_every`` rounds to bound lineage
+    depth (the GraphX/ALS pattern)."""
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
+    ranks = deg.select("src", F.lit(1000000).cast("bigint").alias("pr"))
+    for i in range(iterations):
+        ranks = (
+            edges_deg.join(ranks.hint("shuffle_hash"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("pr div d")).alias("c"))
+            .select(
+                F.col("dst").alias("src"),
+                (
+                    F.lit(1000000 - damping_pct * 10000)
+                    + F.expr(f"({damping_pct} * c) div 100")
+                )
+                .cast("bigint")
+                .alias("pr"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(F.col("src").alias("node"), "pr")

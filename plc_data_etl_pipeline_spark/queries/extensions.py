@@ -1114,6 +1114,78 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_freshness",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS corpus_max FROM events)
+    SELECT event_type, COUNT(*) AS n,
+           STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS latest,
+           CAST(FLOOR((FLOOR(epoch(corpus_max)) - FLOOR(epoch(MAX(ts))))
+                      / 60) AS BIGINT) AS staleness_min
+    FROM events, mx
+    GROUP BY event_type, corpus_max
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness/staleness audit per stream: minutes since each event
+    type last produced data, measured against the corpus watermark (the
+    global max timestamp — NOT wall clock, so the answer is
+    deterministic and replayable). The operational check behind 'is
+    source X still flowing'; one aggregation plus a one-row broadcast
+    of the watermark."""
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("corpus_max"))
+    per = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.max("ts").alias("latest_ts")
+    )
+    return per.join(F.broadcast(mx)).select(
+        "event_type",
+        "n",
+        F.date_format("latest_ts", "yyyy-MM-dd HH:mm:ss").alias("latest"),
+        F.floor(
+            (F.unix_timestamp("corpus_max") - F.unix_timestamp("latest_ts"))
+            / 60
+        ).alias("staleness_min"),
+    )
+
+
+@query(
+    "agg_dedup_rate_by_source",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_distinct,
+           CAST(FLOOR((1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE)
+                             / COUNT(*)) * 1000000.0 + 0.5) AS DOUBLE)
+             / 1000000.0 AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def agg_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication census per ingestion source: exact distinct-text
+    counts and the duplicate fraction — the triage view that decides
+    WHICH crawl/source needs aggressive dedup before training. The
+    distinct count is the standard two-phase partial-distinct
+    aggregate; at extreme cardinality swap in agg_hll_union's sketch
+    or agg_bitmap_distinct's bitmaps (same grouping shape)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct"),
+        (
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.countDistinct("text").cast("double") / F.count("*")
+                )
+                * 1000000.0
+                + 0.5
+            ).cast("double")
+            / 1000000.0
+        ).alias("dup_rate"),
+    )
+
+
+@query(
     "dq_outlier_mad",
     oracle="""
     WITH m AS (

@@ -74,6 +74,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines regardless of aggregation order. Every node has degree
     >= 1 (undirected edges), so no dangling-mass correction is needed.
     Returns the top-20 nodes (node-id tiebreak)."""
+    from ..operators.graph import pagerank
+
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     # Integer node encoding (even=customer, odd=supplier): BIGINT keys
@@ -87,41 +89,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    # One reusable (src, dst, d) relation: rank joins hit it per round.
-    # localCheckpoint materializes it ONCE and truncates lineage —
-    # without it, round k's plan re-derives the distinct-pair
-    # aggregation k+1 times (measured 5.3 s -> 3.8 s warm at sf0.1).
-    # This is the standard Spark iterative-algorithm pattern
-    # (GraphX/ALS checkpoint the same way); at real depth, checkpoint
-    # ranks every ~5 rounds too. The checkpointed relation loses its
-    # size stats, so the planner must be pinned: without a hint it may
-    # try to build+broadcast the (arbitrarily large) edge relation and
-    # OOM the driver. SHUFFLE_HASH on the rank side beats sort-merge
-    # here (measured 18.6 s -> ~8 s warm at 12M edges): the edge
-    # relation would otherwise be re-SORTED every round (the
-    # checkpoint's partitioning/order is opaque to Catalyst), while
-    # hashing builds only on the per-partition slice of the much
-    # smaller rank relation — bounded memory at any graph size.
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
-    ranks = deg.select("src", F.lit(1000000).cast("bigint").alias("pr"))
-    for _ in range(3):
-        ranks = (
-            edges_deg.join(ranks.hint("shuffle_hash"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.expr("pr div d")).alias("c"))
-            .select(
-                F.col("dst").alias("src"),
-                (F.lit(150000) + F.expr("(85 * c) div 100"))
-                .cast("bigint")
-                .alias("pr"),
-            )
-        )
     top = (
-        ranks.select(F.col("src").alias("node"), F.col("pr").alias("pr_micro"))
+        pagerank(pairs, iterations=3)
+        .select("node", F.col("pr").alias("pr_micro"))
         .orderBy(F.desc("pr_micro"), "node")
         .limit(20)
     )

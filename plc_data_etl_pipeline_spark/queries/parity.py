@@ -156,6 +156,95 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           UPPER(SUBSTRING(text, 1, 12)) AS prefix_upper
+    FROM documents
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy end of the Python UDF spectrum: the
+    function sees raw pyarrow RecordBatches (no pandas conversion at
+    all), the right tool when the Python side is itself Arrow-native
+    (tokenizers, pyarrow.compute kernels, Arrow-IPC shuttling to
+    another process). Computation is SQL-expressible on purpose so the
+    oracle checks the batch protocol end-to-end. Completes the Arrow
+    UDF ladder: scalar pandas_udf -> grouped map/agg -> mapInPandas ->
+    mapInArrow."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(batches):
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(
+                        pc.binary_length(pc.cast(text, pa.binary())),
+                        pa.int64(),
+                    ),
+                    pc.utf8_upper(pc.utf8_slice_codeunits(text, 0, 12)),
+                ],
+                names=["doc_id", "n_bytes", "prefix_upper"],
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        fn, "doc_id long, n_bytes long, prefix_upper string"
+    )
+
+
+@query(
+    "udf_cogroup_asof",
+    oracle="""
+    SELECT u.user_id,
+           COUNT(*) AS n_events,
+           COALESCE(o.n_orders, 0) AS n_orders
+    FROM events u
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+               FROM orders WHERE o_custkey < 1500
+               GROUP BY o_custkey) o
+      ON u.user_id = o.o_custkey
+    WHERE u.user_id < 1500
+    GROUP BY u.user_id, o.n_orders
+    """,
+)
+def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas UDF (groupBy().cogroup().applyInPandas):
+    both relations are shuffled on the key and each key's two pandas
+    frames arrive TOGETHER in one Python call — the escape hatch for
+    per-key merge logic no join expresses (custom as-of matching,
+    trajectory alignment). The computation here is deliberately
+    join-expressible so the cogroup protocol (dual Arrow streams,
+    empty-side handling) is oracle-checked end-to-end."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 1500)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 1500)
+
+    def merge(ev_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        if ev_pdf.empty:  # orders-only key: no event rows to report
+            return pd.DataFrame(
+                {"user_id": [], "n_events": [], "n_orders": []}
+            ).astype({"user_id": "int64", "n_events": "int64",
+                      "n_orders": "int64"})
+        return pd.DataFrame(
+            {
+                "user_id": [int(ev_pdf["user_id"].iloc[0])],
+                "n_events": [len(ev_pdf)],
+                "n_orders": [len(o_pdf)],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(merge, "user_id long, n_events long, n_orders long")
+    )
+
+
+@query(
     "udf_grouped_agg_trimmed",
     oracle="""
     SELECT event_type,

@@ -431,6 +431,66 @@ def sink_txn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_incremental_rollup",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+           {sql_dsum("value", "sum_value")}
+    FROM events
+    GROUP BY CAST(ts AS DATE), event_type
+    """,
+)
+def sink_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-(day, type)
+    rollup table is seeded from history, then a later batch's PARTIAL
+    aggregates are ADDED into it (count and exact-cents sum are
+    mergeable state) via the txlog MERGE — only the (day, type) keys
+    the batch touches are rewritten, never the full history. The
+    oracle is the full recompute over all events, so
+    incremental-equals-recompute is value-checked — the invariant every
+    continuously-maintained rollup must keep. The batch boundary cuts
+    MID-day on purpose, so boundary keys exercise the additive path."""
+    import shutil
+
+    from ..pipeline.txlog import TransactionalParquetTable
+    from ._conv import cents
+
+    ev = load(spark, sf_dir, "events")
+    cut = "2024-01-20 12:00:00"
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(cents("value")).alias("sum_cents"),
+        )
+
+    path = os.path.join(tempfile.gettempdir(), "plc_etl_incr_rollup")
+    shutil.rmtree(path, ignore_errors=True)
+    t = TransactionalParquetTable(spark, path)
+    t.overwrite(rollup(ev.filter(F.col("ts") < cut)))
+
+    inc = rollup(ev.filter(F.col("ts") >= cut)).alias("i")
+    cur = t.read().alias("c")
+    combined = inc.join(cur, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        (F.col("i.n") + F.coalesce(F.col("c.n"), F.lit(0))).alias("n"),
+        (
+            F.col("i.sum_cents")
+            + F.coalesce(F.col("c.sum_cents"), F.lit(0))
+        ).alias("sum_cents"),
+    )
+    t.merge_upsert(combined, keys=["day", "event_type"])
+    return t.read().select(
+        "day",
+        "event_type",
+        "n",
+        (F.col("sum_cents").cast("double") / 100).alias("sum_value"),
+    )
+
+
+@query(
     "sink_partitioned_prune",
     oracle=f"""
     SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,

@@ -99,6 +99,47 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session_dynamic",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, ts, value, event_id,
+             epoch_us(ts) AS tu,
+             epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                                 THEN 1200000000 ELSE 600000000 END AS eu
+      FROM events
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN MAX(eu) OVER prev IS NULL
+                    OR tu >= MAX(eu) OVER prev
+                  THEN 1 ELSE 0 END AS new_session
+      FROM t
+      WINDOW prev AS (PARTITION BY user_id ORDER BY tu, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY tu, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS s
+      FROM flagged
+    )
+    SELECT STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           user_id,
+           {_AGG_SQL}
+    FROM numbered
+    GROUP BY user_id, s
+    """,
+)
+def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows: purchases hold the session open 20
+    minutes, other events 10 — the per-event timeout form
+    (session_window with a Column gap) that static-gap sessionization
+    can't express. The oracle reproduces interval-overlap merging with
+    a running MAX of per-event window ends in exact integer
+    microseconds (an event starting exactly at the running end opens a
+    NEW session — Spark's window end is exclusive)."""
+    return W.session_dynamic(load(spark, sf_dir, "events"))
+
+
+@query(
     "stream_enrich_static",
     oracle="""
     SELECT c.c_mktsegment, e.event_type,

@@ -107,6 +107,35 @@ def session(df: DataFrame, gap: str = "10 minutes",
     )
 
 
+def session_dynamic(df: DataFrame,
+                    watermark: str | None = None) -> DataFrame:
+    """Dynamic-gap session windows (Spark >= 3.2 session_window with a
+    Column gap): each event extends its session by an event-dependent
+    timeout — here purchases hold sessions open 20 minutes, everything
+    else 10. The semantics are interval-overlap merging of
+    [ts, ts+gap(event)) per key; identical expression runs streaming
+    (state eviction follows the watermark + per-event gaps)."""
+    if watermark:
+        df = with_event_time(df).withWatermark("ts", watermark)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("20 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(*_agg_cols())
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "user_id",
+            "n_events",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
 def dedup_with_watermark(df: DataFrame, keys: list[str],
                          watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: state holds keys only until the watermark

@@ -459,3 +459,18 @@ def test_stream_static_enrich_available_now(spark, event_files):
     assert got == want
     # AvailableNow drains everything and terminates on its own
     assert q.lastProgress is not None
+
+
+def test_session_dynamic_stream_matches_batch(spark, event_files):
+    """Dynamic-gap sessions (Column gap: purchases 20 min, others 10)
+    converge to the batch twin — the per-event timeout must merge the
+    same interval-overlap islands under incremental micro-batches."""
+    schema = load(spark, SF_DIR, "events").schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(event_files)
+    got = _run_stream_to_memory(
+        spark, W.session_dynamic(stream), "session_dyn_mem", "complete"
+    )
+    want = _batch_rows(W.session_dynamic(load(spark, SF_DIR, "events")))
+    assert sorted(tuple(r) for r in got) == want

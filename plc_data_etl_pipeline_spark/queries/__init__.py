@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     advanced,
     aggregates,
     curation,
+    events,
     extensions,
     graph,
     joins,

@@ -1,0 +1,277 @@
+"""Product/event analytics over the ``events`` stream table.
+
+The reference pipeline lands raw sensor events in a warehouse table
+(`consumer/sensor_data_consumer.py:124-138`) and stops; every real
+deployment immediately asks the next three questions — "how do users
+move through the funnel?", "do cohorts come back?", "what follows
+what?".  This module answers them with oracle-checked, shuffle-lean
+plans:
+
+* ``event_funnel`` — ordered multi-step funnel (view → click →
+  purchase) computed with ONE shuffle: three stacked unordered window
+  mins over the same ``user_id`` partitioning (the exchange is planned
+  once), then a co-partitioned per-user collapse and a single-row
+  global rollup.  No self-joins, no per-step rescans of the event log.
+* ``event_retention`` — classic cohort/day-offset retention triangle.
+  First-touch cohort is one partial-agg shuffle on ``user_id``; the
+  join back is co-partitioned on the same key.
+* ``event_transitions`` — first-order Markov transition counts via
+  LAG over (user, time) — the sequence-mining primitive.
+* ``agg_bitmap_intersect`` — exact audience-overlap matrix via
+  mergeable roaring-style bitmaps and inclusion–exclusion
+  (|A∩B| = |A|+|B|−|A∪B|, union through ``bitmap_or_agg``): distinct
+  sets are sketched ONCE per event type, then every pairwise overlap
+  is computed on ≤4 KB bitmap states — never by re-joining raw events.
+
+Determinism: every output is a count, an integer basis-point ratio, a
+DATE, or a small string — exact under any aggregation order (SURVEY
+§7.3 conventions).
+
+All counts are over driver testdata; at 100 TB the shapes hold: every
+shuffle is a partial-aggregated equi-key exchange on ``user_id`` (high
+cardinality, no skewed sentinel keys in the domain), window frames are
+unordered full-partition mins (no sort-by-time needed), and bitmap
+state is bounded by id-bucket, not row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+@query(
+    "event_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase,
+           CAST((SELECT COUNT(*) FROM s2) * 10000
+                // (SELECT COUNT(*) FROM s1) AS BIGINT) AS conv_click_bp,
+           CAST((SELECT COUNT(*) FROM s3) * 10000
+                // (SELECT COUNT(*) FROM s1) AS BIGINT) AS conv_purchase_bp
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel: first 'view', then the first 'click'
+    at-or-after it, then the first 'purchase' at-or-after that.
+
+    The oracle spells the textbook formulation (three aggregate-join
+    phases, each rescanning events). The engine plan instead stacks
+    three unordered window MINs over the SAME ``user_id`` partitioning
+    — Catalyst plans one Exchange and evaluates the three frames in one
+    pass per partition, because step n's threshold (a per-user
+    constant) is just another window expression over the partition.
+    One shuffle of the event log total, versus three scans + three
+    shuffles for the naive form. Conversion ratios are integer basis
+    points (exact integer division, hash-stable across engines)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    df = ev.withColumn("t1", F.min(F.when(is_("view"), F.col("ts"))).over(w))
+    df = df.withColumn(
+        "t2",
+        F.min(
+            F.when(is_("click") & (F.col("ts") >= F.col("t1")), F.col("ts"))
+        ).over(w),
+    )
+    df = df.withColumn(
+        "t3",
+        F.min(
+            F.when(is_("purchase") & (F.col("ts") >= F.col("t2")), F.col("ts"))
+        ).over(w),
+    )
+    # Collapse to one row per user (t1..t3 are per-user constants; the
+    # groupBy is co-partitioned with the window exchange -> no reshuffle).
+    per_user = df.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    totals = per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click"),
+        F.count("t3").alias("n_purchase"),
+    )
+    return totals.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.expr("n_click * 10000 div n_view").alias("conv_click_bp"),
+        F.expr("n_purchase * 10000 div n_view").alias("conv_purchase_bp"),
+    )
+
+
+@query(
+    "event_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id, c.d0,
+             CAST(CAST(e.ts AS DATE) - c.d0 AS INT) AS day_offset
+      FROM events e JOIN cohort c ON e.user_id = c.user_id
+      WHERE CAST(e.ts AS DATE) - c.d0 < 7
+    )
+    SELECT d0 AS cohort_date, day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act GROUP BY d0, day_offset
+    """,
+)
+def event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-touch date,
+    counted on each of their first 7 active day-offsets — the standard
+    "day-N retention" report. Plan: first-touch cohort is one
+    partial-agg shuffle on ``user_id``; the activity join is
+    co-partitioned on the same key (AQE picks broadcast when the cohort
+    side is small); DISTINCT collapses repeat same-day activity before
+    the final tiny (cohort×7) aggregate. DATE output per SURVEY §7.3
+    (never a raw timestamp)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    act = (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.datediff("d", "cohort_date").alias("day_offset"),
+        )
+        .where(F.col("day_offset") < 7)
+        .distinct()
+    )
+    return act.groupBy("cohort_date", "day_offset").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence (the path-analysis primitive behind sankey/flow reports).
+    One window shuffle on ``user_id`` with a (ts, event_id) sort —
+    event_id breaks timestamp ties identically in both engines — then
+    a partial-aggregated count over a 5×5 key domain."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    )
+    return (
+        seq.where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "agg_bitmap_intersect",
+    oracle="""
+    WITH t AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM t a JOIN t b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def agg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audience-overlap matrix (distinct users per event-type
+    pair) via mergeable bitmaps + inclusion–exclusion.
+
+    The oracle self-joins the distinct (type,user) set — at 100 TB that
+    join re-shuffles every distinct user once per pair. The engine
+    instead sketches each type's user set ONCE into per-32k-id-bucket
+    roaring bitmaps (same states agg_bitmap_distinct builds), then
+    computes every pairwise overlap purely on bitmap state:
+    |A∩B| = |A| + |B| − |A∪B|, with the union folded by
+    ``bitmap_or_agg`` over ≤4 KB bucket bitmaps. Adding a new day of
+    events ORs into the stored sketches — the overlap matrix refreshes
+    without ever rescanning history. ids map 1-based
+    (bitmap_bit_position is 1-based; user_id 0 would otherwise drop)."""
+    ev = load(spark, sf_dir, "events")
+    # One pass: per-(type, bucket) bitmap + its cardinality.
+    sk = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id + 1)").alias("bkt"),
+    ).agg(
+        F.expr(
+            "bitmap_construct_agg(bitmap_bit_position(user_id + 1))"
+        ).alias("bmp")
+    )
+    sk = sk.withColumn("cnt", F.expr("bitmap_count(bmp)")).cache()
+    # Per-type exact distinct counts (sum of bucket cardinalities).
+    per_type = sk.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    # All unordered type pairs (tiny: k*(k-1)/2 rows) — broadcast.
+    types = per_type.select("event_type")
+    pairs = (
+        types.alias("a")
+        .crossJoin(types.alias("b"))
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    # Route each type's bucket bitmaps to every pair containing the type,
+    # then union per (pair, bucket) and count.
+    routed = sk.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    )
+    union_cnt = (
+        routed.groupBy("type_a", "type_b", "bkt")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(bmp))").alias("ucnt"))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum("ucnt").alias("n_union"))
+    )
+    na = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    nb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        union_cnt.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("n_a") + F.col("n_b") - F.col("n_union")).alias("n_both"),
+        )
+    )

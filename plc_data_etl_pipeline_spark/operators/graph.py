@@ -67,3 +67,58 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(F.col("src").alias("node"), "pr")
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count over an undirected simple edge list.
+
+    ``edges`` must have columns (a, b) with one row per undirected edge
+    and no duplicates/self-loops (a != b; (a,b) unique under a < b —
+    normalize upstream if needed).
+
+    Algorithm: degree-ordered orientation. Each edge is directed from
+    its lower-(degree, id) endpoint to the higher one, so every wedge
+    join fans out from the LOW-degree endpoint: the per-node out-degree
+    is bounded by O(sqrt(m)) on any graph (arboricity bound), which is
+    what keeps the wedge blowup survivable on power-law graphs at 100 TB
+    — a plain id-ordered orientation would enumerate celebrity-hub
+    wedges quadratically. Each triangle {x,y,z} with ord(x)<ord(y)<ord(z)
+    is counted exactly once, as wedge (x->y, x->z) closed by edge y->z.
+
+    Plan: degree agg (one shuffle on node) -> orientation map -> wedge
+    self-join on src -> closing semi-join on (dst1, dst2). All equi-key
+    shuffle joins; no driver-side state.
+    """
+    both = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    # Total order: degree-major, id-minor, packed into one BIGINT
+    # (ids must fit in 32 bits; degrees do by construction).
+    deg = both.groupBy("u").agg(F.count("*").alias("d"))
+    ordv = deg.select(
+        "u", (F.col("d") * F.lit(4294967296) + F.col("u")).alias("ord")
+    )
+    ou = ordv.select(F.col("u"), F.col("ord").alias("ord_u"))
+    ov = ordv.select(F.col("u").alias("v"), F.col("ord").alias("ord_v"))
+    oriented = (
+        both.join(ou, "u")
+        .join(ov, "v")
+        .where(F.col("ord_u") < F.col("ord_v"))
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            F.col("ord_v").alias("ord_dst"),
+        )
+    )
+    e1 = oriented.select(
+        F.col("src"), F.col("dst").alias("b"), F.col("ord_dst").alias("ord_b")
+    )
+    e2 = oriented.select(
+        F.col("src"), F.col("dst").alias("c"), F.col("ord_dst").alias("ord_c")
+    )
+    wedges = e1.join(e2, "src").where(F.col("ord_b") < F.col("ord_c"))
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"], "left_semi")
+    return tri.agg(F.count("*").cast("bigint").alias("n_triangles"))

@@ -100,3 +100,55 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("node") / 2).cast("bigint"),
     )
     return top.select(label.alias("node"), "pr_micro")
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS s1, b.l_partkey AS s2
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY s1, s2 HAVING COUNT(*) >= 2
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*)
+                 FROM e e1
+                 JOIN e e2 ON e2.s1 = e1.s1 AND e2.s2 > e1.s2
+                 JOIN e e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2
+                ) AS BIGINT) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the market-basket co-purchase graph: parts
+    are nodes, an edge links two parts bought together in >= 2 distinct
+    orders (the support filter keeps the graph sparse and meaningful —
+    the unfiltered co-occurrence graph converges to a clique).
+
+    The oracle closes wedges with the textbook id-ordered 3-way
+    self-join; the engine uses degree-ordered orientation
+    (operators/graph.py::triangle_count), which bounds per-node wedge
+    fan-out by O(sqrt(m)) — the difference between a survivable and a
+    quadratic plan on power-law degree distributions at scale. Both
+    orientations count each triangle exactly once, so the counts agree
+    bit-for-bit. Edge building is a per-order self-join co-partitioned
+    on l_orderkey (order baskets are small), then a partial-agg support
+    count on the pair key."""
+    from ..operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+        .select("a", "b")
+    )
+    n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    tri = triangle_count(edges)
+    return n_edges.crossJoin(tri)

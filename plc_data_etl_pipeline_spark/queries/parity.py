@@ -575,3 +575,50 @@ def plc_generate_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", 4)
         .load()
     )
+
+
+@query(
+    "sink_txn_compact",
+    oracle=f"""
+    SELECT 'pre' AS snapshot, o_orderstatus, COUNT(*) AS n,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'post' AS snapshot, o_orderstatus, COUNT(*) AS n,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_txn_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (OPTIMIZE) through the transactional log
+    (pipeline/txlog.py::compact): six micro-batch appends accrete a
+    many-file table — the pathological layout high-frequency streaming
+    ingestion produces, where per-file open/footer cost dominates scans
+    at 100 TB — then one bin-packing rewrite commits with
+    ``dataChange: false``. The query rolls up BOTH the pre-compaction
+    snapshot (by version) and the post-compaction head; the oracle
+    states the identical rollup twice, so "compaction preserves the
+    exact row multiset AND old versions stay readable" is value-checked
+    end-to-end, not just file-counted (file-count/change-feed behavior
+    is pytest-locked in tests/test_txlog.py)."""
+    import shutil
+
+    from ..pipeline.txlog import TransactionalParquetTable
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(tempfile.gettempdir(), "plc_etl_txn_compact")
+    shutil.rmtree(path, ignore_errors=True)
+    t = TransactionalParquetTable(spark, path)
+    for i in range(6):
+        t.append(o.filter(F.col("o_orderkey") % 6 == i))
+    v_pre = t.version()
+    t.compact()
+
+    def rollup(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n"), dsum("o_totalprice", "revenue")
+        ).select(F.lit(tag).alias("snapshot"), "o_orderstatus", "n", "revenue")
+
+    return rollup(t.read(v_pre), "pre").unionAll(rollup(t.read(), "post"))

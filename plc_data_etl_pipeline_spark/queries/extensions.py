@@ -1578,3 +1578,36 @@ def text_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_bigram_logprob"),
         )
     )
+
+
+@query("emb_pca_power", oracle=None)  # iterative float linalg — pytest-invariant-checked
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components of the embedding cloud via
+    distributed power iteration (operators/pca.py): anisotropy /
+    collapse diagnostics for the curation pipeline — a healthy
+    embedding model spreads variance; a collapsed one concentrates it
+    in PC1, which this report surfaces as explained-variance basis
+    points. The corpus never leaves the executors (each iteration is
+    one scan + a dim-row shuffle); only the 64-double accumulator
+    crosses to the driver per step — the same bounded-state split the
+    IVF trainer uses. Loadings are emitted as a JSON string (driver
+    canonicalizer takes no top-level arrays); closed-form recovery of
+    planted spectra is pytest-locked (tests/test_extensions.py)."""
+    from ..operators.pca import power_iteration_pcs
+
+    emb = load(spark, sf_dir, "embeddings")
+    comps, eigs, trace = power_iteration_pcs(
+        emb, "embedding", n_components=2, iterations=8
+    )
+    rows = [
+        (
+            k + 1,
+            round(eigs[k], 4),
+            int(eigs[k] * 10000 / trace) if trace else 0,
+            "[" + ",".join(f"{x:.4f}" for x in comps[k]) + "]",
+        )
+        for k in range(len(comps))
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_bp int, loadings string"
+    )

@@ -586,3 +586,58 @@ def test_semantic_dedup_degenerate_vectors_survive(spark):
     out = S.semantic_dedup(corpus, threshold=0.9)
     kept = {r.vec_id for r in out.collect()}
     assert 9100 in kept and 9101 in kept
+
+
+def test_pca_power_recovers_planted_spectrum(spark):
+    """Closed-form check: data drawn (deterministically) from a planted
+    2D subspace in 8 dims must yield PC1/PC2 aligned with the planted
+    axes, orthonormal, with eigenvalues matching the planted energies
+    and explained fractions summing to ~1."""
+    import math
+
+    from plc_data_etl_pipeline_spark.operators.pca import power_iteration_pcs
+
+    # Planted: u along dim 0 with amplitude +-3, w along dim 5 with
+    # amplitude +-1, exactly mean-centered (pairs of +/- rows).
+    rows = []
+    for i in range(64):
+        a = 3.0 if i % 2 == 0 else -3.0
+        b = 1.0 if (i // 2) % 2 == 0 else -1.0
+        v = [0.0] * 8
+        v[0] = a
+        v[5] = b
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    comps, eigs, trace = power_iteration_pcs(
+        emb, "embedding", n_components=2, iterations=12
+    )
+    # PC1 = e0 (energy 64*9), PC2 = e5 (energy 64*1); trace = sum.
+    assert abs(comps[0][0]) > 0.999 and abs(comps[1][5]) > 0.999
+    assert comps[0][0] > 0 and comps[1][5] > 0  # sign convention
+    assert abs(eigs[0] - 64 * 9.0) < 1e-6
+    assert abs(eigs[1] - 64 * 1.0) < 1e-6
+    assert abs(trace - 64 * 10.0) < 1e-6
+    # Orthonormal basis.
+    n1 = math.sqrt(sum(x * x for x in comps[0]))
+    n2 = math.sqrt(sum(x * x for x in comps[1]))
+    dot = sum(x * y for x, y in zip(comps[0], comps[1]))
+    assert abs(n1 - 1) < 1e-9 and abs(n2 - 1) < 1e-9 and abs(dot) < 1e-9
+
+
+def test_pca_power_centering_removes_mean_direction(spark):
+    """A constant offset must NOT register as variance: shifted data
+    has the same spectrum as unshifted when center=True."""
+    from plc_data_etl_pipeline_spark.operators.pca import power_iteration_pcs
+
+    rows = []
+    for i in range(32):
+        a = 2.0 if i % 2 == 0 else -2.0
+        v = [100.0, 50.0, a, -100.0]  # big constant offsets, signal in dim 2
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    comps, eigs, trace = power_iteration_pcs(
+        emb, "embedding", n_components=1, iterations=10
+    )
+    assert abs(comps[0][2]) > 0.999
+    assert abs(eigs[0] - 32 * 4.0) < 1e-6
+    assert abs(trace - 32 * 4.0) < 1e-6

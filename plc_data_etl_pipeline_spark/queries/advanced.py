@@ -418,3 +418,64 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o2.o_orderstatus = 'F')
         """
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operator chains — the
+    FROM-first composable dialect): the same logical plan as the ANSI
+    oracle, but authored as a linear pipeline. Exercises the parser
+    surface only; Catalyst sees the identical filter→agg plan, so
+    pushdown/partial-agg behavior is unchanged."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_v")
+    cents_expr = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    return spark.sql(
+        f"""
+        FROM orders_pipe_v
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     SUM({cents_expr}) AS rev_cents
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders,
+                  CAST(rev_cents AS DOUBLE) / 100.0 AS revenue
+        """
+    )
+
+
+@query(
+    "sql_parameterized",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n,
+           {sql_dsum("l_extendedprice", "revenue")}
+    FROM lineitem
+    WHERE l_quantity >= 30 AND l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(..., args={...})): literals bind
+    server-side as typed parameters instead of string interpolation —
+    the injection-safe repeated-query API. The plan is identical to
+    inlined literals (parameters fold to literals before optimization,
+    so pushdown still reaches the scan)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_param_v")
+    cents_expr = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM({cents_expr}) AS DOUBLE) / 100.0 AS revenue
+        FROM lineitem_param_v
+        WHERE l_quantity >= :min_qty AND l_returnflag IN (:m1, :m2)
+        GROUP BY l_returnflag
+        """,
+        args={"min_qty": 30, "m1": "A", "m2": "R"},
+    )

@@ -622,3 +622,41 @@ def sink_txn_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(tag).alias("snapshot"), "o_orderstatus", "n", "revenue")
 
     return rollup(t.read(v_pre), "pre").unionAll(rollup(t.read(), "post"))
+
+
+@query(
+    "sink_txn_data_skipping",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders
+    WHERE o_totalprice >= 150000.0 AND o_totalprice <= 200000.0
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_txn_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping through the transactional log
+    (pipeline/txlog.py::read_where): the table is seeded range-clustered
+    on o_totalprice, so the commit manifest's per-file min/max envelopes
+    let a band predicate discard most files BEFORE Spark ever lists or
+    scans them — the manifest-stats analog of parquet row-group pruning,
+    and the mechanism Z-ordered layouts feed (operators/scale.py). The
+    oracle states the same band rollup from the raw table, so pruning
+    can only pass by being exact: a file wrongly skipped loses rows, a
+    predicate wrongly relaxed adds them. Envelope-tightness/file-count
+    behavior is pytest-locked in tests/test_txlog.py."""
+    import shutil
+
+    from ..pipeline.txlog import TransactionalParquetTable
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(tempfile.gettempdir(), "plc_etl_txn_skipping")
+    shutil.rmtree(path, ignore_errors=True)
+    t = TransactionalParquetTable(spark, path)
+    t.overwrite(o.repartitionByRange(8, "o_totalprice"))
+    band = t.read_where([("o_totalprice", "between", (150000.0, 200000.0))])
+    return band.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), dsum("o_totalprice", "revenue")
+    )

@@ -143,3 +143,84 @@ def power_iteration_pcs(
         comps.append(v)
         eigs.append(lam)
     return comps, eigs, float(trace)
+
+
+def gram_pcs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 2,
+    center: bool = True,
+) -> tuple[list[list[float]], list[float], float]:
+    """Exact top-``n_components`` PCs via a ONE-PASS Gram matrix.
+
+    The right scale split for dim up to a few thousand (the common
+    embedding regime): each Arrow batch computes its local X^T X with
+    BLAS inside ``mapInPandas`` and emits dim(dim+1)/2 partial sums;
+    the shuffle carries O(dim^2) doubles per partition regardless of
+    row count, and the driver eigendecomposes the dim×dim matrix with
+    numpy. One scan, no per-iteration driver sync — compare
+    ``power_iteration_pcs`` (one scan PER iteration), which is the
+    fallback when dim^2 state itself is too large to form.
+
+    Same return contract and sign convention as ``power_iteration_pcs``;
+    eigenvalues are exact (sum-of-squares units of the centered data).
+    """
+    import numpy as np
+    import pandas as pd
+
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty embedding frame")
+    dim = int(first["d"])
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+            g = mat.T @ mat  # dim x dim local Gram
+            s = mat.sum(axis=0)  # per-dim sums for centering
+            iu = np.triu_indices(dim)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu[0], np.arange(dim)]),
+                    "j": np.concatenate([iu[1], np.full(dim, -1)]),
+                    "v": np.concatenate([g[iu], s]),
+                    "n": np.concatenate(
+                        [np.zeros(len(iu[0])), np.full(dim, float(len(mat)))]
+                    ),
+                }
+            )
+
+    rows = (
+        emb.select(vec_col)
+        .mapInPandas(partials, "i int, j int, v double, n double")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"), F.sum("n").alias("n"))
+        .collect()
+    )
+    g = np.zeros((dim, dim))
+    s = np.zeros(dim)
+    n = 0.0
+    for r in rows:
+        if r["j"] < 0:
+            s[r["i"]] = r["v"]
+            n = max(n, r["n"])
+        else:
+            g[r["i"], r["j"]] = r["v"]
+            g[r["j"], r["i"]] = r["v"]
+    if center and n > 0:
+        mean = s / n
+        g = g - n * np.outer(mean, mean)  # Gram of centered data
+    trace = float(np.trace(g))
+    w, vecs = np.linalg.eigh(g)
+    order = np.argsort(w)[::-1][:n_components]
+    comps, eigs = [], []
+    for idx in order:
+        v = vecs[:, idx]
+        imax = int(np.argmax(np.abs(v)))
+        if v[imax] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+        eigs.append(float(w[idx]))
+    return comps, eigs, trace

@@ -1582,23 +1582,22 @@ def text_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("emb_pca_power", oracle=None)  # iterative float linalg — pytest-invariant-checked
 def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-2 principal components of the embedding cloud via
-    distributed power iteration (operators/pca.py): anisotropy /
+    """Top-2 principal components of the embedding cloud: anisotropy /
     collapse diagnostics for the curation pipeline — a healthy
     embedding model spreads variance; a collapsed one concentrates it
     in PC1, which this report surfaces as explained-variance basis
-    points. The corpus never leaves the executors (each iteration is
-    one scan + a dim-row shuffle); only the 64-double accumulator
-    crosses to the driver per step — the same bounded-state split the
-    IVF trainer uses. Loadings are emitted as a JSON string (driver
-    canonicalizer takes no top-level arrays); closed-form recovery of
-    planted spectra is pytest-locked (tests/test_extensions.py)."""
-    from ..operators.pca import power_iteration_pcs
+    points. Uses the ONE-PASS Gram path (operators/pca.py::gram_pcs):
+    per-Arrow-batch BLAS X^T X partials, an O(dim^2)-per-partition
+    shuffle, and a driver-side 64×64 eigendecomposition — one scan
+    total, exact eigenvalues. power_iteration_pcs stays as the
+    huge-dim fallback (one scan per iteration, dim-sized driver state)
+    with both paths cross-checked on planted spectra in pytest.
+    Loadings are emitted as a JSON string (driver canonicalizer takes
+    no top-level arrays)."""
+    from ..operators.pca import gram_pcs
 
     emb = load(spark, sf_dir, "embeddings")
-    comps, eigs, trace = power_iteration_pcs(
-        emb, "embedding", n_components=2, iterations=8
-    )
+    comps, eigs, trace = gram_pcs(emb, "embedding", n_components=2)
     rows = [
         (
             k + 1,

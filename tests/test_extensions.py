@@ -641,3 +641,31 @@ def test_pca_power_centering_removes_mean_direction(spark):
     assert abs(comps[0][2]) > 0.999
     assert abs(eigs[0] - 32 * 4.0) < 1e-6
     assert abs(trace - 32 * 4.0) < 1e-6
+
+
+def test_pca_gram_matches_power_iteration(spark):
+    """The one-pass Gram path and the iterative path must agree on the
+    planted spectrum (same eigenvalues, aligned components) — the query
+    uses gram_pcs; power_iteration_pcs is the huge-dim fallback."""
+    from plc_data_etl_pipeline_spark.operators.pca import (
+        gram_pcs,
+        power_iteration_pcs,
+    )
+
+    rows = []
+    for i in range(64):
+        a = 3.0 if i % 2 == 0 else -3.0
+        b = 1.0 if (i // 2) % 2 == 0 else -1.0
+        v = [0.0] * 8
+        v[0] = a
+        v[5] = b
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    gc, ge, gt = gram_pcs(emb, "embedding", n_components=2)
+    pc, pe, pt = power_iteration_pcs(emb, "embedding", n_components=2,
+                                     iterations=12)
+    assert abs(gt - pt) < 1e-6
+    for k in range(2):
+        assert abs(ge[k] - pe[k]) < 1e-6
+        dot = sum(x * y for x, y in zip(gc[k], pc[k]))
+        assert abs(abs(dot) - 1) < 1e-9

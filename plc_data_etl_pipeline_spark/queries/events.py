@@ -275,3 +275,56 @@ def agg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_a") + F.col("n_b") - F.col("n_union")).alias("n_both"),
         )
     )
+
+
+@query(
+    "win_sliding_distinct",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    u AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events)
+    SELECT days.d AS day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT)
+             AS n_users_7d
+    FROM days JOIN u ON u.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    """,
+)
+def win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the metric COUNT
+    (DISTINCT) OVER a RANGE frame cannot express (distinct doesn't
+    merge across frame rows) and the oracle solves with a 7× band-join
+    replication of the DISTINCT user set.
+
+    The engine instead merges mergeable state: one pass sketches each
+    (day, 32k-id-bucket) into an exact roaring-style bitmap, each
+    bitmap row fans out to the ≤7 window ends it contributes to
+    (replicating ≤4 KB sketches, never user rows), and
+    ``bitmap_or_agg`` + ``bitmap_count`` fold each window exactly.
+    At 100 TB the shuffled state is (days × buckets) bitmaps —
+    independent of event count — and a new day's partial ORs into
+    yesterday's materialization without rescanning the trailing week.
+    A semi-join restricts window ends to days that actually have
+    events (matching the oracle's day spine)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    per_day = ev.groupBy(
+        "d", F.expr("bitmap_bucket_number(user_id + 1)").alias("bkt")
+    ).agg(
+        F.expr(
+            "bitmap_construct_agg(bitmap_bit_position(user_id + 1))"
+        ).alias("bmp")
+    )
+    fanout = per_day.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        F.col("d"),
+        "bkt",
+        "bmp",
+    ).select(F.date_add("d", F.col("off")).alias("day"), "bkt", "bmp")
+    days = ev.select(F.col("d").alias("day")).distinct()
+    windowed = fanout.join(days, "day", "left_semi")
+    return (
+        windowed.groupBy("day", "bkt")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(bmp))").alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").alias("n_users_7d"))
+    )

@@ -328,3 +328,87 @@ def win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("c").alias("n_users_7d"))
     )
+
+
+@query(
+    "dq_drift_psi",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type,
+             LEAST(CAST(FLOOR(value / 50.0) AS INT), 9) AS bin,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS half
+      FROM events
+    ), bins AS (
+      SELECT t.event_type, b.bin,
+             1 + COALESCE(SUM(CASE WHEN half = 1 THEN 1 END), 0) AS ca,
+             1 + COALESCE(SUM(CASE WHEN half = 0 THEN 1 END), 0) AS cb
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT UNNEST(range(10)) AS bin) b
+      LEFT JOIN binned USING (event_type, bin)
+      GROUP BY t.event_type, b.bin
+    ), tot AS (
+      SELECT event_type, SUM(ca) AS ta, SUM(cb) AS tb FROM bins
+      GROUP BY event_type
+    )
+    SELECT bins.event_type,
+           CAST(SUM(ca) - 10 AS BIGINT) AS n_before,
+           CAST(SUM(cb) - 10 AS BIGINT) AS n_after,
+           ROUND(SUM((CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)
+                     * LN((CAST(ca AS DOUBLE) / ta)
+                          / (CAST(cb AS DOUBLE) / tb))), 4) AS psi
+    FROM bins JOIN tot ON bins.event_type = tot.event_type
+    GROUP BY bins.event_type
+    """,
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the first and
+    second half of the month — the standard drift gate a training-data
+    pipeline runs before admitting a new snapshot (PSI > 0.2 is the
+    conventional "distribution moved" alarm). Fixed 10-bin histogram
+    over the value domain with +1 Laplace smoothing (no empty-bin
+    log-of-zero, deterministic in both engines), one scan with
+    conditional partial aggregation — the per-type totals join touches
+    only the (types × bins) frame, never the event log again. PSI is
+    an order-independent SUM over 10 exact-rational terms, rounded to
+    4dp on both sides."""
+    ev = load(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.least((F.col("value") / 50.0).cast("int"), F.lit(9)).alias("bin"),
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+        .cast("int")
+        .alias("half"),
+    )
+    # Dense (type x bin) grid so empty bins still get the +1 smoothing.
+    grid = (
+        binned.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bin")))
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum("half").alias("ra"),
+        F.sum(F.lit(1) - F.col("half")).alias("rb"),
+    )
+    bins = (
+        grid.join(counts, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            (F.lit(1) + F.coalesce("ra", F.lit(0))).alias("ca"),
+            (F.lit(1) + F.coalesce("rb", F.lit(0))).alias("cb"),
+        )
+    )
+    tot = bins.groupBy("event_type").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    pa = F.col("ca").cast("double") / F.col("ta")
+    pb = F.col("cb").cast("double") / F.col("tb")
+    return (
+        bins.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.sum("ca") - 10).cast("bigint").alias("n_before"),
+            (F.sum("cb") - 10).cast("bigint").alias("n_after"),
+            F.round(F.sum((pa - pb) * F.log(pa / pb)), 4).alias("psi"),
+        )
+    )

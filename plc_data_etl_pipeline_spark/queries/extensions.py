@@ -1610,3 +1610,27 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, explained_bp int, loadings string"
     )
+
+
+@query("multimodal_phash_dedup", oracle=None)  # engine-defined fingerprint — pytest-invariant-checked
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection over the synthesized media
+    table: 64-bit stride-mean fingerprints per payload (the pHash
+    plumbing — with a real codec only the per-batch numpy body
+    changes), then pigeonhole-bucketed candidate pairs verified by
+    exact bit_count(xor) Hamming distance — an equi-join on 16-bit
+    blocks, never all-pairs. Output: per-Hamming-distance pair counts
+    (deterministic; payloads are deterministic UTF-8 bytes).
+    Pigeonhole completeness vs brute force and planted-corruption
+    recall are pytest-locked (tests/test_extensions.py)."""
+    from ..operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents")
+    media = MM.synthesize_media(docs)
+    hashes = MM.phash_media(media)
+    pairs = MM.phash_near_dup_pairs(hashes, max_hamming=10)
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("hamming")
+    )

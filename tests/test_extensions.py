@@ -669,3 +669,46 @@ def test_pca_gram_matches_power_iteration(spark):
         assert abs(ge[k] - pe[k]) < 1e-6
         dot = sum(x * y for x, y in zip(gc[k], pc[k]))
         assert abs(abs(dot) - 1) < 1e-9
+
+
+def test_phash_planted_corruption_and_pigeonhole(spark):
+    """pHash near-dup: payloads differing by a few flipped bytes must
+    land within small Hamming distance and be FOUND by the bucketed
+    join (pigeonhole completeness vs brute force); unrelated random
+    payloads must not pair up at tight thresholds."""
+    import itertools
+    import random
+
+    from plc_data_etl_pipeline_spark.operators.multimodal import (
+        phash_media,
+        phash_near_dup_pairs,
+    )
+
+    rng = random.Random(7)
+    base = bytes(rng.randrange(256) for _ in range(4096))
+    corrupt = bytearray(base)
+    for pos in (10, 500, 2000):  # flip 3 bytes
+        corrupt[pos] ^= 0xFF
+    rows = [(0, base), (1, bytes(corrupt))]
+    for i in range(2, 12):  # unrelated payloads
+        rows.append((i, bytes(rng.randrange(256) for _ in range(4096))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = phash_media(media)
+    hval = {r["media_id"]: r["phash"] for r in hashes.collect()}
+
+    # Planted pair is close; unrelated pairs are far (expected ~32).
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(hval[0], hval[1]) <= 3
+    # Bucketed pairs == brute-force pairs at the pigeonhole-safe bound.
+    got = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in phash_near_dup_pairs(hashes, max_hamming=3).collect()
+    }
+    want = {
+        (a, b, ham(hval[a], hval[b]))
+        for a, b in itertools.combinations(sorted(hval), 2)
+        if ham(hval[a], hval[b]) <= 3
+    }
+    assert got == want and (0, 1, ham(hval[0], hval[1])) in got

@@ -479,6 +479,27 @@ def simhash_near_pairs(
     the representative) now applies only past max_bucket_size DISTINCT
     fingerprints in one 16-bit bucket."""
     fps = simhash(df, id_col, text_col)
+    return fingerprint_near_pairs(
+        fps, id_col, "simhash", max_bits=max_bits,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def fingerprint_near_pairs(
+    fps: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_bits: int = 8,
+    max_bucket_size: int = 512,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit fingerprint column (SimHash,
+    media pHash, ...): the fingerprint-generic core of
+    ``simhash_near_pairs`` — exact-first identical-fingerprint stars,
+    4×16-bit pigeonhole block bucketing over DISTINCT fingerprints,
+    mega-bucket star fallback past ``max_bucket_size``, exact
+    bit_count(xor) verify on candidates only. Same spanning-structure
+    pair contract and skew guards as documented there."""
+    fps = fps.select(F.col(id_col), F.col(fp_col).alias("simhash"))
     g = fps.groupBy("simhash").agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     )

@@ -184,58 +184,30 @@ def phash_media(media: DataFrame, dim: int = 64) -> DataFrame:
 
 
 def phash_near_dup_pairs(
-    hashes: DataFrame, max_hamming: int = 3, n_blocks: int = 4
+    hashes: DataFrame, max_hamming: int = 3, max_bucket_size: int = 512
 ) -> DataFrame:
     """Near-duplicate media pairs by fingerprint Hamming distance.
 
-    Pigeonhole bucketing (same scheme as operators/dedup.py simhash):
-    two 64-bit hashes within Hamming ``max_hamming`` < ``n_blocks``
-    must agree exactly on at least one of the ``n_blocks`` 16-bit
-    blocks, so candidate generation is an equi-join on (block_idx,
-    block_value) — never an all-pairs scan — and the exact
-    ``bit_count(xor)`` verify runs on candidates only. Returns
-    (media_a, media_b, hamming) with media_a < media_b, deduplicated
-    across blocks.
+    Delegates to the fingerprint-generic near-pair core
+    (operators/dedup.py::fingerprint_near_pairs), inheriting the
+    hardening the text SimHash path earned in the 10x dup-heavy scale
+    audit: exact-first collapse of identical fingerprints into star
+    pairs (a billion blank images stay linear, never a quadratic
+    bucket self-join), 4×16-bit pigeonhole bucketing over DISTINCT
+    hashes only, mega-bucket star fallback past ``max_bucket_size``,
+    and exact ``bit_count(xor)`` verify on candidates only. Returns
+    (media_a, media_b, hamming) with media_a < media_b — a spanning
+    structure of the near-dup graph (identical-hash groups link
+    through their representative; connected components are exact).
     """
-    assert 64 % n_blocks == 0
-    width = 64 // n_blocks
-    mask = (1 << width) - 1
-    blocks = hashes.select(
-        "media_id",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(F.col("phash"), i * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
-                    )
-                    for i in range(n_blocks)
-                ]
-            )
-        ).alias("b"),
-    ).select("media_id", "phash", "b.blk", "b.val")
-    a = blocks.select(
-        F.col("media_id").alias("media_a"),
-        F.col("phash").alias("ha"),
-        "blk",
-        "val",
+    from .dedup import fingerprint_near_pairs
+
+    pairs = fingerprint_near_pairs(
+        hashes, "media_id", "phash",
+        max_bits=max_hamming, max_bucket_size=max_bucket_size,
     )
-    b = blocks.select(
-        F.col("media_id").alias("media_b"),
-        F.col("phash").alias("hb"),
-        "blk",
-        "val",
+    return pairs.select(
+        F.col("id_a").alias("media_a"),
+        F.col("id_b").alias("media_b"),
+        "hamming",
     )
-    cand = (
-        a.join(b, ["blk", "val"])
-        .where(F.col("media_a") < F.col("media_b"))
-        .select("media_a", "media_b", "ha", "hb")
-        .distinct()
-    )
-    ham = F.expr("bit_count(ha ^ hb)")
-    return cand.select(
-        "media_a", "media_b", ham.alias("hamming")
-    ).where(F.col("hamming") <= max_hamming)

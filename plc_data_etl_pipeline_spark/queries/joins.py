@@ -10,6 +10,8 @@ broadcast at runtime if a filtered side shrinks below the threshold.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -566,4 +568,50 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"), dsum("o_totalprice", "revenue")
+    )
+
+
+@query(
+    "join_dynamic_partition_prune",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n,
+           {sql_dsum("value", "sum_value")}
+    FROM events
+    WHERE dayofweek(CAST(ts AS DATE)) = 0
+    GROUP BY event_type
+    """,
+)
+def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is a Hive-partitioned
+    (by day) copy of events; the dim side is a date spine filtered to
+    Sundays — a predicate on a DIM attribute, so the matching fact
+    partitions are unknowable at plan time. Catalyst inserts a
+    dynamicpruning subquery that reuses the broadcast dim to skip
+    non-Sunday partition directories entirely (no listing, no scan
+    tasks) — the runtime analog of static partition pruning, and the
+    single biggest scan saver on date-partitioned 100 TB facts joined
+    to filtered dims. The oracle states the Sunday rollup from raw
+    events (DuckDB dayofweek: Sunday=0; Spark: Sunday=1), so pruning
+    is value-checked; the dynamicpruning plan shape is locked in
+    tests/test_plans.py."""
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    path = os.path.join(tempfile.gettempdir(), "plc_etl_dpp_fact")
+    shutil.rmtree(path, ignore_errors=True)
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(
+        path
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        spark.sql(
+            "SELECT explode(sequence(DATE'2024-01-01', DATE'2024-01-31')) AS day"
+        )
+        .withColumn("dow", F.dayofweek("day"))
+    )
+    return (
+        fact.join(F.broadcast(dim.where(F.col("dow") == 1)), "day")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
     )

@@ -550,3 +550,15 @@ def test_filtered_agg_single_scan(spark):
     assert n_scans <= 1, f"orders scanned {n_scans}x; expected one pass"
     assert "Join" not in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_dynamic_partition_pruning_subquery(spark):
+    """join_dynamic_partition_prune: the day-partitioned fact scan must
+    carry a dynamicpruning PartitionFilter fed by the filtered dim —
+    non-Sunday partition directories are skipped at runtime, not
+    scanned and filtered."""
+    p = plan(spark, "join_dynamic_partition_prune")
+    assert "dynamicpruning" in p.lower(), (
+        "expected a dynamic partition pruning subquery on the fact scan"
+    )
+    assert "PartitionFilters" in p

@@ -602,3 +602,35 @@ class TransactionalParquetTable:
 
                 shutil.rmtree(subdir, ignore_errors=True)
         return removed
+
+
+def apply_changes(base: DataFrame, changes: DataFrame) -> DataFrame:
+    """Apply a ``read_changes`` feed to a materialized base snapshot,
+    producing the source's final multiset — the downstream-replica
+    (CDC sync) primitive: a consumer holding version N applies the
+    feed instead of re-copying the table.
+
+    Multiset algebra, order-free: base rows weigh +1, feed rows weigh
+    +1/-1 by ``_change_type``, one hash aggregation nets the weights
+    per distinct row and ``sequence``-explode restores multiplicity.
+    Commit ordering inside the feed is irrelevant because file-diff
+    feeds are net-consistent per version chain (a row removed and
+    re-inserted nets to its final count). One shuffle on the full row
+    key; at 100 TB the replica applies day-partition feeds the same
+    way, partition by partition.
+    """
+    cols = [c for c in base.columns]
+    weighted = base.select(*cols, F.lit(1).alias("_w")).unionByName(
+        changes.select(
+            *cols,
+            F.when(F.col("_change_type") == "inserted", 1)
+            .otherwise(-1)
+            .alias("_w"),
+        )
+    )
+    net = weighted.groupBy(*cols).agg(F.sum("_w").alias("_n")).filter(
+        F.col("_n") > 0
+    )
+    return net.select(
+        *cols, F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("_i")
+    ).drop("_i")

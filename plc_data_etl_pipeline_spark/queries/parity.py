@@ -660,3 +660,56 @@ def sink_txn_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return band.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), dsum("o_totalprice", "revenue")
     )
+
+
+@query(
+    "sink_cdc_replica",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    ), fin AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'RECLASSIFIED'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             o_totalprice
+      FROM base WHERE NOT (o_totalprice >= 400000.0)
+    )
+    SELECT o_orderpriority, COUNT(*) AS n,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM fin GROUP BY o_orderpriority
+    """,
+)
+def sink_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC downstream sync: a replica that materialized version 1 of a
+    transactional table catches up to the head purely through the
+    change feed (pipeline/txlog.py::read_changes + apply_changes) —
+    never re-copying the table — across an append, a MERGE
+    reclassification, and a row-level DELETE. The oracle states the
+    source's final rollup from raw orders, so the whole chain
+    (file-diff feed correctness, remove/insert netting across the
+    merge's snapshot rewrite, multiset apply) is value-checked
+    end-to-end. This is the pattern that keeps 100 TB downstream
+    marts in sync for the cost of the day's delta."""
+    import shutil
+
+    from ..pipeline.txlog import TransactionalParquetTable, apply_changes
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = os.path.join(tempfile.gettempdir(), "plc_etl_cdc_replica")
+    shutil.rmtree(path, ignore_errors=True)
+    t = TransactionalParquetTable(spark, path)
+    v1 = t.overwrite(o.filter(F.col("o_orderkey") % 3 == 0))
+    replica_base = t.read(v1).localCheckpoint(eager=True)
+    t.append(o.filter(F.col("o_orderkey") % 3 == 1))
+    upd = o.filter(
+        (F.col("o_orderkey") % 3).isin(0, 1) & (F.col("o_orderkey") % 10 == 0)
+    ).withColumn("o_orderpriority", F.lit("RECLASSIFIED"))
+    t.merge_upsert(upd, keys=["o_orderkey"])
+    t.delete_where([("o_totalprice", ">=", 400000.0)])
+    replica = apply_changes(replica_base, t.read_changes(from_version=v1))
+    return replica.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), dsum("o_totalprice", "revenue")
+    )

@@ -82,27 +82,10 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle of the event log total, versus three scans + three
     shuffles for the naive form. Conversion ratios are integer basis
     points (exact integer division, hash-stable across engines)."""
+    from ..operators.events import funnel_times
+
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    w = Window.partitionBy("user_id")
-    is_ = lambda t: F.col("event_type") == t  # noqa: E731
-    df = ev.withColumn("t1", F.min(F.when(is_("view"), F.col("ts"))).over(w))
-    df = df.withColumn(
-        "t2",
-        F.min(
-            F.when(is_("click") & (F.col("ts") >= F.col("t1")), F.col("ts"))
-        ).over(w),
-    )
-    df = df.withColumn(
-        "t3",
-        F.min(
-            F.when(is_("purchase") & (F.col("ts") >= F.col("t2")), F.col("ts"))
-        ).over(w),
-    )
-    # Collapse to one row per user (t1..t3 are per-user constants; the
-    # groupBy is co-partitioned with the window exchange -> no reshuffle).
-    per_user = df.groupBy("user_id").agg(
-        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
-    )
+    per_user = funnel_times(ev, ["view", "click", "purchase"])
     totals = per_user.agg(
         F.count("t1").alias("n_view"),
         F.count("t2").alias("n_click"),

@@ -180,3 +180,47 @@ def test_sort_limit_prefix_law(spark, rows):
         for r in df.orderBy(F.col("k").desc(), F.col("i")).limit(5).collect()
     ]
     assert got == full[:5]
+
+
+FUNNEL_EVENTS = st.lists(
+    st.tuples(
+        st.integers(0, 4),                    # user
+        st.sampled_from(["a", "b", "c"]),     # step type
+        st.integers(0, 20),                   # time (ties deliberate)
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(rows=FUNNEL_EVENTS)
+@_SETTINGS
+def test_funnel_matches_sequential_reference(spark, rows):
+    """funnel_times vs a plain-Python sequential fold: t1 = min time of
+    'a'; t_i = min time of step i at-or-after t_{i-1} — per user, for
+    any interleaving, duplicate timestamps included."""
+    from plc_data_etl_pipeline_spark.operators.events import funnel_times
+
+    df = spark.createDataFrame(
+        [(u, s, t) for u, s, t in rows], "user_id int, event_type string, ts int"
+    )
+    got = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_times(df, ["a", "b", "c"]).collect()
+    }
+
+    want = {}
+    for u in {r[0] for r in rows}:
+        evs = [(s, t) for (uu, s, t) in rows if uu == u]
+        prev, ts_out = 0, []
+        ok = True
+        for step in ["a", "b", "c"]:
+            cand = [t for (s, t) in evs if s == step and ok and t >= prev]
+            if cand:
+                prev = min(cand)
+                ts_out.append(prev)
+            else:
+                ok = False
+                ts_out.append(None)
+        want[u] = tuple(ts_out)
+    assert got == want

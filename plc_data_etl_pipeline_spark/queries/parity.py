@@ -713,3 +713,40 @@ def sink_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replica.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"), dsum("o_totalprice", "revenue")
     )
+
+
+@query(
+    "pipeline_observe_metrics",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_dsum("l_extendedprice", "revenue")}
+    FROM lineitem
+    """,
+)
+def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-side throughput/quality counters via ``df.observe`` — the
+    batch analog of the reference consumer's TOTAL RECEIVED / TOTAL
+    FLUSHED counters (`consumer/sensor_data_consumer.py:29-30,100,140`)
+    and the engine's streaming ``observe`` path (pipeline/sink.py).
+    The metrics accumulate ON the write pass itself (here a noop-format
+    sink standing in for parquet/JDBC): zero extra scans, exact values,
+    retrieved from the Observation after the action completes. The
+    oracle recomputes both metrics from the raw table, so the observed
+    values are value-checked, not just asserted non-null."""
+    from pyspark.sql import Observation
+
+    from ._conv import cents
+
+    li = load(spark, sf_dir, "lineitem")
+    obs = Observation("sink_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents("l_extendedprice")).alias("rev_cents"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), float(m["rev_cents"]) / 100.0)],
+        "n_rows bigint, revenue double",
+    )

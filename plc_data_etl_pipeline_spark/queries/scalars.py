@@ -513,3 +513,34 @@ def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode_outer(toks).alias("tok")
     )
+
+
+@query(
+    "scalar_collation",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(DISTINCT LOWER(w)) AS BIGINT) AS n_ci,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_cs
+    FROM (SELECT source, string_split(text, ' ')[1] AS w FROM documents)
+    GROUP BY source
+    """,
+)
+def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware semantics (Spark 4 collated strings): distinct
+    leading words per source counted under UTF8_LCASE — the collation
+    makes DISTINCT itself case-insensitive, no LOWER() rewrite of the
+    data — beside the case-sensitive count. The oracle expresses the
+    same via LOWER() (equivalent on this ASCII corpus; collations go
+    further on full Unicode). Collation participates in the hash
+    aggregate directly, so the plan is the same two-level distinct
+    count as any other column."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ").getItem(0)
+    return (
+        docs.select("source", w.alias("w"))
+        .groupBy("source")
+        .agg(
+            F.countDistinct(F.expr("collate(w, 'UTF8_LCASE')")).alias("n_ci"),
+            F.countDistinct("w").alias("n_cs"),
+        )
+    )

@@ -615,3 +615,72 @@ def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY ABS(epoch_us(e.ts)
+                            - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))),
+                        o.o_orderdate, o.o_orderkey) AS rn
+      FROM events e LEFT JOIN orders o
+        ON e.user_id = o.o_custkey
+           AND o.o_orderdate >= e.ts - INTERVAL 45 DAY
+           AND o.o_orderdate <= e.ts + INTERVAL 45 DAY
+      WHERE e.event_type = 'signup'
+    )
+    SELECT event_id, user_id, o_orderkey,
+           CAST(o_orderdate AS DATE) AS nearest_orderdate
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, nearest-in-either-direction (pandas merge_asof
+    ``direction='nearest'``): each signup event picks the order with
+    the smallest |event − order| time distance within a ±45-day band,
+    ties broken earlier-date-then-key; events with no order in the
+    band keep NULLs. Distances are exact integer microseconds
+    (epoch space, UTC-pinned), so the argmin is hash-stable.
+
+    Plan: banded equi-join on user (the band keeps per-event candidates
+    constant as history grows) → ONE map-side-combinable MIN of a
+    (distance, date, key) struct per event — no per-event window sort,
+    same shape as join_asof's packed max — then a NULL-propagating
+    join back to the event spine for LEFT semantics."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    o = load(spark, sf_dir, "orders")
+    od_ts = F.to_timestamp(o.o_orderdate)
+    joined = ev.join(
+        o,
+        (ev.user_id == o.o_custkey)
+        & (o.o_orderdate >= ev.ts - F.expr("INTERVAL 45 DAYS"))
+        & (o.o_orderdate <= ev.ts + F.expr("INTERVAL 45 DAYS")),
+    )
+    # ts reads as TIMESTAMP_NTZ; the session TZ is pinned UTC, so the
+    # cast to instant is exact and matches DuckDB's epoch_us.
+    dist = F.abs(
+        F.unix_micros(ev.ts.cast("timestamp"))
+        - F.unix_micros(od_ts.cast("timestamp"))
+    )
+    best = joined.groupBy("event_id").agg(
+        F.min(
+            F.struct(
+                dist.alias("d"),
+                F.unix_micros(od_ts.cast("timestamp")).alias("od_us"),
+                o.o_orderkey.alias("k"),
+            )
+        ).alias("b")
+    )
+    spine = ev.select("event_id", "user_id")
+    return spine.join(best, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.col("b.k").alias("o_orderkey"),
+        F.to_date(F.timestamp_micros(F.col("b.od_us"))).alias(
+            "nearest_orderdate"
+        ),
+    )

@@ -395,3 +395,53 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum((pa - pb) * F.log(pa / pb)), 4).alias("psi"),
         )
     )
+
+
+@query(
+    "win_session_id",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+             AS duration_us
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def win_session_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with explicit per-event session NUMBERS —
+    the gaps-and-islands form (new-session flag on a >30-min gap, then
+    a running sum), complementing stream_session (which returns window
+    bounds, not ids). Downstream per-session features (ordinal joins,
+    'session 3 of user X') need the id form. One window shuffle on
+    ``user_id`` evaluates both the LAG and the running SUM (same
+    partitioning and sort, tie-broken on event_id); the per-session
+    rollup is co-partitioned. Durations are exact integer microseconds
+    in UTC epoch space."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(
+        F.col("ts").cast("timestamp").cast("long")
+    ).over(w)
+    new_s = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    sessioned = ev.withColumn(
+        "session_id",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+    )

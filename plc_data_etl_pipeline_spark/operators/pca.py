@@ -224,3 +224,43 @@ def gram_pcs(
         comps.append([float(x) for x in v])
         eigs.append(float(w[idx]))
     return comps, eigs, trace
+
+
+def whiten(
+    emb: DataFrame,
+    comps: list[list[float]],
+    eigs: list[float],
+    n_rows: int,
+    vec_col: str = "embedding",
+    mean: list[float] | None = None,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Project vectors onto the given principal directions and scale
+    each coordinate to unit variance (PCA whitening): out[k] =
+    <x - mean, comps[k]> / sqrt(eigs[k] / n_rows). Decorrelates and
+    equalizes the retained subspace — the standard preprocessing before
+    cosine-based dedup/ANN when the embedding cloud is anisotropic
+    (emb_pca_power measures exactly that).
+
+    Executors never see more than the dim x k literal matrix; each row
+    is k JVM higher-order folds (no Python). Output keeps all input
+    columns plus ``whitened`` (array<double>, length k).
+    """
+    from .similarity import dot_fold
+
+    k = len(comps)
+    if mean is None:
+        mean = [0.0] * len(comps[0])
+    scales = [1.0 / max(eps, (eigs[i] / max(n_rows, 1)) ** 0.5) for i in range(k)]
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        _lit_vec(mean),
+        lambda x, m: x - m,
+    )
+    coords = F.array(
+        *[
+            (dot_fold(centered, _lit_vec(comps[i])) * F.lit(scales[i]))
+            for i in range(k)
+        ]
+    )
+    return emb.withColumn("whitened", coords)

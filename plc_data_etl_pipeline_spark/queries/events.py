@@ -445,3 +445,64 @@ def win_session_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         (F.max(us) - F.min(us)).alias("duration_us"),
     )
+
+
+@query(
+    "dq_profile",
+    oracle="""
+    SELECT 'o_orderstatus' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderstatus) AS BIGINT) AS n_filled,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderstatus) AS VARCHAR) AS min_s,
+           CAST(MAX(o_orderstatus) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS VARCHAR),
+           CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    """,
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile report (the ingest-time "describe" every catalog
+    tool materializes): per column — fill count, distinct count,
+    min/max — computed in ONE scan via Spark's multi-aggregate hash
+    agg, then unpivoted to the long (col, metric...) form. The oracle
+    spells it as three scans UNION ALL'd; Catalyst's single Aggregate
+    with 3x5 expressions reads orders once (COUNT DISTINCT columns
+    expand through one Expand — still one scan). Min/max emit as
+    strings so one schema profiles heterogeneous column types."""
+    o = load(spark, sf_dir, "orders")
+
+    def prof(c):
+        return [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__f"),
+            F.countDistinct(c).alias(f"{c}__d"),
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+
+    cols = ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    wide = o.agg(*[e for c in cols for e in prof(c)])
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__f").alias("n_filled"),
+            F.col(f"{c}__d").alias("n_distinct"),
+            F.col(f"{c}__mn").alias("min_s"),
+            F.col(f"{c}__mx").alias("max_s"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

@@ -1634,3 +1634,39 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
         .orderBy("hamming")
     )
+
+
+@query("emb_whiten_audit", oracle=None)  # eigenvector-derived — pytest-invariant-checked
+def emb_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening applied and audited in one job: project embeddings
+    onto the top-2 principal directions scaled to unit variance
+    (operators/pca.py::whiten — k JVM folds per row against the
+    driver's dim×k literal matrix), then report each whitened
+    coordinate's mean and variance. A correct whitening reads mean≈0,
+    var≈1 — the audit IS the contract, and the identity-covariance
+    invariant (including cross-covariance ≈ 0) is pytest-locked on
+    planted anisotropic data (tests/test_extensions.py)."""
+    from ..operators.pca import gram_pcs, whiten
+
+    emb = load(spark, sf_dir, "embeddings")
+    comps, eigs, _ = gram_pcs(emb, "embedding", n_components=2)
+    n = emb.count()
+    # gram_pcs centered the Gram; recompute the mean for the projection.
+    mean_rows = (
+        emb.select(F.posexplode("embedding").alias("pos", "xi"))
+        .groupBy("pos")
+        .agg(F.avg("xi").alias("m"))
+        .collect()
+    )
+    mean = [0.0] * len(comps[0])
+    for r in mean_rows:
+        mean[r["pos"]] = r["m"]
+    white = whiten(emb, comps, eigs, n, "embedding", mean=mean)
+    return (
+        white.select(F.posexplode("whitened").alias("coord", "w"))
+        .groupBy("coord")
+        .agg(
+            F.round(F.avg("w"), 3).alias("mean_r"),
+            F.round(F.var_pop("w"), 3).alias("var_r"),
+        )
+    )

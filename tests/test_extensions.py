@@ -712,3 +712,36 @@ def test_phash_planted_corruption_and_pigeonhole(spark):
         if ham(hval[a], hval[b]) <= 3
     }
     assert got == want and (0, 1, ham(hval[0], hval[1])) in got
+
+
+def test_whiten_identity_covariance(spark):
+    """Whitening planted anisotropic data must produce unit variance on
+    each retained coordinate, zero mean, and zero cross-covariance."""
+    from plc_data_etl_pipeline_spark.operators.pca import gram_pcs, whiten
+
+    rows = []
+    for i in range(64):
+        a = 5.0 if i % 2 == 0 else -5.0
+        b = 0.5 if (i // 2) % 2 == 0 else -0.5
+        # rotated anisotropic cloud with a constant offset
+        rows.append((i, [a + b + 1.0, a - b - 2.0, b, 0.25 * a]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    comps, eigs, _ = gram_pcs(emb, "embedding", n_components=2)
+    mean_rows = (
+        emb.selectExpr("posexplode(embedding) AS (pos, xi)")
+        .groupBy("pos")
+        .agg({"xi": "avg"})
+        .collect()
+    )
+    mean = [0.0] * 4
+    for r in mean_rows:
+        mean[r["pos"]] = r["avg(xi)"]
+    w = whiten(emb, comps, eigs, 64, "embedding", mean=mean)
+    import numpy as np
+
+    mat = np.array([r["whitened"] for r in w.collect()])
+    cov = mat.T @ mat / len(mat)
+    m = mat.mean(axis=0)
+    assert abs(m[0]) < 1e-9 and abs(m[1]) < 1e-9
+    assert abs(cov[0, 0] - 1) < 1e-6 and abs(cov[1, 1] - 1) < 1e-6
+    assert abs(cov[0, 1]) < 1e-6

@@ -750,3 +750,58 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_rows"]), float(m["rev_cents"]) / 100.0)],
         "n_rows bigint, revenue double",
     )
+
+
+@query(
+    "sink_partition_overwrite_dynamic",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {sql_dsum("value", "sum_value")}
+    FROM (
+      -- NOTE: an IN-list of DATEs against CAST(ts AS DATE) silently
+      -- matches nothing in DuckDB 1.0 when ts is parquet TIMESTAMP_NS;
+      -- explicit equalities compare correctly.
+      SELECT event_type, value FROM events
+      WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-10'
+                 OR CAST(ts AS DATE) = DATE '2024-01-11')
+      UNION ALL
+      SELECT event_type, value * 2 AS value FROM events
+      WHERE CAST(ts AS DATE) = DATE '2024-01-10'
+         OR CAST(ts AS DATE) = DATE '2024-01-11'
+    ) GROUP BY event_type
+    """,
+)
+def sink_partition_overwrite_dynamic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Backfill via DYNAMIC partition overwrite
+    (spark.sql.sources.partitionOverwriteMode=dynamic): a revised batch
+    for two specific days replaces ONLY those partition directories —
+    static mode would wipe the whole table first, the classic
+    large-scale backfill footgun. The oracle states the expected final
+    state (untouched days + doubled revised days), so both halves of
+    the contract — replaced partitions take the new rows, absent
+    partitions survive — are value-checked. At 100 TB this is the
+    idempotent daily-backfill primitive: re-running the job rewrites
+    the same directories to the same bytes."""
+    import shutil
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.to_date("ts").alias("day")
+    )
+    path = os.path.join(tempfile.gettempdir(), "plc_etl_dyn_overwrite")
+    shutil.rmtree(path, ignore_errors=True)
+    ev.write.partitionBy("day").parquet(path)
+    revised = (
+        ev.where(F.col("day").isin("2024-01-10", "2024-01-11"))
+        .withColumn("value", F.col("value") * 2)
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        revised.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    out = spark.read.parquet(path)
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n"), dsum("value", "sum_value")
+    )

@@ -91,3 +91,47 @@ def test_continuous_rollup_replayed_batch_is_idempotent(spark, tmp_path):
         C.present(C._bucketize(b0.unionByName(b1))).collect()
     )
     assert got == want
+
+
+def test_sliding_distinct_matches_batch_and_replay_free(spark, tmp_path):
+    """The bitmap-state materialization must equal the batch
+    win_sliding_distinct query over the same events, and a replayed
+    micro-batch must be a no-op (OR is idempotent — no batch-id
+    bookkeeping needed)."""
+    from plc_data_etl_pipeline_spark.registry import all_queries
+    from plc_data_etl_pipeline_spark.streaming import sliding_distinct as S
+
+    events = load(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    mat = str(tmp_path / "bitmaps")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = S.start_sliding_distinct(stream, mat, ckpt, trigger_seconds=0.5)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r["day"], r["n_users_7d"])
+        for r in S.present(spark.read.parquet(mat)).collect()
+    )
+    want = sorted(
+        (r["day"], r["n_users_7d"])
+        for r in all_queries()["win_sliding_distinct"].fn(spark, SF_DIR).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # Replay an arbitrary slice twice — state must not change.
+    S.merge_micro_batch(events.filter("event_id % 5 = 0"), 99, mat)
+    again = sorted(
+        (r["day"], r["n_users_7d"])
+        for r in S.present(spark.read.parquet(mat)).collect()
+    )
+    assert again == want

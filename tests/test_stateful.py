@@ -165,3 +165,75 @@ def test_batch_ewma_twin_matches_pure_step_function(spark):
         n, final = got[uid]
         assert n == by_user_n[uid]
         assert final == ewma, f"user {uid}: {final} != {ewma}"
+
+
+def test_funnel_step_pure_math():
+    """State transitions: ordered progression, at-or-after thresholds,
+    no skipping, state resumes across calls."""
+    from plc_data_etl_pipeline_spark.streaming.funnel import funnel_step
+
+    # click before any view does not advance; view then click does.
+    out, st = funnel_step([("click", 5), ("view", 10), ("click", 12)], None)
+    assert out == [(1, 10), (2, 12)] and st == (2, 12)
+    # resume: purchase before t_stage is ignored, at t_stage counts.
+    out2, st2 = funnel_step([("purchase", 11)], st)
+    assert out2 == [] and st2 == (2, 12)
+    out3, st3 = funnel_step([("purchase", 12)], st2)
+    assert out3 == [(3, 12)] and st3 == (3, 12)
+    # completed funnel absorbs further events.
+    out4, st4 = funnel_step([("view", 99), ("purchase", 99)], st3)
+    assert out4 == [] and st4 == (3, 12)
+
+
+def test_streaming_funnel_matches_batch_counts(spark, tmp_path):
+    """Stream the month in three time-ordered slices; the max stage per
+    user from the transition log must reproduce event_funnel's batch
+    counts (state carries stage progress across micro-batches)."""
+    from plc_data_etl_pipeline_spark.catalog import load
+    from plc_data_etl_pipeline_spark.registry import all_queries
+    from plc_data_etl_pipeline_spark.streaming.funnel import track_funnel
+
+    from .conftest import SF_DIR
+
+    events = load(spark, SF_DIR, "events").select("user_id", "event_type", "ts")
+    src = str(tmp_path / "src")
+    slices = [
+        events.filter("CAST(ts AS DATE) < DATE'2024-01-11'"),
+        events.filter(
+            "CAST(ts AS DATE) >= DATE'2024-01-11' AND CAST(ts AS DATE) < DATE'2024-01-21'"
+        ),
+        events.filter("CAST(ts AS DATE) >= DATE'2024-01-21'"),
+    ]
+    slices[0].coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        track_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for sl in slices[1:]:
+            sl.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        per_user = spark.sql(
+            "SELECT user_id, MAX(stage) AS stage FROM funnel_mem GROUP BY user_id"
+        ).collect()
+    finally:
+        q.stop()
+
+    reached = [0, 0, 0]
+    for r in per_user:
+        for s in range(r["stage"]):
+            reached[s] += 1
+    batch = all_queries()["event_funnel"].fn(spark, SF_DIR).collect()[0]
+    assert reached[0] == batch["n_view"]
+    assert reached[1] == batch["n_click"]
+    assert reached[2] == batch["n_purchase"]

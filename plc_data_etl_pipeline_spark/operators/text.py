@@ -526,3 +526,108 @@ def mixture_resample(
         )
         .select(id_col, domain_col, F.col("__copy").cast("long").alias("copy_no"))
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    checkpoint_every: int = 4,
+) -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge-rule induction over a document corpus —
+    the tokenizer-training primitive, distributed the way BPE actually
+    trains: on the WORD-FREQUENCY table, never the raw corpus.
+
+    One scan builds (word, freq); each merge round then (a) counts
+    adjacent symbol pairs weighted by freq — a JVM transform+explode
+    with map-side partial aggregation, shuffling at most the distinct
+    pair vocabulary — and (b) rewrites the symbol arrays through an
+    Arrow-batched pandas UDF (the merge is an inherently sequential
+    scan per word; per-word arrays are tiny). Only the argmax pair (two
+    strings) crosses to the driver per round; lineage is truncated
+    every ``checkpoint_every`` rounds (the iterative-algorithm pattern
+    shared with operators/graph.py::pagerank).
+
+    Deterministic: ties on pair count break lexicographically.
+    Returns the ordered merge list [(left, right), ...] — applying
+    them in order to a new word reproduces the learned tokenization.
+    End-of-word is marked with the conventional '</w>' sentinel so
+    merges can't cross word boundaries.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    syms = words.select(
+        F.concat(
+            F.transform(
+                F.split(F.col("w"), ""), lambda c: c
+            ),
+            F.array(F.lit("</w>")),
+        ).alias("syms"),
+        "freq",
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        pairs = (
+            syms.select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(syms) >= 2 THEN transform("
+                        "sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] AS a, syms[i] AS b)) "
+                        "ELSE array() END"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        a, b = pairs[0]["a"], pairs[0]["b"]
+        merges.append((a, b))
+
+        def make_merge_udf(a: str, b: str):
+            # Factory binds (a, b) per round: the UDF body serializes
+            # when the PLAN executes (next round's collect), so closing
+            # over the loop variables directly would late-bind to a
+            # later round's pair.
+            @pandas_udf("array<string>")
+            def merge_pair(col):
+                out = []
+                for seq in col:
+                    res, j = [], 0
+                    n = len(seq)
+                    while j < n:
+                        if j + 1 < n and seq[j] == a and seq[j + 1] == b:
+                            res.append(a + b)
+                            j += 2
+                        else:
+                            res.append(seq[j])
+                            j += 1
+                    out.append(res)
+                return pd.Series(out)
+
+            return merge_pair
+
+        syms = syms.select(
+            make_merge_udf(a, b)("syms").alias("syms"), "freq"
+        )
+        if (i + 1) % checkpoint_every == 0:
+            syms = syms.localCheckpoint(eager=False)
+    return merges

@@ -1670,3 +1670,26 @@ def emb_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.var_pop("w"), 3).alias("var_r"),
         )
     )
+
+
+@query("text_bpe_train", oracle=None)  # iterative argmax — closed-form pytest on the Sennrich corpus
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction over the documents corpus
+    (operators/text.py::bpe_train): 10 merge rounds on the distributed
+    word-frequency table — pair counting is a JVM transform+explode
+    with partial aggregation (shuffle bounded by the pair vocabulary,
+    not corpus size); only each round's argmax pair reaches the
+    driver. Returns the ordered merge table (rank, left, right,
+    merged) — the artifact a tokenizer ships. Deterministic via
+    lexicographic tiebreaks; the exact merge sequence on the classic
+    BPE corpus is pytest-locked (tests/test_extensions.py)."""
+    from ..operators.text import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=10)
+    rows = [
+        (i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string"
+    )

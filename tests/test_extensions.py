@@ -745,3 +745,23 @@ def test_whiten_identity_covariance(spark):
     assert abs(m[0]) < 1e-9 and abs(m[1]) < 1e-9
     assert abs(cov[0, 0] - 1) < 1e-6 and abs(cov[1, 1] - 1) < 1e-6
     assert abs(cov[0, 1]) < 1e-6
+
+
+def test_bpe_train_classic_corpus(spark):
+    """Sennrich's textbook corpus: the merge sequence is hand-derivable
+    ((e,s) -> (es,t) -> (est,</w>) -> (l,o) -> (lo,w)), with the
+    lexicographic tiebreak deciding the 9-9-9 first round."""
+    from plc_data_etl_pipeline_spark.operators.text import bpe_train
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    merges = bpe_train(docs, "text", n_merges=5)
+    assert merges == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", "</w>"),
+        ("l", "o"),
+        ("lo", "w"),
+    ]

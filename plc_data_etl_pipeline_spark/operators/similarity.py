@@ -716,3 +716,99 @@ def semantic_dedup(
     )
     dup_ids = nonrep_ids.unionByName(dup_reps).distinct()
     return emb.join(dup_ids, id_col, "left_anti")
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index on disk: ``{path}/centroids`` (one row
+    per cell: id + vector) and ``{path}/assignments`` — the corpus with
+    precomputed norms, PARTITIONED BY cell id, so serving reads only
+    probed cells as a partition-pruned scan. This is what separates an
+    ANN *index* from an ANN *query*: the corpus pass (assignment +
+    norms) happens once at build time; every query afterwards touches
+    ~n_probe/n_cells of the data directly off storage. Rebuild cadence
+    is the ingestion pipeline's choice (append-only corpora can assign
+    new rows incrementally with the SAME centroids — assignment is a
+    pure function of the stored centroid table)."""
+    cents = _seeded_centroids(
+        valid_vectors(emb, vec_col), n_cells, id_col, vec_col, dim
+    )
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(i, list(map(float, c))) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm_fold(F.col(vec_col)).alias("cnorm"),
+        ivf_assign(F.col(vec_col), cents).alias("cell"),
+    ).write.partitionBy("cell").mode("overwrite").parquet(
+        f"{path}/assignments"
+    )
+
+
+def ivf_ann_topk_indexed(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Serve ANN top-k from a persisted IVF index (build_ivf_index):
+    probe cells are chosen against the stored centroid table, and the
+    assignment scan carries ``cell IN (probed)`` so only those
+    partition directories are listed and read — the plan's
+    PartitionFilters IS the index lookup. Scoring and ranking are
+    identical to the in-memory ivf_ann_topk (bit-equal results when
+    built with the same parameters — pytest-locked)."""
+    import numpy as np
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    C = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])))
+    for r in cent_rows:
+        C[r["cell"]] = r["centroid"]
+    probe_rows = []
+    probed_cells = set()
+    for qid, vec in queries:
+        v = np.array(vec, dtype=np.float64)
+        v /= max(np.linalg.norm(v), 1e-12)
+        cells = np.argsort(-(C @ v))[:n_probe]
+        for c in cells:
+            probe_rows.append((qid, list(vec), int(c)))
+            probed_cells.add(int(c))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qvec array<float>, cell int"
+    ).withColumn("qnorm", norm_fold(F.col("qvec")))
+    corpus = spark.read.parquet(f"{path}/assignments").filter(
+        F.col("cell").isin(*sorted(probed_cells))
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim",
+            dot_fold(F.col("qvec"), F.col("cvec"))
+            / (F.col("qnorm") * F.col("cnorm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )

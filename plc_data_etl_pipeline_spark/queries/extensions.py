@@ -1693,3 +1693,29 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank int, left string, right string, merged string"
     )
+
+
+@query("sim_topk_ivf_indexed", oracle=None)  # approximate; indexed==in-memory pytest-locked
+def sim_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served from a PERSISTED IVF index
+    (operators/similarity.py::build_ivf_index / ivf_ann_topk_indexed):
+    the corpus pass (centroid training, assignment, norms) happens once
+    at build time into a cell-partitioned table; each query then reads
+    ONLY its probed cells — the scan's PartitionFilters is the index
+    lookup, so serving cost is ~n_probe/n_cells of the corpus off
+    storage, independent of query count amortization. Results are
+    bit-identical to the in-memory sim_topk_ivf (same parameters) —
+    pytest-locked along with the partition-pruned plan shape."""
+    import os
+    import shutil
+    import tempfile
+
+    e = load(spark, sf_dir, "embeddings")
+    path = os.path.join(tempfile.gettempdir(), "plc_etl_ivf_index")
+    shutil.rmtree(path, ignore_errors=True)
+    S.build_ivf_index(e, path, n_cells=16)
+    queries_ = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < 20).collect()
+    ]
+    return S.ivf_ann_topk_indexed(spark, path, queries_, k=5, n_probe=4)

@@ -765,3 +765,35 @@ def test_bpe_train_classic_corpus(spark):
         ("l", "o"),
         ("lo", "w"),
     ]
+
+
+def test_ivf_indexed_matches_in_memory(spark, tmp_path):
+    """The persisted-index serve path must return exactly what the
+    in-memory IVF path returns (same centroids/params), and its scan
+    must carry a partition filter on cell."""
+    import contextlib
+    import io
+
+    from plc_data_etl_pipeline_spark.catalog import load
+    from plc_data_etl_pipeline_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_DIR
+
+    e = load(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf")
+    S.build_ivf_index(e, path, n_cells=16)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < 20).collect()
+    ]
+    served = S.ivf_ann_topk_indexed(spark, path, queries, k=5, n_probe=4)
+    mem = S.ivf_ann_topk(e, query_max_id=20, k=5, n_cells=16, n_probe=4)
+    a = sorted(map(tuple, served.collect()))
+    b = sorted(map(tuple, mem.collect()))
+    assert a == b and len(a) > 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p and "cell" in p.split("PartitionFilters")[1].split("\n")[0]

@@ -805,3 +805,55 @@ def sink_partition_overwrite_dynamic(
     return out.groupBy("event_type").agg(
         F.count("*").alias("n"), dsum("value", "sum_value")
     )
+
+
+@query(
+    "sink_txn_history",
+    oracle="""
+    SELECT 1 AS version, 1 AS data_change,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+                AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 2, 1, CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 3, 1,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE NOT (o_totalprice >= 400000.0)) AS BIGINT)
+    UNION ALL
+    SELECT 4, 0,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE NOT (o_totalprice >= 400000.0)) AS BIGINT)
+    """,
+)
+def sink_txn_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY parity for the transactional log: after a known
+    overwrite → append → DELETE → compact sequence, walk the commit log
+    and report each version's dataChange flag and snapshot row count.
+    The oracle states all four counts from raw orders as literals —
+    value-checking version lineage end-to-end: the append accumulates,
+    the delete survives, and compaction is dataChange:false with an
+    IDENTICAL row count (rearranged bytes, same rows). History reads
+    cost one manifest parse per version plus bounded snapshot counts."""
+    import shutil
+
+    from ..pipeline.txlog import TransactionalParquetTable
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(tempfile.gettempdir(), "plc_etl_txn_history")
+    shutil.rmtree(path, ignore_errors=True)
+    t = TransactionalParquetTable(spark, path)
+    t.overwrite(o.filter(F.col("o_orderkey") % 2 == 0))
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    t.delete_where([("o_totalprice", ">=", 400000.0)])
+    t.compact()
+    rows = []
+    for m in t.history():
+        v = m["version"]
+        rows.append(
+            (v, 1 if m.get("dataChange", True) else 0, t.read(v).count())
+        )
+    return spark.createDataFrame(
+        rows, "version int, data_change int, n_rows bigint"
+    )

@@ -562,3 +562,38 @@ def test_dynamic_partition_pruning_subquery(spark):
         "expected a dynamic partition pruning subquery on the fact scan"
     )
     assert "PartitionFilters" in p
+
+
+def test_event_funnel_single_exchange(spark):
+    """The stacked-window funnel must shuffle the event log ONCE: all
+    three step thresholds evaluate over the same user_id partitioning,
+    and the per-user collapse is co-partitioned."""
+    import re
+
+    p = plan(spark, "event_funnel")
+    # exactly two Exchange nodes: the user_id window partitioning and
+    # the final single-row rollup (SinglePartition, tiny); one scan.
+    assert len(re.findall(r"\bExchange \(\d+\)", p)) == 2, (
+        "funnel must not re-shuffle per step"
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_sliding_distinct_no_raw_event_refold(spark):
+    """win_sliding_distinct's window fan-out must operate on bitmap
+    state, not replicate raw events: the plan carries bitmap aggregates
+    and exactly one scan of events."""
+    import re
+
+    p = plan(spark, "win_sliding_distinct")
+    assert "bitmap_or_agg" in p or "bitmap_count" in p
+    # two scans only: the bitmap branch and the day-spine branch — the
+    # 7x fan-out replicates sketch rows, never raw events
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+
+
+def test_bitmap_intersect_reuses_sketch_exchange(spark):
+    """agg_bitmap_intersect computes overlaps on cached sketch state —
+    events must be scanned at most once (InMemoryTableScan afterwards)."""
+    p = plan(spark, "agg_bitmap_intersect")
+    assert "bitmap_construct_agg" in p or "InMemoryTableScan" in p

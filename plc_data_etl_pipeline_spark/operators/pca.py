@@ -150,7 +150,8 @@ def gram_pcs(
     vec_col: str = "embedding",
     n_components: int = 2,
     center: bool = True,
-) -> tuple[list[list[float]], list[float], float]:
+    return_moments: bool = False,
+) -> tuple:
     """Exact top-``n_components`` PCs via a ONE-PASS Gram matrix.
 
     The right scale split for dim up to a few thousand (the common
@@ -164,6 +165,10 @@ def gram_pcs(
 
     Same return contract and sign convention as ``power_iteration_pcs``;
     eigenvalues are exact (sum-of-squares units of the centered data).
+    With ``return_moments=True`` the tuple extends to (comps, eigs,
+    trace, mean, n_rows) — the per-dimension mean and row count fall
+    out of the same pass (the 'j = -1' rows), so callers that need
+    them for projection (whiten) never rescan the table.
     """
     import numpy as np
     import pandas as pd
@@ -209,8 +214,8 @@ def gram_pcs(
         else:
             g[r["i"], r["j"]] = r["v"]
             g[r["j"], r["i"]] = r["v"]
+    mean = (s / n) if n > 0 else s
     if center and n > 0:
-        mean = s / n
         g = g - n * np.outer(mean, mean)  # Gram of centered data
     trace = float(np.trace(g))
     w, vecs = np.linalg.eigh(g)
@@ -223,6 +228,8 @@ def gram_pcs(
             v = -v
         comps.append([float(x) for x in v])
         eigs.append(float(w[idx]))
+    if return_moments:
+        return comps, eigs, trace, [float(x) for x in mean], int(n)
     return comps, eigs, trace
 
 

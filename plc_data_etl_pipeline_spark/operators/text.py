@@ -569,9 +569,7 @@ def bpe_train(
     )
     syms = words.select(
         F.concat(
-            F.transform(
-                F.split(F.col("w"), ""), lambda c: c
-            ),
+            F.split(F.col("w"), ""),  # per-character symbols
             F.array(F.lit("</w>")),
         ).alias("syms"),
         "freq",

@@ -216,7 +216,7 @@ def agg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bitmap_construct_agg(bitmap_bit_position(user_id + 1))"
         ).alias("bmp")
     )
-    sk = sk.withColumn("cnt", F.expr("bitmap_count(bmp)")).cache()
+    sk = sk.withColumn("cnt", F.expr("bitmap_count(bmp)"))
     # Per-type exact distinct counts (sum of bucket cardinalities).
     per_type = sk.groupBy("event_type").agg(F.sum("cnt").alias("n"))
     # All unordered type pairs (tiny: k*(k-1)/2 rows) — broadcast.
@@ -257,6 +257,9 @@ def agg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_b",
             (F.col("n_a") + F.col("n_b") - F.col("n_union")).alias("n_both"),
         )
+        # The oracle's inner self-join emits nothing for disjoint
+        # audiences; inclusion-exclusion emits n_both=0 — align.
+        .where(F.col("n_both") > 0)
     )
 
 
@@ -286,31 +289,16 @@ def win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of event count — and a new day's partial ORs into
     yesterday's materialization without rescanning the trailing week.
     A semi-join restricts window ends to days that actually have
-    events (matching the oracle's day spine)."""
-    ev = load(spark, sf_dir, "events").select(
-        F.to_date("ts").alias("d"), "user_id"
-    )
-    per_day = ev.groupBy(
-        "d", F.expr("bitmap_bucket_number(user_id + 1)").alias("bkt")
-    ).agg(
-        F.expr(
-            "bitmap_construct_agg(bitmap_bit_position(user_id + 1))"
-        ).alias("bmp")
-    )
-    fanout = per_day.select(
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
-        F.col("d"),
-        "bkt",
-        "bmp",
-    ).select(F.date_add("d", F.col("off")).alias("day"), "bkt", "bmp")
-    days = ev.select(F.col("d").alias("day")).distinct()
-    windowed = fanout.join(days, "day", "left_semi")
-    return (
-        windowed.groupBy("day", "bkt")
-        .agg(F.expr("bitmap_count(bitmap_or_agg(bmp))").alias("c"))
-        .groupBy("day")
-        .agg(F.sum("c").alias("n_users_7d"))
-    )
+    events (matching the oracle's day spine).
+
+    Implementation is SHARED with the continuously-maintained form
+    (streaming/sliding_distinct.py): the batch query is literally
+    present(bucketize(events)) — the same sketch-build and window-fold
+    the streaming materialization uses, so the two cannot drift."""
+    from ..streaming import sliding_distinct as SD
+
+    ev = load(spark, sf_dir, "events").select("ts", "user_id")
+    return SD.present(SD._bucketize(ev))
 
 
 @query(
@@ -357,7 +345,11 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     binned = ev.select(
         "event_type",
-        F.least((F.col("value") / 50.0).cast("int"), F.lit(9)).alias("bin"),
+        # floor, not cast: cast truncates toward zero, so a negative
+        # reading would bin differently than the oracle's FLOOR.
+        F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias(
+            "bin"
+        ),
         (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
         .cast("int")
         .alias("half"),
@@ -432,10 +424,13 @@ def win_session_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     in UTC epoch space."""
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(
-        F.col("ts").cast("timestamp").cast("long")
+    # Full-microsecond gap — a second-truncated cast would classify a
+    # 1800.5 s gap as <= 30 min while the oracle's INTERVAL compare
+    # (microsecond-precise) starts a new session.
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.lag(
+        F.unix_micros(F.col("ts").cast("timestamp"))
     ).over(w)
-    new_s = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     sessioned = ev.withColumn(
         "session_id",
         F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)),

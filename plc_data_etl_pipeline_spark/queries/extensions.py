@@ -1628,7 +1628,11 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = MM.synthesize_media(docs)
     hashes = MM.phash_media(media)
-    pairs = MM.phash_near_dup_pairs(hashes, max_hamming=10)
+    # max_hamming=3 is the pigeonhole-COMPLETE bound for 4x16-bit
+    # blocks; wider radii are probabilistic-recall (documented in
+    # fingerprint_near_pairs) and would make the histogram an
+    # undercount at distances 4+.
+    pairs = MM.phash_near_dup_pairs(hashes, max_hamming=3)
     return (
         pairs.groupBy("hamming")
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
@@ -1649,18 +1653,11 @@ def emb_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pca import gram_pcs, whiten
 
     emb = load(spark, sf_dir, "embeddings")
-    comps, eigs, _ = gram_pcs(emb, "embedding", n_components=2)
-    n = emb.count()
-    # gram_pcs centered the Gram; recompute the mean for the projection.
-    mean_rows = (
-        emb.select(F.posexplode("embedding").alias("pos", "xi"))
-        .groupBy("pos")
-        .agg(F.avg("xi").alias("m"))
-        .collect()
+    # One pass: the Gram aggregation already carries the per-dimension
+    # sums and row count, so mean/n come back for free (no rescans).
+    comps, eigs, _, mean, n = gram_pcs(
+        emb, "embedding", n_components=2, return_moments=True
     )
-    mean = [0.0] * len(comps[0])
-    for r in mean_rows:
-        mean[r["pos"]] = r["m"]
     white = whiten(emb, comps, eigs, n, "embedding", mean=mean)
     return (
         white.select(F.posexplode("whitened").alias("coord", "w"))

@@ -78,12 +78,17 @@ def _advance(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     prev = tuple(state.get) if state.exists else None
+    step_rank = {s: i for i, s in enumerate(FUNNEL_STEPS)}
     rows: list[tuple[str, int]] = []
     for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
         ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
         rows.extend(zip(pdf["event_type"].tolist(), ts_us))
-    rows.sort(key=lambda r: r[1])
+    # One sort over the concatenated rows (per-chunk pre-sorting would
+    # be dead work). Tiebreak equal timestamps by funnel-step order so
+    # a same-instant view+click advances both stages — matching the
+    # order-independent batch semantics (batch takes min qualifying ts
+    # per stage, which admits the same-instant later step).
+    rows.sort(key=lambda r: (r[1], step_rank.get(r[0], len(FUNNEL_STEPS))))
     transitions, new_state = funnel_step(rows, prev)
     state.update(new_state)
     if transitions:

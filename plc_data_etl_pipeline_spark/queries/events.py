@@ -501,3 +501,65 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in cols
     ]
     return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+@query(
+    "agg_regression_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events
+    ), s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_r6
+    FROM s
+    """,
+)
+def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-database OLS trend per sensor stream: the REGR_SLOPE of
+    value (exact cents) against event day, computed from the five
+    classic regression sums — one partial-aggregated scan, no window,
+    no collect. Everything stays in exact BIGINT arithmetic (x is
+    days-since-epoch-base, bounded; y is exact cents), and the slope is
+    emitted BOTH as the exact rational (numerator, denominator) — the
+    mergeable form a multi-day incremental pipeline would store — and
+    as one rounded IEEE division of identical operands for
+    readability. The native REGR_SLOPE aggregate does the same math in
+    floating point; the integer form is what survives an
+    order-insensitive cross-engine hash."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        "n",
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+        F.round(
+            num.cast("double") / den.cast("double"), 6
+        ).alias("slope_r6"),
+    )

@@ -224,3 +224,45 @@ def test_funnel_matches_sequential_reference(spark, rows):
                 ts_out.append(None)
         want[u] = tuple(ts_out)
     assert got == want
+
+
+@given(rows=FUNNEL_EVENTS)
+@_SETTINGS
+def test_session_and_transition_invariants(spark, rows):
+    """Structural laws on random event frames:
+    - transitions: total count == n_events - n_active_users (each user
+      contributes len(seq)-1 adjacent pairs)
+    - sessions: per-user session count == 1 + (#gaps > threshold); the
+      sum of per-session n_events equals the user's event count."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(u, s, t) for u, s, t in rows], "user_id int, event_type string, ts int"
+    ).withColumn("event_id", F.monotonically_increasing_id())
+
+    # transitions law
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = df.select(F.lag("event_type").over(w).alias("prev"))
+    n_trans = seq.where(F.col("prev").isNotNull()).count()
+    n_users = df.select("user_id").distinct().count()
+    assert n_trans == len(rows) - n_users
+
+    # sessions law (gap threshold 5 in the integer ts domain)
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_s = F.when(gap.isNull() | (gap > 5), 1).otherwise(0)
+    sess = df.withColumn(
+        "sid", F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per = sess.groupBy("user_id", "sid").agg(F.count("*").alias("n")).collect()
+    # per-user: session ids are 1..k dense, and counts sum to events
+    pdf = pd.DataFrame([(r["user_id"], r["sid"], r["n"]) for r in per],
+                       columns=["u", "sid", "n"])
+    for u, grp in pdf.groupby("u"):
+        n_events_u = sum(1 for r in rows if r[0] == u)
+        assert grp["n"].sum() == n_events_u
+        sids = sorted(grp["sid"])
+        assert sids == list(range(1, len(sids) + 1))

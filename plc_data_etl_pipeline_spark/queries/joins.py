@@ -684,3 +684,46 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nearest_orderdate"
         ),
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+      FROM events e LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+      WHERE e.event_type = 'error'
+    )
+    SELECT event_id, user_id, o_orderkey,
+           CAST(o_orderdate AS DATE) AS next_orderdate
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, FORWARD direction (merge_asof direction='forward'):
+    for each error event, the customer's NEXT order at-or-after the
+    event — "did the error precede churn or a reorder?". Completes the
+    as-of family (backward: join_asof; tolerance; nearest). Same
+    packed-BIGINT trick as join_asof but inverted: MIN over
+    (epoch_day << 43 | o_orderkey) yields earliest-date-lowest-key —
+    one map-side-combinable aggregate, no per-event window sort — then
+    a NULL-propagating join back to the event spine for LEFT
+    semantics (events with no later order keep NULLs)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    o = load(spark, sf_dir, "orders")
+    joined = ev.join(
+        o, (ev.user_id == o.o_custkey) & (o.o_orderdate >= ev.ts)
+    )
+    best = joined.groupBy("event_id").agg(
+        F.min(_pack_date_key("o_orderdate", "o_orderkey")).alias("m")
+    )
+    spine = ev.select("event_id", "user_id")
+    return spine.join(best, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        *_unpack_date_key("m", "o_orderkey", "next_orderdate"),
+    )

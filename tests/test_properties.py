@@ -266,3 +266,43 @@ def test_session_and_transition_invariants(spark, rows):
         assert grp["n"].sum() == n_events_u
         sids = sorted(grp["sid"])
         assert sids == list(range(1, len(sids) + 1))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 14)),  # (user, day)
+        min_size=0,
+        max_size=80,
+    )
+)
+@_SETTINGS
+def test_sliding_distinct_bitmap_matches_brute_force(spark, rows):
+    """The bitmap fan-out must equal a brute-force 7-day window count
+    on random (user, day) activity — empty days, singleton users and
+    dense overlaps included."""
+    from plc_data_etl_pipeline_spark.streaming import sliding_distinct as S
+    from pyspark.sql import functions as F
+
+    if not rows:
+        return
+    import datetime
+
+    base = datetime.date(2024, 3, 1)
+    ev = spark.createDataFrame(
+        [
+            (u, datetime.datetime.combine(base, datetime.time()) +
+             datetime.timedelta(days=d, hours=1))
+            for u, d in rows
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (r["day"], r["n_users_7d"])
+        for r in S.present(S._bucketize(ev)).collect()
+    }
+    days = sorted({d for _, d in rows})
+    want = set()
+    for d in days:
+        active = {u for u, dd in rows if d - 6 <= dd <= d}
+        want.add((base + datetime.timedelta(days=d), len(active)))
+    assert got == want

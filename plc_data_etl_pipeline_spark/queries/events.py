@@ -563,3 +563,41 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / den.cast("double"), 6
         ).alias("slope_r6"),
     )
+
+
+@query(
+    "win_islands_consecutive",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), g AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS grp
+      FROM d
+    )
+    SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def win_islands_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands, date-dense form: collapse each user's activity
+    days into maximal CONSECUTIVE-day streaks via the classic
+    row-number-difference trick (day − rn is constant exactly within a
+    consecutive run) — the streak/retention primitive behind "7-day
+    streak" features. One distinct shuffle + one window on the same
+    user partitioning + a co-partitioned rollup; no self-joins, no
+    recursion. Complements win_session_id (time-gap islands on raw
+    timestamps) with the calendar-dense variant."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return g.groupBy("user_id", "grp").agg(
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+        F.count("*").alias("n_days"),
+    ).drop("grp")

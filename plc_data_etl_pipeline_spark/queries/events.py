@@ -601,3 +601,71 @@ def win_islands_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").alias("streak_end"),
         F.count("*").alias("n_days"),
     ).drop("grp")
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(y AS HUGEINT) * y * y) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(y AS HUGEINT) * y * y * y) AS DOUBLE) AS s4
+      FROM (SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+            FROM events)
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(((s3 / n) - 3 * (s1 / n) * (s2 / n)
+                  + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / POW((s2 / n) - (s1 / n) * (s1 / n), 1.5), 4)
+             AS skew_r4,
+           ROUND(((s4 / n) - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / POW((s2 / n) - (s1 / n) * (s1 / n), 2.0) - 3.0, 4)
+             AS kurt_r4
+    FROM m
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per sensor stream from
+    EXACT raw moments: the four power sums accumulate in DECIMAL(38)
+    (HUGEINT on the oracle side) over integer cents — order-independent
+    and overflow-safe to ~1e38 — then one identical chain of IEEE
+    double ops on both engines derives the shape statistics
+    (dimensionless, so the cent scaling cancels). The native
+    skewness()/kurtosis() aggregates fold doubles in partition order —
+    unusable under a cross-engine hash; exact-moments-then-derive is
+    the mergeable form an incremental pipeline stores anyway."""
+    ev = load(spark, sf_dir, "events")
+    y = F.floor(F.col("value") * 100 + 0.5).cast("decimal(9,0)")
+    m = ev.select("event_type", y.alias("y")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("y")).cast("double").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("s2"),
+        F.sum(F.col("y") * F.col("y") * F.col("y")).cast("double").alias("s3"),
+        F.sum(F.col("y") * F.col("y") * F.col("y") * F.col("y"))
+        .cast("double")
+        .alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    var = F.col("s2") / n - mu * mu
+    skew = (F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu) / (
+        F.pow(var, 1.5)
+    )
+    kurt = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    ) / F.pow(var, 2.0) - 3.0
+    return m.select(
+        "event_type",
+        "n",
+        F.round(skew, 4).alias("skew_r4"),
+        F.round(kurt, 4).alias("kurt_r4"),
+    )

@@ -857,3 +857,49 @@ def sink_txn_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, data_change int, n_rows bigint"
     )
+
+
+@query("plc_pipeline_end_to_end", oracle=None)  # Python-RNG generator — invariants pytest-locked
+def plc_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE dataflow as one DAG: synthetic generator
+    (R1-R3, partitions as threads) → Confluent-framed Avro encode (R4)
+    → decode (R9) → fixed-order projection (R11) → epoch→timestamp
+    (R13) → batched parquet sink + re-read (R14 stand-in) → warehouse
+    rollup per (machine, sensor). What lands in six containers and two
+    retry loops in the reference (`producer/sensor_data_producer.py`,
+    `consumer/sensor_data_consumer.py`, `docker-compose.yml`) is one
+    lazy plan here — Catalyst pipelines generate→encode→decode→project
+    into a single stage, and the only barrier is the sink itself.
+    Rows-only (the generator is seeded RNG); the received==flushed
+    conservation invariant — the reference's own log-counter check
+    (`consumer/sensor_data_consumer.py:29-30`) — is pytest-locked."""
+    import shutil
+
+    plc = G.generate_batch(spark, n_rows=2000, partitions=8)
+    encoded = plc.select(
+        A.avro_encode(
+            F.col("machine_id"), F.col("sensor"),
+            F.col("reading"), F.col("t_stamp"),
+        ).alias("value")
+    )
+    decoded = encoded.select(A.avro_decode(F.col("value")).alias("r")).select(
+        "r.machine_id", "r.sensor", "r.reading", "r.t_stamp"
+    )
+    landed = decoded.select(
+        "machine_id", "sensor", "reading",
+        F.timestamp_seconds("t_stamp").alias("event_time"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "plc_etl_e2e_sink")
+    shutil.rmtree(out, ignore_errors=True)
+    K.write_batch(landed, out, mode="overwrite")
+    warehouse = spark.read.parquet(out)
+    return (
+        warehouse.groupBy("machine_id", "sensor")
+        .agg(
+            F.count("*").alias("n_readings"),
+            F.round(F.avg("reading"), 4).alias("avg_reading"),
+            F.date_format(F.min("event_time"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_seen"
+            ),
+        )
+    )

@@ -484,3 +484,19 @@ print("RETRY_OK", len(rows))
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "RETRY_OK 1000" in r.stdout
+
+
+def test_plc_end_to_end_conservation(spark):
+    """The reference's received==flushed invariant over the composed
+    end-to-end query: every generated row survives encode→decode→sink,
+    and the group counts partition the total exactly."""
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["plc_pipeline_end_to_end"].fn(spark, "").collect()
+    assert sum(r["n_readings"] for r in rows) == 2000
+    machines = {r["machine_id"] for r in rows}
+    sensors = {r["sensor"] for r in rows}
+    assert machines <= {"M1", "M2", "M3"} and sensors <= {
+        "temperature", "pressure", "vibration"
+    }
+    assert all(0.0 <= r["avg_reading"] <= 100.0 for r in rows)

@@ -208,6 +208,13 @@ def test_funnel_matches_sequential_reference(spark, rows):
         r["user_id"]: (r["t1"], r["t2"], r["t3"])
         for r in funnel_times(df, ["a", "b", "c"]).collect()
     }
+    got_agg = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_times(
+            df, ["a", "b", "c"], strategy="aggregate"
+        ).collect()
+    }
+    assert got_agg == got  # both physical strategies, same semantics
 
     want = {}
     for u in {r[0] for r in rows}:

@@ -1716,3 +1716,38 @@ def sim_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in e.filter(F.col("vec_id") < 20).collect()
     ]
     return S.ivf_ann_topk_indexed(spark, path, queries_, k=5, n_probe=4)
+
+
+@query("multimodal_phash_clusters", oracle=None)  # engine fingerprint; survivor-election pytest via shared CC operator
+def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup DEDUP end-to-end: perceptual-hash pair generation
+    (skew-guarded fingerprint_near_pairs core) → connected components
+    (operators/dedup.py — min-label propagation, same operator the text
+    dedup clustering uses) → survivor election (smallest media_id per
+    cluster). Output: cluster-size histogram plus media kept/dropped
+    totals — the report a curation run logs. Deterministic (payloads
+    and hashing are deterministic); the shared CC operator's
+    correctness is pytest-locked against a recursive-CTE oracle in
+    dedup_cluster_survivors."""
+    from ..operators import multimodal as MM
+    from ..operators.dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    media = MM.synthesize_media(docs)
+    hashes = MM.phash_media(media)
+    pairs = MM.phash_near_dup_pairs(hashes, max_hamming=3).select(
+        F.col("media_a").alias("id_a"), F.col("media_b").alias("id_b")
+    )
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    hist = sizes.groupBy("sz").agg(
+        F.count("*").cast("bigint").alias("n_clusters")
+    )
+    n_total = media.count()
+    n_in_clusters = cc.count()
+    n_survivors_in_clusters = sizes.count()
+    kept = n_total - n_in_clusters + n_survivors_in_clusters
+    summary = spark.createDataFrame(
+        [(-1, kept)], "sz int, n_clusters bigint"
+    )  # sz=-1 row carries the kept-media total
+    return hist.unionByName(summary)

@@ -669,3 +669,70 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 4).alias("skew_r4"),
         F.round(kurt, 4).alias("kurt_r4"),
     )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders.o_orderkey unique',
+           CAST((SELECT COALESCE(SUM(cnt - 1), 0) FROM
+                 (SELECT COUNT(*) AS cnt FROM orders
+                  GROUP BY o_orderkey HAVING COUNT(*) > 1))
+                AS BIGINT)
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse constraint audit — the checks a database enforces with
+    FOREIGN KEY / PRIMARY KEY that a lakehouse must assert itself:
+    orphan-row counts for the three star-schema relationships (each a
+    LEFT ANTI join: broadcast when the parent side is a dim, shuffle
+    otherwise — never a row-by-row probe) plus surplus-duplicate count
+    on the orders primary key (partial-aggregated). The oracle states
+    each as NOT EXISTS / HAVING SQL. All-zeros on healthy fixtures;
+    the value is that regressions surface as nonzero rows, not silent
+    joins dropping data downstream."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey")
+
+    def orphans(child, key, parent, pkey):
+        return child.join(
+            parent, F.col(key) == F.col(pkey), "left_anti"
+        ).count()
+
+    dup_surplus = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("s"))
+        .collect()[0]["s"]
+    )
+    rows = [
+        ("lineitem.l_orderkey -> orders",
+         orphans(li, "l_orderkey", o.select("o_orderkey"), "o_orderkey")),
+        ("orders.o_custkey -> customer",
+         orphans(o, "o_custkey", c.select("c_custkey"), "c_custkey")),
+        ("customer.c_nationkey -> nation",
+         orphans(c, "c_nationkey", n, "n_nationkey")),
+        ("orders.o_orderkey unique", int(dup_surplus)),
+    ]
+    return spark.createDataFrame(rows, "check_name string, n_violations bigint")

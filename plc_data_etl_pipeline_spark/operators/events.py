@@ -42,6 +42,10 @@ def funnel_times(
     """
     if not steps:
         raise ValueError("at least one funnel step required")
+    if strategy not in ("window", "aggregate"):
+        raise ValueError(
+            f"unknown funnel strategy {strategy!r}: use 'window' or 'aggregate'"
+        )
     if strategy == "aggregate":
         return _funnel_times_agg(df, steps, user_col, type_col, ts_col)
     w = Window.partitionBy(user_col)

@@ -521,7 +521,8 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
            CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
            ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_r6
+                 / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE), 6)
+             AS slope_r6
     FROM s
     """,
 )
@@ -529,21 +530,25 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-database OLS trend per sensor stream: the REGR_SLOPE of
     value (exact cents) against event day, computed from the five
     classic regression sums — one partial-aggregated scan, no window,
-    no collect. Everything stays in exact BIGINT arithmetic (x is
-    days-since-epoch-base, bounded; y is exact cents), and the slope is
-    emitted BOTH as the exact rational (numerator, denominator) — the
-    mergeable form a multi-day incremental pipeline would store — and
-    as one rounded IEEE division of identical operands for
-    readability. The native REGR_SLOPE aggregate does the same math in
-    floating point; the integer form is what survives an
-    order-insensitive cross-engine hash."""
+    no collect. Sums accumulate in DECIMAL(38) (HUGEINT on the oracle
+    side) — exact and order-independent at any corpus size, matching
+    agg_skew_kurtosis — and the slope is emitted BOTH as the exact
+    rational (numerator, denominator; BIGINT output envelope documented
+    below) and as one rounded IEEE division of identical operands for
+    readability. A single-day (or single-row) group has slope_den = 0:
+    try_divide/NULLIF yield NULL on both engines instead of an ANSI
+    divide-by-zero crash. The native REGR_SLOPE aggregate does the
+    same math in floating point; the exact form is what survives an
+    order-insensitive cross-engine hash. Output envelope: |num|,|den|
+    < 2^63 holds through ~1e14 rows at this x/y scale; past that,
+    widen the two output casts to DECIMAL(38,0)."""
     ev = load(spark, sf_dir, "events")
     pts = ev.select(
         "event_type",
         F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
-        .cast("long")
+        .cast("decimal(10,0)")
         .alias("x"),
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"),
+        F.floor(F.col("value") * 100 + 0.5).cast("decimal(10,0)").alias("y"),
     )
     s = pts.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -552,15 +557,20 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    nd = F.col("n").cast("decimal(38,0)")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = nd * F.col("sxx") - F.col("sx") * F.col("sx")
     return s.select(
         "event_type",
         "n",
         num.cast("bigint").alias("slope_num"),
         den.cast("bigint").alias("slope_den"),
         F.round(
-            num.cast("double") / den.cast("double"), 6
+            F.try_divide(
+                num.cast("double"),
+                F.when(den != 0, den).cast("double"),
+            ),
+            6,
         ).alias("slope_r6"),
     )
 
@@ -618,15 +628,17 @@ def win_islands_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY event_type
     )
     SELECT event_type, n,
-           ROUND(((s3 / n) - 3 * (s1 / n) * (s2 / n)
-                  + 2 * (s1 / n) * (s1 / n) * (s1 / n))
-                 / POW((s2 / n) - (s1 / n) * (s1 / n), 1.5), 4)
-             AS skew_r4,
-           ROUND(((s4 / n) - 4 * (s1 / n) * (s3 / n)
-                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
-                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
-                 / POW((s2 / n) - (s1 / n) * (s1 / n), 2.0) - 3.0, 4)
-             AS kurt_r4
+           CASE WHEN (s2 / n) - (s1 / n) * (s1 / n) > 0 THEN
+             ROUND(((s3 / n) - 3 * (s1 / n) * (s2 / n)
+                    + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                   / POW((s2 / n) - (s1 / n) * (s1 / n), 1.5), 4)
+           END AS skew_r4,
+           CASE WHEN (s2 / n) - (s1 / n) * (s1 / n) > 0 THEN
+             ROUND(((s4 / n) - 4 * (s1 / n) * (s3 / n)
+                    + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                   / POW((s2 / n) - (s1 / n) * (s1 / n), 2.0) - 3.0, 4)
+           END AS kurt_r4
     FROM m
     """,
 )
@@ -663,11 +675,14 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 6 * mu * mu * (F.col("s2") / n)
         - 3 * mu * mu * mu * mu
     ) / F.pow(var, 2.0) - 3.0
+    # Zero-variance guard (constant/stuck-at sensor stream): emit NULL
+    # instead of an ANSI divide-by-zero crash — matching the oracle's
+    # CASE WHEN var > 0 form.
     return m.select(
         "event_type",
         "n",
-        F.round(skew, 4).alias("skew_r4"),
-        F.round(kurt, 4).alias("kurt_r4"),
+        F.when(var > 0, F.round(skew, 4)).alias("skew_r4"),
+        F.when(var > 0, F.round(kurt, 4)).alias("kurt_r4"),
     )
 
 

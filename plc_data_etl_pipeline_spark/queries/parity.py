@@ -903,3 +903,56 @@ def plc_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "udf_apply_in_arrow",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_chars >
+                 (SELECT CAST(SUM(i.n_chars) AS DOUBLE) / COUNT(*)
+                  FROM documents i WHERE i.source = d.source)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_mean
+    FROM documents d
+    GROUP BY source
+    """,
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInArrow — the last rung of the Arrow UDF ladder
+    (scalar pandas_udf → grouped map/agg → mapInPandas → mapInArrow →
+    cogrouped applyInPandas → grouped applyInArrow): each group arrives
+    as ONE pyarrow.Table (no pandas materialization), the natural shape
+    for per-group Arrow-native work (per-group tokenizer stats,
+    Arrow-IPC handoff). Per source: docs counted above their own
+    group's mean length, computed with pyarrow.compute kernels only.
+    SQL-expressible on purpose so the correlated-mean oracle checks the
+    grouped Arrow protocol end-to-end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_group(table: "pa.Table") -> "pa.Table":
+        n_chars = table.column("n_chars")
+        mean = pc.mean(n_chars)
+        above = pc.sum(
+            pc.cast(pc.greater(n_chars, mean), pa.int64())
+        )
+        return pa.Table.from_pydict(
+            {
+                "source": [table.column("source")[0].as_py()],
+                "n_docs": [table.num_rows],
+                "n_above_mean": [above.as_py() or 0],
+            },
+            schema=pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("n_above_mean", pa.int64()),
+                ]
+            ),
+        )
+
+    d = load(spark, sf_dir, "documents").select("source", "n_chars")
+    return d.groupBy("source").applyInArrow(
+        per_group, "source string, n_docs bigint, n_above_mean bigint"
+    )

@@ -479,3 +479,88 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_qty": 30, "m1": "A", "m2": "R"},
     )
+
+
+@query(
+    "sql_registered_udf",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A pandas UDF registered into the SQL function catalog
+    (spark.udf.register) and invoked FROM SQL TEXT — the surface that
+    lets SQL-only users call Python logic. The UDF is a vectorized
+    Arrow-batch threshold flag (deliberately SQL-expressible so the
+    oracle checks the registration + dispatch path, not the math);
+    still the slow path vs built-ins, so production keeps UDFs off the
+    hot filter — here it feeds an aggregate, not a scan predicate."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def is_big(price):
+        return (price > 200000.0).astype("int32")
+
+    spark.udf.register("plc_is_big", is_big)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_udf_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               SUM(plc_is_big(o_totalprice)) AS n_big
+        FROM orders_udf_v GROUP BY o_orderpriority
+        """
+    ).select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_big").cast("bigint").alias("n_big"),
+    )
+
+
+@query(
+    "source_file_metadata",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE CAST(ts AS DATE) <= DATE '2024-01-07'
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def source_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``_metadata`` hidden struct on file sources — per-row file
+    lineage (path, name, size, modification time) with zero storage
+    cost, the hook audit pipelines use to trace rows back to ingest
+    files. A day-partitioned sink is read back grouping ONLY by the
+    partition value parsed out of ``_metadata.file_path`` — no data
+    column consulted — and the rollup must equal the raw-table rollup,
+    proving path-derived lineage agrees with content. Week-1 filter
+    keeps the partition count bounded."""
+    import shutil
+
+    ev = load(spark, sf_dir, "events").where(
+        F.to_date("ts") <= F.lit("2024-01-07").cast("date")
+    )
+    path = os.path.join(tempfile.gettempdir(), "plc_etl_file_meta")
+    shutil.rmtree(path, ignore_errors=True)
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(
+        path
+    )
+    back = spark.read.parquet(path).select(
+        "user_id", F.col("_metadata.file_path").alias("fp")
+    )
+    day_from_path = F.to_date(
+        F.regexp_extract(F.col("fp"), r"day=([0-9-]+)", 1)
+    )
+    return (
+        back.select(day_from_path.alias("day"), "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

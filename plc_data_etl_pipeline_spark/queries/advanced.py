@@ -564,3 +564,48 @@ def source_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "ps_pandas_api",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def ps_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-on-Spark API (pyspark.pandas): pandas syntax
+    compiling to the SAME Catalyst plans — the migration surface for
+    pandas codebases. A groupby-agg written as pandas (assign +
+    groupby + agg + reset_index) converts back to a plain DataFrame
+    and hash-matches the SQL oracle, proving the ps layer changes the
+    dialect, not the semantics. Stays fully distributed — no
+    to_pandas() materialization anywhere; only the final
+    to_spark() plan crosses back."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pyspark.pandas as ps
+
+        psdf = ps.DataFrame(
+            load(spark, sf_dir, "orders").select(
+                "o_orderpriority",
+                F.floor(F.col("o_totalprice") * 100 + 0.5)
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+        out = (
+            psdf.groupby("o_orderpriority")
+            .agg(n_orders=("cents", "count"), total_cents=("cents", "sum"))
+            .reset_index()
+        )
+        return out.to_spark().select(
+            "o_orderpriority",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("total_cents").cast("bigint").alias("total_cents"),
+        )

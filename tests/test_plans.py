@@ -83,6 +83,8 @@ def test_no_python_udf_in_relational_paths(spark):
         "multimodal_decode",
         "sim_topk_pq",  # Arrow-vectorized PQ encode (deliberate: one
         #   numpy matmul/batch beats m*n_codes interpreted HOF folds)
+        "sql_registered_udf",  # the POINT of the query: a pandas UDF
+        #   registered into the SQL catalog and dispatched from SQL text
     }
     for name in _Q:
         if name in python_ok:

@@ -56,7 +56,11 @@ def valid_vectors(emb: DataFrame, vec_col: str) -> DataFrame:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot_fold(a, b) / (norm_fold(a) * norm_fold(b))
+    """NULL (not a crash) for zero-norm vectors: try_divide keeps ANSI
+    mode intact while degenerate embeddings drop out of >= filters and
+    top-k ranking on both engines (DuckDB's 0/0 double is NaN, equally
+    excluded by comparisons)."""
+    return F.try_divide(dot_fold(a, b), norm_fold(a) * norm_fold(b))
 
 
 def cosine_topk(

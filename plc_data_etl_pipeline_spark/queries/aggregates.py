@@ -100,13 +100,23 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     median: Spark ``percentile`` and DuckDB ``quantile_cont`` both linearly
     interpolate over the sorted values — same formula, rounded to 4.
+
+    corr is spelled covar_pop/(stddev_pop·stddev_pop) with try_divide:
+    Spark's native corr() raises DIVIDE_BY_ZERO under ANSI mode when
+    either side is constant (a stuck-at sensor stream), while DuckDB's
+    CORR returns NULL — the manual form yields NULL on both engines
+    (adversarial-fixture-tested).
     """
     ev = load(spark, sf_dir, "events")
     uid = F.col("user_id").cast("double")
+    corr = F.try_divide(
+        F.covar_pop(F.col("value"), uid),
+        F.stddev_pop("value") * F.stddev_pop(uid),
+    )
     return ev.groupBy("event_type").agg(
         F.round(F.stddev_samp("value"), 4).alias("sd_value"),
         F.round(F.var_samp("value"), 4).alias("var_value"),
-        F.round(F.corr(F.col("value"), uid), 4).alias("corr_vu"),
+        F.round(corr, 4).alias("corr_vu"),
         F.round(F.covar_samp(F.col("value"), uid), 4).alias("covar_vu"),
         F.round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("median_value"),
     )

@@ -19,6 +19,24 @@ from ..operators import similarity as S
 from ..operators import text as T
 from ..registry import query
 
+
+def _char_shingles(width: int = 5):
+    """Distinct character ``width``-gram array of ``text`` — identical
+    on both engines for EVERY length. Guard matters: Spark's
+    sequence(1, 0) yields DESCENDING [1, 0] (not empty), so a
+    sub-width document would grow phantom shingles that the DuckDB
+    range()-based oracles never produce (caught by the adversarial
+    single-word fixture). Sub-width docs get an empty set — they
+    participate in dedup via the exact-first text paths instead.
+    """
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN length(text) >= {width} THEN "
+            f"transform(sequence(1, length(text) - {width - 1}),"
+            f" i -> substring(text, i, {width})) ELSE array() END"
+        )
+    )
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -129,22 +147,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²) pair space is bounded by the id filter; at scale you'd gate this
     behind LSH candidates (dedup_minhash) instead."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    sh = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(length(text) - 4, 0)),"
-                " i -> substring(text, i, 5))"
-            )
-        ).alias("grams"),
-    )
+    sh = d.select("doc_id", _char_shingles().alias("grams"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     union = F.size(F.array_union("ga", "gb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard_raw", inter / union)
+        .withColumn("jaccard_raw", F.try_divide(inter, union))
         .filter(F.col("jaccard_raw") >= 0.35)
         .select("id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard"))
     )
@@ -470,9 +480,11 @@ def _decode_oracle(dim: int = 8) -> str:
     decimal tie the round could hit ((2m+1)/2e6) is not binary-
     representable, so rounding agrees too."""
     feats = ",\n           ".join(
+        "CASE WHEN len(range({s}, length(text) + 1, {dim})) > 0 THEN "
         "ROUND((CAST(list_sum(list_transform(range({s}, length(text) + 1, {dim}),"
         " i -> unicode(text[i:i]))) AS DOUBLE)"
-        " / len(range({s}, length(text) + 1, {dim}))) / 255.0, 6) AS f{d}".format(
+        " / len(range({s}, length(text) + 1, {dim}))) / 255.0, 6) "
+        "ELSE 0.0 END AS f{d}".format(
             s=d + 1, dim=dim, d=d
         )
         for d in range(dim)
@@ -747,22 +759,14 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-root per node), so the ITERATIVE Spark algorithm is value-checked
     against a declarative fixpoint."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    sh = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(length(text) - 4, 0)),"
-                " i -> substring(text, i, 5))"
-            )
-        ).alias("grams"),
-    )
+    sh = d.select("doc_id", _char_shingles().alias("grams"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     union = F.size(F.array_union("ga", "gb"))
     pairs = (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(inter / union >= 0.35)
+        .filter(F.try_divide(inter, union) >= 0.35)
         .select("id_a", "id_b")
     )
     return D.cluster_survivors(d.select("doc_id"), pairs, "doc_id")
@@ -1326,18 +1330,15 @@ def text_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pair space bounded by the id filter; at scale the same verify runs on
     LSH candidates (dedup_minhash) instead of all pairs."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
-    sh = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(length(text) - 4, 0)),"
-                " i -> substring(text, i, 5))"
-            )
-        ).alias("grams"),
-    )
+    sh = d.select("doc_id", _char_shingles().alias("grams"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
-    cont = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size("ga")
+    # try_divide: an empty gram set (sub-width doc) otherwise throws
+    # DIVIDE_BY_ZERO under ANSI; NULL is filtered below, matching the
+    # oracle's NaN-compare filter.
+    cont = F.try_divide(
+        F.size(F.array_intersect("ga", "gb")).cast("double"), F.size("ga")
+    )
     return (
         a.join(b, F.col("id_a") != F.col("id_b"))
         .withColumn("cont_raw", cont)
@@ -1485,8 +1486,10 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
              / 1000000.0 AS norm_full,
            CAST(FLOOR(SQRT(sq_16) * 1000000.0 + 0.5) AS DOUBLE)
              / 1000000.0 AS norm_16,
-           CAST(FLOOR(sq_16 / sq_full * 1000000.0 + 0.5) AS DOUBLE)
-             / 1000000.0 AS energy_frac
+           CASE WHEN sq_full > 0 THEN
+             CAST(FLOOR(sq_16 / sq_full * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0
+           END AS energy_frac
     FROM e
     """,
 )
@@ -1516,7 +1519,7 @@ def emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         q6(F.sqrt(sq_full)).alias("norm_full"),
         q6(F.sqrt(sq_16)).alias("norm_16"),
-        q6(sq_16 / sq_full).alias("energy_frac"),
+        q6(F.try_divide(sq_16, F.when(sq_full > 0, sq_full))).alias("energy_frac"),
     )
 
 

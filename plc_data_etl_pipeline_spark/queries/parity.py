@@ -140,12 +140,18 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         std = pdf["value"].std(ddof=1)
         mean = pdf["value"].mean()
-        z = (pdf["value"] - mean) / std if std > 0 else pdf["value"] * 0.0
+        if std > 0:
+            z = ((pdf["value"] - mean) / std).round(4)
+        else:
+            # Constant group: z-score is undefined — NULL, matching the
+            # oracle's x/0.0 (nullable Float64 so Arrow emits nulls,
+            # not NaN).
+            z = pd.array([pd.NA] * len(pdf), dtype="Float64")
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "event_type": pdf["event_type"],
-                "zscore": z.round(4),
+                "zscore": z,
             }
         )
 

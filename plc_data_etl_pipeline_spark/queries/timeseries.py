@@ -216,16 +216,26 @@ from ._conv import dsum, sql_dsum  # noqa: E402
 @query(
     "ts_downsample_ohlc",
     oracle=f"""
+    WITH r AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS h, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+               ORDER BY ts, event_id) AS rno,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+               ORDER BY ts DESC, event_id DESC) AS rnc
+      FROM events
+    )
     SELECT event_type,
-           STRFTIME(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS hour,
            COUNT(*) AS n_events,
-           arg_min(value, ts) AS open,
+           MAX(CASE WHEN rno = 1 THEN value END) AS open,
            MAX(value) AS high,
            MIN(value) AS low,
-           arg_max(value, ts) AS close,
+           MAX(CASE WHEN rnc = 1 THEN value END) AS close,
            {sql_dsum('value', 'volume')}
-    FROM events
-    GROUP BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+    FROM r
+    GROUP BY event_type, h
     """,
 )
 def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,18 +243,22 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction (first/last/extreme per bucket) used to shrink raw 100 TB
     tick streams into per-bucket summaries. ``min_by``/``max_by`` pick
     open/close in ONE hash-aggregate pass (no row_number window, no
-    second shuffle); ts is unique within (event_type, hour) in the
-    fixtures, so the pick is deterministic. Volume follows the exact
+    second shuffle), ordered by a (ts, event_id) STRUCT so equal
+    timestamps break deterministically on both engines (the
+    adversarial minute-quantized fixture is full of them; the oracle
+    spells the same tiebreak as ranked windows — DuckDB's arg_min
+    can't take a composite key). Volume follows the exact
     scaled-integer sum convention (_conv.dsum)."""
     ev = load(spark, sf_dir, "events")
+    okey = F.struct("ts", "event_id")
     return (
         ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("__h"))
         .agg(
             F.count("*").alias("n_events"),
-            F.min_by("value", "ts").alias("open"),
+            F.min_by("value", okey).alias("open"),
             F.max("value").alias("high"),
             F.min("value").alias("low"),
-            F.max_by("value", "ts").alias("close"),
+            F.max_by("value", okey).alias("close"),
             dsum("value", "volume"),
         )
         .select(

@@ -1,0 +1,155 @@
+"""Adversarial-fixture sweep: every oracled query vs DuckDB on data
+built to break latent assumptions the driver fixtures never test —
+massive timestamp ties (minute-quantized events), a bot user holding
+~40% of the log, a constant-valued sensor stream (zero variance), exact
+duplicate documents, single-word documents, and a zero-norm embedding.
+
+The star-schema tables are copied from the sf0.001 fixtures (the
+relational queries keep their referential structure); only the three
+"free-form" tables are adversarial. Any query whose Spark/DuckDB twins
+disagree ONLY on this data has a tiebreak or degenerate-input bug the
+normal oracle sweep can't see.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import random
+import shutil
+
+import duckdb
+import pytest
+
+from plc_data_etl_pipeline_spark.catalog import TABLES
+from plc_data_etl_pipeline_spark.registry import all_queries
+
+from .conftest import SF_DIR
+from .oracle_compare import compare
+
+ADV_DIR = "/tmp/plc_etl_adversarial_sf"
+
+_STAR = (
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem"
+)
+
+
+def _flatten(path: str) -> None:
+    """Spark writes a directory; the fixtures (and DuckDB's view glob)
+    use single files — promote the lone part file."""
+    part = next(
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and f.startswith("part-")
+    )
+    tmp = path + ".file"
+    shutil.move(os.path.join(path, part), tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+
+
+def _build(spark) -> str:
+    if os.path.exists(os.path.join(ADV_DIR, "_READY")):
+        return ADV_DIR
+    shutil.rmtree(ADV_DIR, ignore_errors=True)
+    os.makedirs(ADV_DIR)
+    for t in _STAR:
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{ADV_DIR}/{t}.parquet")
+
+    rng = random.Random(1234)
+    base = datetime.datetime(2024, 1, 1)
+    ev_rows = []
+    types = ["view", "click", "purchase", "signup", "error"]
+    for i in range(5000):
+        # bot user 7 owns ~40% of events; 30 users total
+        user = 7 if rng.random() < 0.4 else rng.randrange(30)
+        # minute quantization => heavy equal-timestamp collisions
+        ts = base + datetime.timedelta(minutes=rng.randrange(0, 43200, 30))
+        etype = types[rng.randrange(5)]
+        # 'error' stream is CONSTANT (zero variance); rest 2-decimal
+        value = 100.0 if etype == "error" else round(rng.uniform(0, 500), 2)
+        ev_rows.append(
+            (i, ts, user, etype, value, json.dumps({"k": rng.randrange(99)}))
+        )
+    spark.createDataFrame(
+        ev_rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{ADV_DIR}/events.parquet")
+    _flatten(f"{ADV_DIR}/events.parquet")
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu the and of to is in").split()
+    doc_rows = []
+    for i in range(400):
+        if i % 3 == 1:
+            text = doc_rows[i - 1][1]  # exact duplicate of previous doc
+        elif i % 17 == 0:
+            text = words[i % len(words)]  # single-word document
+        else:
+            n = 5 + (i * 7) % 40
+            text = " ".join(
+                words[(i * 13 + j * 5) % len(words)] for j in range(n)
+            )
+        doc_rows.append(
+            (i, text, ("en", "de", "es")[i % 3], ("web", "wiki")[i % 2],
+             len(text))
+        )
+    spark.createDataFrame(
+        doc_rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{ADV_DIR}/documents.parquet"
+    )
+    _flatten(f"{ADV_DIR}/documents.parquet")
+
+    emb_rows = []
+    for i in range(200):
+        if i == 77:
+            vec = [0.0] * 64  # zero-norm vector
+        elif i % 10 == 3:
+            vec = [round((j % 7) * 0.25 - 0.75, 2) for j in range(64)]
+            # repeated identical vectors (exact-dup cluster)
+        else:
+            r = random.Random(i)
+            vec = [round(r.uniform(-1, 1), 3) for _ in range(64)]
+        emb_rows.append((i, vec, i % 10))
+    spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{ADV_DIR}/embeddings.parquet"
+    )
+    _flatten(f"{ADV_DIR}/embeddings.parquet")
+    open(os.path.join(ADV_DIR, "_READY"), "w").write("ok")
+    return ADV_DIR
+
+
+_QUERIES = all_queries()
+_ORACLED = sorted(n for n, d in _QUERIES.items() if d.oracle is not None)
+
+
+@pytest.mark.parametrize("name", _ORACLED)
+def test_adversarial_oracle(name, spark):
+    sf_dir = _build(spark)
+    qd = _QUERIES[name]
+    df = qd.fn(spark, sf_dir)
+    spark_rows = [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        rel = con.sql(qd.oracle)
+        problems = compare(
+            list(df.columns),
+            spark_rows,
+            [d[0] for d in rel.description],
+            rel.fetchall(),
+        )
+    finally:
+        con.close()
+    assert not problems, (
+        f"query {name!r} diverges on ADVERSARIAL data:\n" + "\n".join(problems)
+    )

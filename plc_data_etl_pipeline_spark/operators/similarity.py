@@ -73,6 +73,10 @@ def cosine_topk(
     """Exact top-k cosine neighbors for each query vector (``id <
     query_max_id``) against the whole corpus — Arrow scan path.
 
+    Degenerate rows (NULL or all-zero vectors) are excluded up front on
+    BOTH sides — cosine is undefined for them (NaN/NULL in every
+    engine), and a NULL vector would crash the Arrow np.stack.
+
     The bounded query set (Q rows; the classic ANN-benchmark shape) is
     collected once and closed over by a ``mapInPandas`` scorer, so the
     corpus is scanned ONCE with no join and no shuffle of vectors: Arrow
@@ -100,6 +104,8 @@ def cosine_topk(
     )
     qids = [r[id_col] for r in qrows]
     qmat = np.array([[float(x) for x in r[vec_col]] for r in qrows])
+
+    emb = valid_vectors(emb, vec_col)
 
     def _seq_norm(mat: np.ndarray) -> np.ndarray:
         acc = np.zeros(mat.shape[0])

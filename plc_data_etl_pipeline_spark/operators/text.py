@@ -513,9 +513,14 @@ def mixture_resample(
         frac_expr = F.when(dom == domain, int(round((w % 1) * 16))).otherwise(
             frac_expr
         )
-    n_copies = (
-        int_expr + (hash_bucket16(F.col(text_col)) < frac_expr).cast("int")
-    ).alias("n_copies")
+    # NULL content: the fractional coin flip needs a content hash, so a
+    # NULL text gets no fractional copy — but keeps its integer-epoch
+    # copies (a bare NULL comparison would null out n_copies and drop
+    # the row entirely; adversarial NULL fixture).
+    frac_hit = F.coalesce(
+        (hash_bucket16(F.col(text_col)) < frac_expr).cast("int"), F.lit(0)
+    )
+    n_copies = (int_expr + frac_hit).alias("n_copies")
     return (
         df.select(F.col(id_col), dom.alias(domain_col), n_copies)
         .filter(F.col("n_copies") > 0)

@@ -266,13 +266,17 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "source_text_lines",
     oracle="""
-    SELECT text AS value FROM documents
+    SELECT text AS value FROM documents WHERE text IS NOT NULL
     """,
 )
 def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain-text sink + line source (spark.read.text): one row per line.
-    Documents contain no newlines, so the roundtrip is the identity."""
-    d = load(spark, sf_dir, "documents")
+    Documents contain no newlines, so the roundtrip is the identity.
+    NULL rows are filtered BEFORE the write: a line-oriented format has
+    no NULL representation (Spark would write an empty line, silently
+    conflating NULL with ''), so the contract excludes them — matching
+    the oracle's IS NOT NULL."""
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     out = os.path.join(tempfile.gettempdir(), "plc_etl_text_roundtrip")
     d.select(F.col("text").alias("value")).write.mode("overwrite").text(out)
     return spark.read.text(out)

@@ -108,10 +108,17 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (adversarial-fixture-tested).
     """
     ev = load(spark, sf_dir, "events")
-    uid = F.col("user_id").cast("double")
+    # Pairwise-complete masking: corr is defined over rows where BOTH
+    # sides are non-null. covar_pop already pairwise-deletes, but a
+    # bare stddev_pop("value") would average over rows whose partner
+    # is NULL — masking each side on the other's null reproduces the
+    # native CORR semantics exactly (adversarial NULL fixture).
+    uid = F.when(
+        F.col("value").isNotNull(), F.col("user_id").cast("double")
+    )
+    val = F.when(F.col("user_id").isNotNull(), F.col("value"))
     corr = F.try_divide(
-        F.covar_pop(F.col("value"), uid),
-        F.stddev_pop("value") * F.stddev_pop(uid),
+        F.covar_pop(val, uid), F.stddev_pop(val) * F.stddev_pop(uid)
     )
     return ev.groupBy("event_type").agg(
         F.round(F.stddev_samp("value"), 4).alias("sd_value"),

@@ -79,8 +79,10 @@ def dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_incremental",
     oracle="""
-    WITH corpus AS (SELECT text FROM documents WHERE doc_id < 300),
-         batch  AS (SELECT * FROM documents WHERE doc_id >= 200),
+    WITH corpus AS (SELECT text FROM documents
+                    WHERE doc_id < 300 AND text IS NOT NULL),
+         batch  AS (SELECT * FROM documents
+                    WHERE doc_id >= 200 AND text IS NOT NULL),
          sur    AS (SELECT text, MIN(doc_id) AS keep_id FROM batch GROUP BY text)
     SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars
     FROM batch b
@@ -93,8 +95,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id>=200) is deduped against the already-ingested corpus
     (doc_id<300 — the overlap simulates re-crawled content) and itself,
     without rescanning corpus bodies: the corpus side ships only 32-byte
-    content digests (see operators/dedup.py:incremental_dedup)."""
-    d = load(spark, sf_dir, "documents")
+    content digests (see operators/dedup.py:incremental_dedup).
+    NULL-content rows are excluded on both sides — content dedup is
+    undefined for absent content (and SQL NULL equality would silently
+    keep every NULL row as 'new' forever)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return D.incremental_dedup(
         d.filter(F.col("doc_id") >= 200),
         d.filter(F.col("doc_id") < 300),
@@ -237,6 +242,9 @@ def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                          (a, b) -> a + b) AS cc
       FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
       WHERE q.vec_id < 20
+        AND q.embedding IS NOT NULL AND c.embedding IS NOT NULL
+        AND len(list_filter(q.embedding, x -> x <> 0)) > 0
+        AND len(list_filter(c.embedding, x -> x <> 0)) > 0
     ), scored AS (
       SELECT query_id, neighbor_id,
              dot / (SQRT(qq) * SQRT(cc)) AS sim,
@@ -434,11 +442,15 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scores is serialized to JSON: declared queries must not return
     # top-level array/map/binary columns (driver canonicalizer constraint;
     # tests/test_registry.py enforces it for every registered query).
+    nn = F.col("text").isNotNull()
+    # NULL text -> NULL prediction (not 'und': absent input is not an
+    # 'undetermined language' verdict), matching the generated SQL
+    # twin's NULL propagation.
     return d.select(
         "doc_id",
         "lang",
-        T.lang_id("text").alias("pred_lang"),
-        F.to_json(T.lang_scores("text")).alias("scores"),
+        F.when(nn, T.lang_id("text")).alias("pred_lang"),
+        F.when(nn, F.to_json(T.lang_scores("text"))).alias("scores"),
     )
 
 
@@ -1454,14 +1466,20 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 scalar (frames stay internal — no array/binary output columns)."""
     m = M.synthesize_media(load(spark, sf_dir, "documents"))
     fs = M.frame_sample(m, every_n_bytes=64)
+    # NULL payload -> NULL digest: concat_ws SKIPS nulls, so without the
+    # guard a NULL payload would silently digest to md5('') while the
+    # oracle's NULL slices propagate NULL (adversarial NULL fixture).
     return fs.select(
         "media_id",
         "format",
         "n_frames",
-        F.md5(
-            F.concat_ws(
-                "", F.transform("frames", lambda f: F.decode(f, "UTF-8"))
-            )
+        F.when(
+            F.col("n_frames").isNotNull(),
+            F.md5(
+                F.concat_ws(
+                    "", F.transform("frames", lambda f: F.decode(f, "UTF-8"))
+                )
+            ),
         ).alias("frame_digest"),
     )
 

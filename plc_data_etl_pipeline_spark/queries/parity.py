@@ -114,7 +114,14 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(DoubleType())
     def chars_per_token(text: pd.Series) -> pd.Series:
-        return text.str.len() / text.str.split(" ").map(len)
+        # Nullable Float64 end to end: float64 would turn NULL text
+        # into NaN (a VALUE to Arrow, not a null) and diverge from the
+        # oracle's NULL propagation.
+        lens = text.str.len().astype("Float64")
+        ntok = text.str.split(" ").map(
+            lambda v: len(v) if isinstance(v, list) else pd.NA
+        ).astype("Float64")
+        return lens / ntok
 
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", chars_per_token("text").alias("chars_per_token"))
@@ -254,8 +261,8 @@ def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_grouped_agg_trimmed",
     oracle="""
     SELECT event_type,
-           CAST(SUM(c) - MIN(c) - MAX(c) AS DOUBLE) / (COUNT(*) - 2)
-             AS trimmed_mean_cents
+           CAST(SUM(c) - MIN(c) - MAX(c) AS DOUBLE)
+             / NULLIF(COUNT(c) - 2, 0) AS trimmed_mean_cents
     FROM (SELECT event_type,
                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
           FROM events)
@@ -277,7 +284,12 @@ def udf_grouped_agg_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     def trimmed_mean_cents(value: pd.Series) -> float:
         import numpy as np
 
-        c = np.floor(value.to_numpy() * 100 + 0.5).astype("int64")
+        # dropna first: floor(NaN).astype(int64) is garbage, and SQL
+        # aggregates skip NULLs — COUNT(c), not COUNT(*), in the oracle.
+        v = value.dropna().to_numpy()
+        if len(v) <= 2:
+            return None
+        c = np.floor(v * 100 + 0.5).astype("int64")
         return float(int(c.sum() - c.min() - c.max()) / (len(c) - 2))
 
     ev = load(spark, sf_dir, "events")

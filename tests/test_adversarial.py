@@ -2,7 +2,9 @@
 built to break latent assumptions the driver fixtures never test —
 massive timestamp ties (minute-quantized events), a bot user holding
 ~40% of the log, a constant-valued sensor stream (zero variance), exact
-duplicate documents, single-word documents, and a zero-norm embedding.
+duplicate documents, single-word documents, a zero-norm embedding —
+and NULLs everywhere the driver fixtures have none (value, props,
+text, lang, whole embeddings).
 
 The star-schema tables are copied from the sf0.001 fixtures (the
 relational queries keep their referential structure); only the three
@@ -28,7 +30,7 @@ from plc_data_etl_pipeline_spark.registry import all_queries
 from .conftest import SF_DIR
 from .oracle_compare import compare
 
-ADV_DIR = "/tmp/plc_etl_adversarial_sf"
+ADV_DIR = "/tmp/plc_etl_adversarial_sf_v2"
 
 _STAR = (
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem"
@@ -68,9 +70,11 @@ def _build(spark) -> str:
         etype = types[rng.randrange(5)]
         # 'error' stream is CONSTANT (zero variance); rest 2-decimal
         value = 100.0 if etype == "error" else round(rng.uniform(0, 500), 2)
-        ev_rows.append(
-            (i, ts, user, etype, value, json.dumps({"k": rng.randrange(99)}))
-        )
+        if etype != "error" and rng.random() < 0.03:
+            value = None  # fixtures are null-free; reality is not
+        props = (None if rng.random() < 0.02
+                 else json.dumps({"k": rng.randrange(99)}))
+        ev_rows.append((i, ts, user, etype, value, props))
     spark.createDataFrame(
         ev_rows,
         "event_id long, ts timestamp, user_id long, event_type string,"
@@ -91,9 +95,12 @@ def _build(spark) -> str:
             text = " ".join(
                 words[(i * 13 + j * 5) % len(words)] for j in range(n)
             )
+        if i in (50, 151, 252):
+            text = None  # NULL documents
+        lang = None if i % 41 == 0 else ("en", "de", "es")[i % 3]
         doc_rows.append(
-            (i, text, ("en", "de", "es")[i % 3], ("web", "wiki")[i % 2],
-             len(text))
+            (i, text, lang, ("web", "wiki")[i % 2],
+             len(text) if text is not None else 0)
         )
     spark.createDataFrame(
         doc_rows,
@@ -105,7 +112,9 @@ def _build(spark) -> str:
 
     emb_rows = []
     for i in range(200):
-        if i == 77:
+        if i in (33, 149):
+            vec = None  # NULL embedding rows
+        elif i == 77:
             vec = [0.0] * 64  # zero-norm vector
         elif i % 10 == 3:
             vec = [round((j % 7) * 0.25 - 0.75, 2) for j in range(64)]

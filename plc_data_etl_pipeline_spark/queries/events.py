@@ -64,9 +64,11 @@ from ..registry import query
            CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click,
            CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase,
            CAST((SELECT COUNT(*) FROM s2) * 10000
-                // (SELECT COUNT(*) FROM s1) AS BIGINT) AS conv_click_bp,
+                // NULLIF((SELECT COUNT(*) FROM s1), 0)
+                AS BIGINT) AS conv_click_bp,
            CAST((SELECT COUNT(*) FROM s3) * 10000
-                // (SELECT COUNT(*) FROM s1) AS BIGINT) AS conv_purchase_bp
+                // NULLIF((SELECT COUNT(*) FROM s1), 0)
+                AS BIGINT) AS conv_purchase_bp
     """,
 )
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,8 +97,14 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_view",
         "n_click",
         "n_purchase",
-        F.expr("n_click * 10000 div n_view").alias("conv_click_bp"),
-        F.expr("n_purchase * 10000 div n_view").alias("conv_purchase_bp"),
+        # NULLIF: a corpus with zero step-1 events otherwise crashes
+        # the ANSI integer division on BOTH engines.
+        F.expr("n_click * 10000 div nullif(n_view, 0)").alias(
+            "conv_click_bp"
+        ),
+        F.expr("n_purchase * 10000 div nullif(n_view, 0)").alias(
+            "conv_purchase_bp"
+        ),
     )
 
 

@@ -243,16 +243,23 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     compaction (first/last/extreme per bucket) used to shrink raw 100 TB
     tick streams into per-bucket summaries. ``min_by``/``max_by`` pick
     open/close in ONE hash-aggregate pass (no row_number window, no
-    second shuffle), ordered by a (ts, event_id) STRUCT so equal
-    timestamps break deterministically on both engines (the
-    adversarial minute-quantized fixture is full of them; the oracle
-    spells the same tiebreak as ranked windows — DuckDB's arg_min
-    can't take a composite key). Volume follows the exact
-    scaled-integer sum convention (_conv.dsum)."""
+    second shuffle), ordered by (micros-within-hour << 31 | event_id)
+    packed into one BIGINT: equal timestamps break deterministically on
+    both engines (the adversarial minute-quantized fixture is full of
+    them; the oracle spells the same tiebreak as ranked windows since
+    DuckDB's arg_min takes no composite key), and the scalar key keeps
+    the aggregate HASH-based — a STRUCT key silently degrades to
+    SortAggregate (plan-locked in test_plans). Envelope: event_id <
+    2^31 (same documented-packing pattern as join_asof's 2^43 keys).
+    Volume follows the exact scaled-integer sum convention."""
     ev = load(spark, sf_dir, "events")
-    okey = F.struct("ts", "event_id")
+    hour = F.date_trunc("hour", F.col("ts"))
+    okey = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(hour.cast("timestamp"))
+    ) * F.lit(1 << 31) + F.col("event_id")
     return (
-        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("__h"))
+        ev.groupBy("event_type", hour.alias("__h"))
         .agg(
             F.count("*").alias("n_events"),
             F.min_by("value", okey).alias("open"),

@@ -97,6 +97,9 @@ def cosine_topk(
 
     # Bounded by construction (Q = query_max_id rows), like the IVF
     # centroid sample: the corpus side stays fully distributed.
+    emb = valid_vectors(emb, vec_col)  # BEFORE the query collect too:
+    # a NULL query vector would TypeError in qmat construction, and a
+    # zero-norm query would rank NaN-first garbage rows.
     qrows = (
         emb.filter(F.col(id_col) < query_max_id)
         .select(id_col, vec_col)
@@ -104,8 +107,6 @@ def cosine_topk(
     )
     qids = [r[id_col] for r in qrows]
     qmat = np.array([[float(x) for x in r[vec_col]] for r in qrows])
-
-    emb = valid_vectors(emb, vec_col)
 
     def _seq_norm(mat: np.ndarray) -> np.ndarray:
         acc = np.zeros(mat.shape[0])
@@ -167,6 +168,8 @@ def cosine_topk_fold(
     (query, corpus-partition) — Spark pushes a group-limit below the
     shuffle since 3.5.
     """
+    emb = valid_vectors(emb, vec_col)  # same degenerate-row contract
+    # as the Arrow twin — tests assert the two paths stay bit-identical.
     # Norms are precomputed per side (NOT per pair): the pair join then
     # evaluates one dot product instead of three — at Q queries x N corpus
     # vectors this is the difference between QN and 3QN decimal folds.
@@ -185,7 +188,10 @@ def cosine_topk_fold(
         .join(c, F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_sim",
-            dot_fold(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+            F.try_divide(
+                dot_fold(F.col("qvec"), F.col("cvec")),
+                F.col("qnorm") * F.col("cnorm"),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -269,7 +275,10 @@ def lsh_ann_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_sim",
-            dot_fold(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+            F.try_divide(
+                dot_fold(F.col("qvec"), F.col("cvec")),
+                F.col("qnorm") * F.col("cnorm"),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -456,7 +465,10 @@ def ivf_ann_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_sim",
-            dot_fold(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+            F.try_divide(
+                dot_fold(F.col("qvec"), F.col("cvec")),
+                F.col("qnorm") * F.col("cnorm"),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

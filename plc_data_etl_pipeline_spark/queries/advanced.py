@@ -577,7 +577,8 @@ def source_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                 AS BIGINT) AS total_cents
-    FROM orders GROUP BY o_orderpriority
+    FROM orders WHERE o_totalprice IS NOT NULL
+    GROUP BY o_orderpriority
     """,
 )
 def ps_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,15 +597,20 @@ def ps_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pyspark.pandas as ps
 
         psdf = ps.DataFrame(
-            load(spark, sf_dir, "orders").select(
+            load(spark, sf_dir, "orders")
+            .where(F.col("o_totalprice").isNotNull())
+            .select(
                 "o_orderpriority",
                 F.floor(F.col("o_totalprice") * 100 + 0.5)
                 .cast("long")
                 .alias("cents"),
             )
         )
+        # dropna=False: pandas' default silently drops NULL group keys,
+        # unlike SQL GROUP BY; the measure-null contract is handled by
+        # the shared o_totalprice IS NOT NULL filter instead.
         out = (
-            psdf.groupby("o_orderpriority")
+            psdf.groupby("o_orderpriority", dropna=False)
             .agg(n_orders=("cents", "count"), total_cents=("cents", "sum"))
             .reset_index()
         )

@@ -1537,7 +1537,7 @@ def emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         q6(F.sqrt(sq_full)).alias("norm_full"),
         q6(F.sqrt(sq_16)).alias("norm_16"),
-        q6(F.try_divide(sq_16, F.when(sq_full > 0, sq_full))).alias("energy_frac"),
+        q6(F.try_divide(sq_16, sq_full)).alias("energy_frac"),
     )
 
 

@@ -261,8 +261,9 @@ def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_grouped_agg_trimmed",
     oracle="""
     SELECT event_type,
-           CAST(SUM(c) - MIN(c) - MAX(c) AS DOUBLE)
-             / NULLIF(COUNT(c) - 2, 0) AS trimmed_mean_cents
+           CASE WHEN COUNT(c) > 2 THEN
+             CAST(SUM(c) - MIN(c) - MAX(c) AS DOUBLE) / (COUNT(c) - 2)
+           END AS trimmed_mean_cents
     FROM (SELECT event_type,
                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
           FROM events)
@@ -933,6 +934,7 @@ def plc_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM documents i WHERE i.source = d.source)
                  THEN 1 ELSE 0 END) AS BIGINT) AS n_above_mean
     FROM documents d
+    WHERE source IS NOT NULL
     GROUP BY source
     """,
 )
@@ -970,7 +972,14 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    d = load(spark, sf_dir, "documents").select("source", "n_chars")
+    # NULL source excluded on both sides: the oracle's correlated
+    # equality can never match a NULL group, while Spark's groupBy
+    # would keep it with a real mean.
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull())
+        .select("source", "n_chars")
+    )
     return d.groupBy("source").applyInArrow(
         per_group, "source string, n_docs bigint, n_above_mean bigint"
     )

@@ -634,3 +634,50 @@ def bpe_train(
         if (i + 1) % checkpoint_every == 0:
             syms = syms.localCheckpoint(eager=False)
     return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge list (``bpe_train`` output) to encode
+    each document — the SERVE side of the tokenizer loop. The merge
+    table is driver-held and bounded (it IS the vocabulary artifact);
+    encoding runs as one Arrow-batched pandas UDF applying the classic
+    greedy merge loop per word. Adds ``n_bpe_tokens`` (token count
+    after merging, '</w>' markers folded into their words) beside the
+    input columns. NULL text encodes to NULL.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str) -> int:
+        syms = list(word) + ["</w>"]
+        while len(syms) >= 2:
+            best, best_rank = None, None
+            for j in range(len(syms) - 1):
+                r = ranks.get((syms[j], syms[j + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = j, r
+            if best is None:
+                break
+            syms[best : best + 2] = [syms[best] + syms[best + 1]]
+        return len(syms)
+
+    @pandas_udf("long")
+    def count_tokens(text):
+        out = []
+        for t in text:
+            if t is None:
+                out.append(None)
+                continue
+            total = 0
+            for w in t.lower().split():
+                total += encode_word(w)
+            out.append(total)
+        return pd.Series(out, dtype="Int64")
+
+    return docs.withColumn("n_bpe_tokens", count_tokens(F.col(text_col)))

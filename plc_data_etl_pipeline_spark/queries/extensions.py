@@ -1772,3 +1772,25 @@ def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(-1, kept)], "sz int, n_clusters bigint"
     )  # sz=-1 row carries the kept-media total
     return hist.unionByName(summary)
+
+
+@query("text_bpe_encode", oracle=None)  # learned-merge application — closed-form pytest
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVE side of the tokenizer loop: train 10 BPE merges on the
+    corpus (text_bpe_train), then encode every document with them and
+    report per-source token statistics — the tokens-per-doc accounting
+    a training-data pipeline bills by. The merge table is the bounded
+    driver-held artifact; encoding is one Arrow-batched pass. Exact
+    greedy-merge behavior (including OOV fallback and NULL text) is
+    pytest-locked on the classic corpus."""
+    from ..operators.text import bpe_encode, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=10)
+    enc = bpe_encode(docs, merges)
+    return enc.groupBy("source").agg(
+        F.count("n_bpe_tokens").alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("total_tokens"),
+        F.min("n_bpe_tokens").alias("min_tokens"),
+        F.max("n_bpe_tokens").alias("max_tokens"),
+    )

@@ -797,3 +797,33 @@ def test_ivf_indexed_matches_in_memory(spark, tmp_path):
         served.explain("formatted")
     p = buf.getvalue()
     assert "PartitionFilters" in p and "cell" in p.split("PartitionFilters")[1].split("\n")[0]
+
+
+def test_bpe_encode_applies_learned_merges(spark):
+    """Train on the classic corpus, then encode: 'lowest' must tokenize
+    as [low, est</w>] (2 tokens) under the learned merges, while an
+    out-of-vocabulary word falls back to characters + </w>."""
+    from plc_data_etl_pipeline_spark.operators.text import bpe_encode, bpe_train
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    merges = bpe_train(docs, "text", n_merges=5)
+    probe = spark.createDataFrame(
+        [(1, "lowest"), (2, "xyz"), (3, None), (4, "low low")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_encode(probe, merges).collect()
+    }
+    # lowest -> l o w e s t </w> -> (e,s)->es -> (es,t)->est ->
+    # (est,</w>)->est</w> -> (l,o)->lo -> (lo,w)->low => [low, est</w>]
+    assert got[1] == 2
+    # xyz: no merges apply -> x y z </w> = 4 symbols
+    assert got[2] == 4
+    assert got[3] is None
+    # 'low' learned fully except the final (low,</w>) merge (rank 6+):
+    # low -> [low, </w>] = 2 tokens, twice
+    assert got[4] == 4

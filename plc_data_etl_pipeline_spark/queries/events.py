@@ -759,3 +759,60 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("orders.o_orderkey unique", int(dup_surplus)),
     ]
     return spark.createDataFrame(rows, "check_name string, n_violations bigint")
+
+
+@query(
+    "dq_anomaly_seasonal",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+             CAST(floor(value * 100 + 0.5) AS HUGEINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ), cell AS (
+      SELECT event_type, hod, COUNT(*) AS n,
+             SUM(y) AS s1, SUM(y * y) AS s2
+      FROM pts GROUP BY event_type, hod
+    )
+    SELECT p.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN c.n >= 2
+                         AND (p.y * c.n - c.s1) * (p.y * c.n - c.s1)
+                             > 9 * (c.n * c.s2 - c.s1 * c.s1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM pts p JOIN cell c
+      ON p.event_type = c.event_type AND p.hod = c.hod
+    GROUP BY p.event_type
+    """,
+)
+def dq_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection — the analytic the reference
+    pipeline exists to feed (sensor readings -> 'is this reading
+    abnormal for this sensor at this time of day?'). Each event is
+    tested against its (event_type, hour-of-day) cell's 3-sigma gate in
+    PURE INTEGER algebra — (y·n − s1)² > 9(n·s2 − s1²), the same
+    square-both-sides trick as dq_rolling_outliers: no sqrt, no
+    division, bit-exact under any aggregation order (HUGEINT oracle /
+    DECIMAL-widened engine sums; the squares exceed BIGINT at cell
+    populations past ~1e5 rows, hence the widening). Plan: one
+    partial-agg pass builds the 5×24-cell profile, the join back
+    broadcasts it, and the verdict rollup is co-partitioned — events
+    scan twice, shuffle fractions of a KB."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pts = ev.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.floor(F.col("value") * 100 + 0.5).cast("decimal(38,0)").alias("y"),
+    )
+    cell = pts.groupBy("event_type", "hod").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("y").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+    )
+    j = pts.join(F.broadcast(cell), ["event_type", "hod"])
+    dev = F.col("y") * F.col("n") - F.col("s1")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    is_anom = (F.col("n") >= 2) & (dev * dev > 9 * var_n2)
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(is_anom.cast("int")).cast("bigint").alias("n_anomalies"),
+    )

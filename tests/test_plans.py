@@ -85,6 +85,8 @@ def test_no_python_udf_in_relational_paths(spark):
         #   numpy matmul/batch beats m*n_codes interpreted HOF folds)
         "sql_registered_udf",  # the POINT of the query: a pandas UDF
         #   registered into the SQL catalog and dispatched from SQL text
+        "text_bpe_encode",  # greedy merge application is inherently
+        #   sequential per word — deliberate Arrow-batched Python
     }
     for name in _Q:
         if name in python_ok:

@@ -62,10 +62,17 @@ def _already_checked() -> set[str]:
 
 
 def _ordered(mapping: dict) -> dict:
+    """Never-driver-checked queries first; within each half, oracled
+    queries before rows-only ones (rows-only names can never earn a
+    hash-green, so driver-sample slots should land on oracled queries
+    first). Stable within each rank: registry order."""
     checked = _already_checked()
-    head = {n: v for n, v in mapping.items() if n not in checked}
-    head.update({n: v for n, v in mapping.items() if n not in head})
-    return head
+    oracled = set(oracle_queries())
+    names = sorted(
+        mapping,
+        key=lambda n: (n in checked, n not in oracled),
+    )
+    return {n: mapping[n] for n in names}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

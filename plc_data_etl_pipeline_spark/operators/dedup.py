@@ -595,9 +595,24 @@ def minhash_ml_pairs(
     reps = g.select(F.element_at("ids", 1).alias(id_col), F.col(text_col))
 
     toks = F.split(F.col(text_col), " ")
+    # Expression-level degenerate guard, NOT just the row filters above:
+    # approxSimilarityJoin's posexplode infers an isnotnull(hashes)
+    # constraint that filter-pushdown rewrites as isnotnull(UDF(UDF(
+    # shingles_expr))) and sinks BELOW the eligibility filter (shingles
+    # depend only on the grouping key, so the substitution is legal) —
+    # the ML UDFs then speculatively evaluate on NULL/short texts and
+    # crash (HashingTF NPE on NULL, MinHash "at least 1 non zero entry"
+    # on an empty shingle set). Guarded rows still never pass the real
+    # filters, so results are unchanged; the placeholder only makes the
+    # speculative evaluation total.
+    guarded = F.when(
+        F.col(text_col).isNotNull()
+        & (F.size(toks) >= F.lit(shingle_n)),
+        F.array_distinct(word_shingles(toks, shingle_n)),
+    ).otherwise(F.array(F.lit("")))
     sh = reps.select(
         F.col(id_col),
-        F.array_distinct(word_shingles(toks, shingle_n)).alias("shingles"),
+        guarded.alias("shingles"),
     ).filter(F.size("shingles") > 0)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(sh)

@@ -87,6 +87,7 @@ def power_iteration_pcs(
     deflated against found components (no RNG), and each component's
     sign is normalized so its largest-magnitude entry is positive.
     """
+    emb = emb.filter(F.col(vec_col).isNotNull())
     first = emb.select(F.size(vec_col).alias("d")).first()
     if first is None:
         raise ValueError("empty embedding frame")
@@ -173,6 +174,10 @@ def gram_pcs(
     import numpy as np
     import pandas as pd
 
+    # NULL embeddings would crash np.stack inside the Arrow batch (the
+    # same failure cosine_topk guards with valid_vectors); drop them at
+    # the frame level so the pushed filter also prunes the scan.
+    emb = emb.filter(F.col(vec_col).isNotNull())
     first = emb.select(F.size(vec_col).alias("d")).first()
     if first is None:
         raise ValueError("empty embedding frame")
@@ -182,7 +187,11 @@ def gram_pcs(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mat = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+            vals = pdf.iloc[:, 0]
+            vals = vals[vals.notna()]
+            if len(vals) == 0:
+                continue
+            mat = np.stack(vals.to_numpy()).astype(np.float64)
             g = mat.T @ mat  # dim x dim local Gram
             s = mat.sum(axis=0)  # per-dim sums for centering
             iu = np.triu_indices(dim)
@@ -258,7 +267,12 @@ def whiten(
     k = len(comps)
     if mean is None:
         mean = [0.0] * len(comps[0])
-    scales = [1.0 / max(eps, (eigs[i] / max(n_rows, 1)) ** 0.5) for i in range(k)]
+    # Clamp eigenvalues at 0 before the sqrt: eigh on rank-deficient data
+    # can return -1e-15, whose fractional power is complex in Python.
+    scales = [
+        1.0 / max(eps, (max(eigs[i], 0.0) / max(n_rows, 1)) ** 0.5)
+        for i in range(k)
+    ]
     centered = F.zip_with(
         F.col(vec_col).cast("array<double>"),
         _lit_vec(mean),

@@ -498,6 +498,7 @@ def _pq_codebooks(
     IVF). Returns m codebooks of n_codes centroids of dim/m floats."""
     sample = (
         emb.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
         .sample(fraction=1.0, seed=42)
         .limit(max(n_codes * 32, 256))
         .collect()
@@ -598,6 +599,9 @@ def pq_ann_topk(
     (TPAMI 2011).
     """
     d_sub = dim // m
+    # NULL embeddings can't be coded, scored, or re-ranked (the same
+    # contract as cosine_topk); drop them before every pass.
+    emb = emb.filter(F.col(vec_col).isNotNull())
     books = _pq_codebooks(emb, m, n_codes, dim, vec_col)
     encode = pq_encode_arrow(books, m, d_sub)
     # The PQ *index*: ids + m byte-sized codes only (the 32x-compressed
@@ -658,8 +662,10 @@ def pq_ann_topk(
         candidates.join(raw, "neighbor_id")
         .withColumn(
             "cosine_sim",
-            dot_fold(F.col("qvec"), F.col("cvec"))
-            / (F.col("qnorm") * norm_fold(F.col("cvec"))),
+            F.try_divide(
+                dot_fold(F.col("qvec"), F.col("cvec")),
+                F.col("qnorm") * norm_fold(F.col("cvec")),
+            ),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -766,7 +772,7 @@ def build_ivf_index(
         [(i, list(map(float, c))) for i, c in enumerate(cents)],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    emb.select(
+    valid_vectors(emb, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm_fold(F.col(vec_col)).alias("cnorm"),
@@ -817,8 +823,10 @@ def ivf_ann_topk_indexed(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_sim",
-            dot_fold(F.col("qvec"), F.col("cvec"))
-            / (F.col("qnorm") * F.col("cnorm")),
+            F.try_divide(
+                dot_fold(F.col("qvec"), F.col("cvec")),
+                F.col("qnorm") * F.col("cnorm"),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

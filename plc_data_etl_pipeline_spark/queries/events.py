@@ -519,6 +519,7 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
       FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
     ), s AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
@@ -551,6 +552,10 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 2^63 holds through ~1e14 rows at this x/y scale; past that,
     widen the two output casts to DECIMAL(38,0)."""
     ev = load(spark, sf_dir, "events")
+    # OLS is defined on complete (x, y) pairs: a NULL ts or value row
+    # must drop from EVERY sum (n, sx, sy, sxy, sxx) together, else the
+    # slope mixes an all-rows count with pairwise-deleted sums.
+    ev = ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
     pts = ev.select(
         "event_type",
         F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))

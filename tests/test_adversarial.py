@@ -135,6 +135,7 @@ def _build(spark) -> str:
 
 _QUERIES = all_queries()
 _ORACLED = sorted(n for n, d in _QUERIES.items() if d.oracle is not None)
+_ROWS_ONLY = sorted(n for n, d in _QUERIES.items() if d.oracle is None)
 
 
 @pytest.mark.parametrize("name", _ORACLED)
@@ -162,3 +163,15 @@ def test_adversarial_oracle(name, spark):
     assert not problems, (
         f"query {name!r} diverges on ADVERSARIAL data:\n" + "\n".join(problems)
     )
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_adversarial_rows_only(name, spark):
+    """Rows-only (oracle=None) queries must still EXECUTE on the
+    adversarial fixture (NULL embeddings, NULL text, ties, zero
+    vectors) — this is the sweep that would have caught the
+    NULL-vector crash in gram_pcs before the advisor did."""
+    sf_dir = _build(spark)
+    df = _QUERIES[name].fn(spark, sf_dir)
+    rows = df.collect()
+    assert rows is not None  # executed without raising; row count may be 0

@@ -757,14 +757,26 @@ def test_bpe_train_classic_corpus(spark):
         ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
     )
     docs = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
-    merges = bpe_train(docs, "text", n_merges=5)
-    assert merges == [
+    expected = [
         ("e", "s"),
         ("es", "t"),
         ("est", "</w>"),
         ("l", "o"),
         ("lo", "w"),
     ]
+    # Default path: vocabulary fits -> driver fold, and the whole train
+    # is a bounded number of Spark jobs regardless of n_merges.
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe-fold", "bpe driver-fold job count")
+    merges = bpe_train(docs, "text", n_merges=5)
+    sc.setJobGroup("", "")
+    assert merges == expected
+    fold_jobs = len(sc.statusTracker().getJobIdsForGroup("bpe-fold"))
+    assert 1 <= fold_jobs <= 2, fold_jobs  # one collect (+schema probe)
+    # Oversized-vocab fallback: the distributed loop must learn the
+    # IDENTICAL sequence (max_driver_words=0 forces it).
+    dist = bpe_train(docs, "text", n_merges=5, max_driver_words=0)
+    assert dist == expected
 
 
 def test_ivf_indexed_matches_in_memory(spark, tmp_path):
@@ -797,6 +809,29 @@ def test_ivf_indexed_matches_in_memory(spark, tmp_path):
         served.explain("formatted")
     p = buf.getvalue()
     assert "PartitionFilters" in p and "cell" in p.split("PartitionFilters")[1].split("\n")[0]
+
+
+def test_bpe_driver_fold_matches_distributed_on_random_corpus(spark):
+    """Path equivalence on a messier corpus (repeats, rare words,
+    punctuation-ish symbols, many ties): 30 merges, both paths must
+    produce the identical ordered merge list."""
+    import random
+
+    from plc_data_etl_pipeline_spark.operators.text import bpe_train
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "bet", "able", "baker", "zz!", "a-b", "ab"]
+    texts = [
+        " ".join(rng.choices(vocab, weights=[8, 5, 5, 3, 2, 1, 1, 4], k=40))
+        for _ in range(20)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    fold = bpe_train(docs, "text", n_merges=30)
+    dist = bpe_train(docs, "text", n_merges=30, max_driver_words=0)
+    # This corpus exhausts at 25 merges — BOTH paths must stop there.
+    assert fold == dist and len(fold) == 25
 
 
 def test_bpe_encode_applies_learned_merges(spark):

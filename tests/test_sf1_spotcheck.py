@@ -1,0 +1,80 @@
+"""Oracle spot-checks at sf1 (10x key-offset replica of sf0.1, built by
+scripts/make_sf1.py): correctness is not just an sf0.01 property — the
+exact-integer determinism conventions and the two-level aggregation
+rewrites must hold at 6M lineitem / 1M events too (overflow envelopes,
+regrouped-sum associativity, NULL-group handling at volume).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from plc_data_etl_pipeline_spark.registry import all_queries
+
+from .oracle_compare import compare
+
+SF1_DIR = "/tmp/sf1"
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# One per family that has a distinct failure mode at volume: the
+# two-level flagship (regrouped integer sums), the Q1 pricing summary
+# (scaled-integer envelope), a fact-fact join (key-offset FK integrity),
+# a window frame (per-partition ordering), and exact dedup (the 90%-dup
+# replica corpus collapses 10:1).
+SPOT = [
+    "sensor_rollup_daily",
+    "agg_basic",
+    "join_inner",
+    "win_moving_avg",
+    "dedup_exact",
+]
+
+
+@pytest.fixture(scope="module")
+def sf1_dir():
+    if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")):
+        from scripts.make_sf1 import make
+
+        make("/root/testdata/sf0.1", SF1_DIR, 10)
+    return SF1_DIR
+
+
+@pytest.mark.parametrize("name", SPOT)
+def test_sf1_oracle(name, spark, sf1_dir):
+    qd = all_queries()[name]
+    sdf = qd.fn(spark, sf1_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf1_dir}/{t}.parquet')"
+            )
+        rel = con.sql(qd.oracle)
+        problems = compare(
+            list(sdf.columns),
+            srows,
+            [d[0] for d in rel.description],
+            rel.fetchall(),
+        )
+    finally:
+        con.close()
+    assert not problems, (
+        f"query {name!r} diverges at sf1:\n" + "\n".join(problems)
+    )

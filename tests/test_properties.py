@@ -313,3 +313,95 @@ def test_sliding_distinct_bitmap_matches_brute_force(spark, rows):
         active = {u for u, dd in rows if d - 6 <= dd <= d}
         want.add((base + datetime.timedelta(days=d), len(active)))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer analytics vs DuckDB on randomized event frames
+# (VERDICT r2 item 7: these are hand-derived algebraic rewrites where a
+# fixed fixture can hide an overflow or NULL edge; hypothesis shakes the
+# frame shape — ties, NULL value/ts, constant cells, single-row groups.)
+# ---------------------------------------------------------------------------
+
+EVENT_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),            # user_id
+        st.integers(min_value=0, max_value=2),            # day offset
+        st.integers(min_value=0, max_value=4),            # hour
+        st.sampled_from(["click", "error", "view"]),      # event_type
+        st.one_of(                                        # value cents
+            st.none(), st.integers(min_value=-5000, max_value=5000)
+        ),
+        st.booleans(),                                    # ts present?
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+def _write_events(tmpdir, rows):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts, uid, etype, val = [], [], [], []
+    for i, (u, d, h, e, cents, has_ts) in enumerate(rows):
+        ts.append(
+            datetime.datetime(2024, 1, 1 + d, h, i % 60) if has_ts else None
+        )
+        uid.append(u)
+        etype.append(e)
+        val.append(None if cents is None else cents / 100.0)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(etype, pa.string()),
+            "value": pa.array(val, pa.float64()),
+            "props": pa.array([None] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/events.parquet")
+    return str(tmpdir)
+
+
+def _check_events_query(spark, tmp_path_factory, rows, name):
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    sf_dir = _write_events(tmp_path_factory.mktemp("prop_events"), rows)
+    qd = all_queries()[name]
+    sdf = qd.fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/events.parquet')"
+        )
+        rel = con.sql(qd.oracle)
+        problems = compare(
+            list(sdf.columns), srows, [d[0] for d in rel.description],
+            rel.fetchall(),
+        )
+    finally:
+        con.close()
+    assert not problems, f"{name} diverges:\n" + "\n".join(problems)
+
+
+@given(rows=EVENT_ROWS)
+@_SETTINGS
+def test_regression_trend_property(spark, tmp_path_factory, rows):
+    _check_events_query(spark, tmp_path_factory, rows, "agg_regression_trend")
+
+
+@given(rows=EVENT_ROWS)
+@_SETTINGS
+def test_anomaly_seasonal_property(spark, tmp_path_factory, rows):
+    _check_events_query(spark, tmp_path_factory, rows, "dq_anomaly_seasonal")
+
+
+@given(rows=EVENT_ROWS)
+@_SETTINGS
+def test_interp_linear_property(spark, tmp_path_factory, rows):
+    _check_events_query(spark, tmp_path_factory, rows, "ts_interp_linear")

@@ -500,3 +500,94 @@ def test_plc_end_to_end_conservation(spark):
         "temperature", "pressure", "vibration"
     }
     assert all(0.0 <= r["avg_reading"] <= 100.0 for r in rows)
+
+
+def test_socket_transport_avro_pipeline_end_to_end(spark, tmp_path):
+    """R5/R8's closest EXECUTABLE form in this environment: the broker
+    socket itself cannot exist here (0 kafka jars — re-verified every
+    round), but the wire path is real TCP via Spark's built-in socket
+    source. A producer thread streams base64(Avro-framed record) lines
+    — including one corrupt payload and one wrong-schema-id record —
+    over a live socket; the streaming query decodes with the production
+    codec, dead-letters the undecodables, and appends good rows. Every
+    good record must round-trip byte-exactly (double bit patterns
+    included) and both poison pills must land in the dead letter, so
+    the full produce->transport->decode->sink chain is executed, not
+    just its option surface."""
+    import base64
+    import socket
+    import threading
+
+    n_good = 200
+    records = [
+        (f"m{i % 8}", ("temperature", "pressure")[i % 2], i * 0.5 + 0.25,
+         1_700_000_000.0 + i)
+        for i in range(n_good)
+    ]
+    lines = [
+        base64.b64encode(A.encode_record(*r)) + b"\n" for r in records
+    ]
+    # poison pills: corrupt bytes + a valid record under a WRONG schema id
+    lines.insert(50, base64.b64encode(b"\x00garbage-not-avro") + b"\n")
+    wrong_id = A.encode_record("mX", "temperature", 1.0, 1.0,
+                               schema_id=A.SCHEMA_ID + 7)
+    lines.insert(100, base64.b64encode(wrong_id) + b"\n")
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            conn.sendall(b"".join(lines))
+            stop.wait(30)  # hold the connection until the query is done
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+    )
+    decoded = raw.select(
+        A.avro_decode(F.unbase64(F.col("value"))).alias("d")
+    ).select("d.*")
+    out = str(tmp_path / "good")
+    dead = str(tmp_path / "dead")
+    q = K.start_micro_batch_sink(
+        decoded,
+        out,
+        str(tmp_path / "ckpt"),
+        mode="append",
+        trigger_seconds=0.5,
+        dead_letter_path=dead,
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            done = os.path.exists(out) and (
+                spark.read.parquet(out).count() >= n_good
+            )
+            if done:
+                break
+            time.sleep(0.5)
+    finally:
+        stop.set()
+        q.stop()
+        server.close()
+
+    good = spark.read.parquet(out)
+    got = sorted(
+        (r["machine_id"], r["sensor"], r["reading"], r["t_stamp"])
+        for r in good.collect()
+    )
+    assert got == sorted(records)  # byte-exact round trip over the wire
+    dead_rows = spark.read.parquet(dead).count()
+    assert dead_rows == 2  # corrupt payload + wrong-schema-id record

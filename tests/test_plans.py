@@ -601,3 +601,17 @@ def test_bitmap_intersect_reuses_sketch_exchange(spark):
     events must be scanned at most once (InMemoryTableScan afterwards)."""
     p = plan(spark, "agg_bitmap_intersect")
     assert "bitmap_construct_agg" in p or "InMemoryTableScan" in p
+
+
+def test_flagship_two_level_agg_shape(spark):
+    """sensor_rollup_daily's rewrite contract: NO Expand node (the
+    countDistinct form doubles the input stream before the exchange)
+    and exactly two hash-aggregate levels with partial aggregation —
+    shuffle 1 carries pre-combined per-user-day rows, shuffle 2 folds
+    them into day rows. A regression back to countDistinct (or to a
+    SortAggregate via a non-packable ordering key) fails here."""
+    p = plan(spark, "sensor_rollup_daily", mode="simple")
+    assert "Expand" not in p, "countDistinct Expand reappeared"
+    assert p.count("Exchange") == 2, p
+    assert "SortAggregate" not in p, "two-level agg degraded to sort-agg"
+    assert p.count("HashAggregate") == 4  # partial+final at both levels

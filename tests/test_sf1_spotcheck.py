@@ -42,6 +42,12 @@ SPOT = [
     "join_inner",
     "win_moving_avg",
     "dedup_exact",
+    # round-3 additions: the exact-integer algebraic rewrites whose
+    # overflow envelopes are row-count-dependent, and a gaps-and-islands
+    # window over the 10x event stream.
+    "agg_regression_trend",
+    "dq_anomaly_seasonal",
+    "win_islands_consecutive",
 ]
 
 

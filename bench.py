@@ -187,6 +187,40 @@ def main() -> None:
 
     total = round(sum(warm.values()), 3)
 
+    # The per-statement floor, measured not asserted: the SAME noop-save
+    # harness around (a) a 1-row no-stage plan and (b) a one-stage cached
+    # scan-agg. Every headline "warm" number above includes this
+    # data-size-independent constant (Catalyst re-optimize + write node +
+    # job scheduling); queries whose warm time is near the floor are
+    # scheduler-bound, not plan-bound — the ratio-vs-DuckDB denominator
+    # for them measures harness constants, not execution.
+    floor: dict[str, float] = {}
+    from pyspark.sql import functions as F
+
+    for fname, fdf in (
+        ("no_stage", spark.range(1).selectExpr("id")),
+        (
+            "one_stage",
+            load(spark, sf_dir, "region").selectExpr("count(*) AS n"),
+        ),
+        (
+            # minimal one-shuffle agg over the cached fact table — the
+            # smallest plan in the same shape class as the headline
+            # scan->agg queries (their warm-minus-this is data work).
+            "shuffle_agg",
+            load(spark, sf_dir, "events").groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        ),
+    ):
+        fdf.write.format("noop").mode("overwrite").save()
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            fdf.write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        floor[fname] = round(min(times), 3)
+
     # Same-run DuckDB measurement of the oracle twins (identical
     # methodology: warmups then min of repeated passes, execution to a
     # discarded temp table). BASELINE.md's DuckDB column was measured
@@ -230,6 +264,7 @@ def main() -> None:
         "unit": "sec",
         "queries": warm,
         "cold_total": round(sum(cold.values()), 3),
+        "harness_floor_sec": floor,
         "sf": sf,
     }
     if duck:

@@ -355,3 +355,41 @@ def test_delete_where_noop_with_txn_records_marker(spark, tmp_path):
     # ...then the crashed batch replays: must be a no-op, row survives
     assert t.delete_where([("k", ">", 1000)], txn=("app", 7)) == t.version()
     assert t.read().count() == 11
+
+
+def test_truly_concurrent_writers_no_lost_updates(spark, tmp_path):
+    """Six REAL threads race appends at the same table (the earlier
+    conflict test simulates the loser; this one exercises the actual
+    O_CREAT|O_EXCL claim + optimistic retry under genuine contention).
+    Every writer's rows must land exactly once and the version history
+    must be strictly sequential — no lost updates, no double commits."""
+    import threading
+
+    t = TransactionalParquetTable(spark, str(tmp_path / "race"))
+    t.append(_df(spark, [(0, "seed")]))
+    n_writers, rows_each = 6, 3
+    errors: list[Exception] = []
+
+    def writer(w: int) -> None:
+        try:
+            rows = [(w * 100 + i, f"w{w}r{i}") for i in range(rows_each)]
+            t2 = TransactionalParquetTable(spark, str(tmp_path / "race"))
+            t2.append(_df(spark, rows), txn=(f"writer{w}", 1))
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    assert not errors, errors
+
+    got = sorted(r["k"] for r in t.read().collect())
+    want = sorted([0] + [w * 100 + i for w in range(n_writers) for i in range(rows_each)])
+    assert got == want, "lost or duplicated rows under contention"
+    hist = t.history()
+    versions = sorted(m["version"] for m in hist)
+    assert versions == list(range(1, n_writers + 2))  # seed + one per writer
+    markers = {(m["txn"]["app"], m["txn"]["id"]) for m in hist if m.get("txn")}
+    assert len(markers) == n_writers  # every writer committed exactly once

@@ -342,6 +342,7 @@ def minhash_dedup_pairs(
     bands: int = 8,
     threshold: float = 0.7,
     use_arrow: bool = True,
+    exact_first: bool = True,
 ) -> DataFrame:
     """End-to-end fuzzy-dup pair detection: shingle → minhash → LSH bands →
     exact Jaccard verify. Returns (id_a, id_b, jaccard).
@@ -349,7 +350,38 @@ def minhash_dedup_pairs(
     ``use_arrow`` selects the mapInPandas signature path (default, no
     shuffle — see minhash_signatures_arrow); the JVM expression path is
     the fallback. The Jaccard verify stage is JVM either way.
+
+    ``exact_first`` (default) collapses byte-identical texts to STAR
+    pairs at jaccard 1.0 before MinHash, and runs LSH only on the
+    distinct-text representatives — the same spanning-structure
+    contract as simhash_near_pairs and minhash_ml_pairs: a c-copy
+    identical group emits c-1 star pairs instead of the C(c,2) clique,
+    and near-dup pairs link representatives. Connected components
+    (what dedup clustering consumes) are preserved exactly; pair-level
+    clique completeness is traded for linear output on dup-heavy
+    corpora (measured at the sf5 98%-duplicate replica corpus:
+    6.77M clique pairs / 144 s  ->  0.25M spanning pairs / ~9 s —
+    identical texts never need MinHash, and full cliques are O(c²)
+    per group BY CONSTRUCTION, a real 100 TB scale-killer on web
+    corpora where c reaches millions).
     """
+    if exact_first:
+        g = df.groupBy(text_col).agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids")
+        )
+        exact_stars = (
+            g.filter(F.size("ids") >= 2)
+            .select(F.explode(star_pairs_expr()).alias("p"))
+            .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
+        )
+        reps = g.select(
+            F.element_at("ids", 1).alias(id_col), F.col(text_col)
+        )
+        near = minhash_dedup_pairs(
+            reps, id_col, text_col, shingle_n, num_hashes, bands,
+            threshold, use_arrow, exact_first=False,
+        )
+        return near.unionByName(exact_stars)
     toks = F.split(F.col(text_col), " ")
     if use_arrow:
         sigs = minhash_signatures_arrow(df, id_col, text_col, shingle_n, num_hashes)

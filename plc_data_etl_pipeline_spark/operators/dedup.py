@@ -509,12 +509,33 @@ def simhash_near_pairs(
     connected components for dedup clustering at linear cost; the
     documented recall tradeoff (a mega-bucket pair is only verified via
     the representative) now applies only past max_bucket_size DISTINCT
-    fingerprints in one 16-bit bucket."""
-    fps = simhash(df, id_col, text_col)
-    return fingerprint_near_pairs(
+    fingerprints in one 16-bit bucket.
+
+    Exact-first on the TEXT as well (round 3): byte-identical documents
+    are Hamming-0 by definition, so they emit star pairs directly and
+    only distinct-text representatives get a fingerprint — the 63-SUM
+    fingerprint aggregation runs over the distinct corpus, not the raw
+    one (sf5 98%-dup audit: 50x fewer fingerprint rows, 55.9 s -> ~8 s,
+    identical spanning structure). NULL texts are excluded from the
+    star grouping — they are undefined content, not duplicates of each
+    other — matching their prior behavior (no fingerprint, no pairs)."""
+    g = (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(text_col)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+    )
+    text_stars = (
+        g.filter(F.size("ids") >= 2)
+        .select(F.explode(star_pairs_expr()).alias("p"))
+        .select("p.id_a", "p.id_b", F.lit(0).alias("hamming"))
+    )
+    reps = g.select(F.element_at("ids", 1).alias(id_col), F.col(text_col))
+    fps = simhash(reps, id_col, text_col)
+    near = fingerprint_near_pairs(
         fps, id_col, "simhash", max_bits=max_bits,
         max_bucket_size=max_bucket_size,
     )
+    return near.unionByName(text_stars)
 
 
 def fingerprint_near_pairs(

@@ -444,7 +444,7 @@ def ivf_ann_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm_fold(F.col(vec_col)).alias("cnorm"),
-        ivf_assign(F.col(vec_col), cents).alias("cell"),
+        ivf_assign_arrow(cents)(F.col(vec_col)).alias("cell"),
     )
     C = np.array(cents)
     q_rows = emb.filter(F.col(id_col) < query_max_id).collect()
@@ -547,6 +547,38 @@ def pq_encode(vec: Column, books: list[list[list[float]]], m: int,
         )
         codes.append((F.array_position(scores, F.array_max(scores)) - 1).cast("int"))
     return F.array(*codes)
+
+
+def ivf_assign_arrow(centroids: list[list[float]]):
+    """Arrow-vectorized twin of :func:`ivf_assign`: one numpy matmul +
+    argmax per batch instead of n_cells interpreted HOF folds per row
+    (the folds are NOT whole-stage-codegen — measured 10.9 s to assign
+    20k 64-dim vectors to 16 cells at the sf5 audit vs milliseconds
+    here; the same pandas_udf-beats-interpreted-expressions case as
+    pq_encode_arrow). Same FIRST-maximum tie-break as
+    array_position(array_max); NULL vectors map to NULL cells (rows
+    drop at the probe join, as before). Used by every IVF call site so
+    the in-memory and persisted-index paths stay assignment-identical.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)  # n_cells x dim
+
+    @pandas_udf("int")
+    def assign(vecs):
+        import pandas as pd
+
+        vals = vecs.tolist()
+        valid = np.array([v is not None for v in vals], dtype=bool)
+        out = np.zeros(len(vals), dtype=np.int32)
+        if valid.any():
+            X = np.array(
+                [v for v in vals if v is not None], dtype=np.float64
+            )
+            out[valid] = (X @ C.T).argmax(axis=1).astype(np.int32)
+        return pd.Series(out, dtype="Int32").mask(~valid)
+
+    return assign
 
 
 def pq_encode_arrow(books: list[list[list[float]]], m: int, d_sub: int):
@@ -723,7 +755,7 @@ def semantic_dedup(
     with_cell = reps.select(
         F.col(id_col),
         F.col(vec_col),
-        ivf_assign(F.col(vec_col), cents).alias("cell"),
+        ivf_assign_arrow(cents)(F.col(vec_col)).alias("cell"),
     )
     a = with_cell.select(
         F.col("cell"),
@@ -776,7 +808,7 @@ def build_ivf_index(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm_fold(F.col(vec_col)).alias("cnorm"),
-        ivf_assign(F.col(vec_col), cents).alias("cell"),
+        ivf_assign_arrow(cents)(F.col(vec_col)).alias("cell"),
     ).write.partitionBy("cell").mode("overwrite").parquet(
         f"{path}/assignments"
     )

@@ -72,9 +72,9 @@ def main() -> None:
     # use) — the committed form of the round-2 scale-up measurement.
     if "--sf1" in sys.argv:
         sf1_dir = "/tmp/sf1"
-        if not os.path.exists(os.path.join(sf1_dir, "lineitem.parquet")):
-            from scripts.make_sf1 import make
+        from scripts.make_sf1 import is_ready, make
 
+        if not is_ready(sf1_dir, 10):
             make("/root/testdata/sf0.1", sf1_dir, 10)
         os.environ["SPARK_GRAFT_SF_DIR"] = sf1_dir
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -233,6 +233,30 @@ def suffix_pairs_expr(ids: str = "ids") -> Column:
     )
 
 
+def _exact_first_groups(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    eligible: Column | None = None,
+) -> DataFrame:
+    """Shared exact-first core: group ids by an identity key (text,
+    fingerprint, ...) into sorted arrays — the input for star-pair
+    emission and representative election. NULL keys are ALWAYS
+    excluded (undefined content is not a duplicate of other undefined
+    content); ``eligible`` adds a caller-specific predicate on top
+    (e.g. the ml variant's shingle-length floor). Centralized because
+    four call sites hand-rolling this drifted into divergent NULL
+    policies (a real bug caught in round-3 review)."""
+    cond = F.col(key_col).isNotNull()
+    if eligible is not None:
+        cond = cond & eligible
+    return (
+        df.filter(cond)
+        .groupBy(key_col)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+    )
+
+
 def star_pairs_expr(ids: str = "ids") -> Column:
     """Representative star over a SORTED id array: the smallest id
     paired with every other member — linear in group size, and for
@@ -366,9 +390,15 @@ def minhash_dedup_pairs(
     corpora where c reaches millions).
     """
     if exact_first:
-        g = df.groupBy(text_col).agg(
-            F.sort_array(F.collect_list(id_col)).alias("ids")
-        )
+        # NULL texts are undefined content, not duplicates of each
+        # other — excluded from identity grouping exactly like
+        # simhash_near_pairs (and like this function's own prior
+        # behavior: a NULL text produced no signature and no pairs).
+        # Identical NON-NULL texts pair at jaccard 1.0 regardless of
+        # length: exact duplication is a text-level fact, so the
+        # shingle floor does not apply to it (the ml variant documents
+        # the opposite choice for its own pair contract).
+        g = _exact_first_groups(df, id_col, text_col)
         exact_stars = (
             g.filter(F.size("ids") >= 2)
             .select(F.explode(star_pairs_expr()).alias("p"))
@@ -519,11 +549,7 @@ def simhash_near_pairs(
     identical spanning structure). NULL texts are excluded from the
     star grouping — they are undefined content, not duplicates of each
     other — matching their prior behavior (no fingerprint, no pairs)."""
-    g = (
-        df.filter(F.col(text_col).isNotNull())
-        .groupBy(text_col)
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-    )
+    g = _exact_first_groups(df, id_col, text_col)
     text_stars = (
         g.filter(F.size("ids") >= 2)
         .select(F.explode(star_pairs_expr()).alias("p"))
@@ -553,9 +579,7 @@ def fingerprint_near_pairs(
     bit_count(xor) verify on candidates only. Same spanning-structure
     pair contract and skew guards as documented there."""
     fps = fps.select(F.col(id_col), F.col(fp_col).alias("simhash"))
-    g = fps.groupBy("simhash").agg(
-        F.sort_array(F.collect_list(id_col)).alias("ids")
-    )
+    g = _exact_first_groups(fps, id_col, "simhash")
     exact_stars = (
         g.filter(F.size("ids") >= 2)
         .select(F.explode(star_pairs_expr()).alias("p"))
@@ -634,11 +658,11 @@ def minhash_ml_pairs(
     jaccard-1.0 duplicates of each other."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    eligible = df.filter(
-        F.size(F.split(F.col(text_col), " ")) >= F.lit(shingle_n)
-    )
-    g = eligible.groupBy(text_col).agg(
-        F.sort_array(F.collect_list(id_col)).alias("ids")
+    g = _exact_first_groups(
+        df,
+        id_col,
+        text_col,
+        eligible=F.size(F.split(F.col(text_col), " ")) >= F.lit(shingle_n),
     )
     exact_stars = (
         g.filter(F.size("ids") >= 2)

@@ -399,6 +399,15 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     Built as one flat array of dots + array_position(array_max) — an
     iterative when-chain argmax embeds every previous step twice and the
     expression tree grows ~2^n_cells (OOMs the analyzer at 16 cells).
+
+    STATUS: kept as the Python-worker-free fallback (same role as
+    minhash_signatures beside its Arrow twin); all production call
+    sites use :func:`ivf_assign_arrow`. If you revive this path, note
+    the two are NOT guaranteed bit-consistent on near-ties: the HOF
+    fold sums sequentially while numpy's matmul uses SIMD/pairwise
+    accumulation, so a vector equidistant to two cells (to within one
+    ulp) can land differently. Do not mix the two within one index
+    (build with one, serve with the other).
     """
     dots = F.array(
         *[
@@ -447,7 +456,14 @@ def ivf_ann_topk(
         ivf_assign_arrow(cents)(F.col(vec_col)).alias("cell"),
     )
     C = np.array(cents)
-    q_rows = emb.filter(F.col(id_col) < query_max_id).collect()
+    # NULL query vectors would TypeError in the probe construction below
+    # (the guard pq_ann_topk/cosine_topk already carry; corpus-side NULLs
+    # are handled via NULL cells dropping at the probe join).
+    q_rows = (
+        emb.filter(
+            (F.col(id_col) < query_max_id) & F.col(vec_col).isNotNull()
+        ).collect()
+    )
     probe_rows = []
     for r in q_rows:
         v = np.array(list(r[vec_col]), dtype=np.float64)

@@ -546,8 +546,16 @@ def _sennrich_driver_fold(
     Incremental bookkeeping (pair->count plus pair->containing-words
     index, only affected words rescanned per round) keeps n_merges=32k
     tractable — the classic implementation from Sennrich et al. 2016's
-    reference code (public, learn_bpe.py), reimplemented here.
+    reference code (public, learn_bpe.py), reimplemented here. The
+    per-round argmax is a lazy-deletion heap keyed (-count, pair) —
+    O(log V) amortized instead of a full O(V) dict scan per round,
+    which at a web-scale pair vocabulary times 32k rounds would eat
+    the single-job win this path exists for. Stale heap entries (the
+    pair's count changed since push) are popped and re-pushed with the
+    current count; the tuple order reproduces the scan's tie-break
+    exactly (max count, then lexicographically smallest pair).
     """
+    import heapq
     from collections import defaultdict
 
     words: list[tuple[list[str], int]] = [
@@ -560,24 +568,34 @@ def _sennrich_driver_fold(
             p = (syms[j], syms[j + 1])
             counts[p] += f
             index[p].add(wi)
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-n, p) for p, n in counts.items() if n > 0
+    ]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        best: tuple[str, str] | None = None
-        best_n = 0
-        for p, n in counts.items():
-            if n > best_n or (n == best_n and best is not None and p < best):
-                best, best_n = p, n
-        if best is None or best_n <= 0:
-            break
+    while len(merges) < n_merges and heap:
+        negn, best = heap[0]
+        cur = counts.get(best, 0)
+        if cur <= 0:
+            heapq.heappop(heap)  # dead pair: discard
+            continue
+        if cur != -negn:
+            heapq.heappop(heap)  # stale count: correct and re-queue
+            heapq.heappush(heap, (-cur, best))
+            continue
+        heapq.heappop(heap)
         merges.append(best)
         a, b = best
         ab = a + b
+        touched: set[tuple[str, str]] = set()
         # Index entries can be stale (word no longer contains the pair);
         # the subtract-then-re-add per affected word is net-zero then.
         for wi in index.pop(best, set()):
             syms, f = words[wi]
             for j in range(len(syms) - 1):
-                counts[(syms[j], syms[j + 1])] -= f
+                q = (syms[j], syms[j + 1])
+                counts[q] -= f
+                touched.add(q)
             res: list[str] = []
             j, n = 0, len(syms)
             while j < n:
@@ -589,10 +607,15 @@ def _sennrich_driver_fold(
                     j += 1
             words[wi] = (res, f)
             for j in range(len(res) - 1):
-                p = (res[j], res[j + 1])
-                counts[p] += f
-                index[p].add(wi)
+                q = (res[j], res[j + 1])
+                counts[q] += f
+                index[q].add(wi)
+                touched.add(q)
         counts.pop(best, None)
+        for q in touched:
+            n_q = counts.get(q, 0)
+            if n_q > 0 and q != best:
+                heapq.heappush(heap, (-n_q, q))
     return merges
 
 

@@ -1734,7 +1734,9 @@ def sim_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     S.build_ivf_index(e, path, n_cells=16)
     queries_ = [
         (r["vec_id"], list(r["embedding"]))
-        for r in e.filter(F.col("vec_id") < 20).collect()
+        for r in e.filter(
+            (F.col("vec_id") < 20) & F.col("embedding").isNotNull()
+        ).collect()
     ]
     return S.ivf_ann_topk_indexed(spark, path, queries_, k=5, n_probe=4)
 

@@ -75,8 +75,27 @@ REPLICATED = (
 )
 
 
+def ready_marker(out: str) -> str:
+    return os.path.join(out, "_READY")
+
+
+def is_ready(out: str, factor: int) -> bool:
+    """True iff a COMPLETE build of this factor exists at ``out``.
+    Checking a data file (e.g. lineitem.parquet, written 5th of 8)
+    would silently reuse an interrupted or different-factor build."""
+    try:
+        with open(ready_marker(out)) as fh:
+            return fh.read().strip() == f"factor={factor}"
+    except OSError:
+        return False
+
+
 def make(src: str, out: str, factor: int) -> None:
     os.makedirs(out, exist_ok=True)
+    try:
+        os.remove(ready_marker(out))  # invalidate any previous build
+    except OSError:
+        pass
     con = duckdb.connect()
     steps: dict[str, int] = {}
     for ks, (table, col) in OWNERS.items():
@@ -114,6 +133,8 @@ def make(src: str, out: str, factor: int) -> None:
             f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
     con.close()
+    with open(ready_marker(out), "w") as fh:
+        fh.write(f"factor={factor}\n")
 
 
 def main() -> None:

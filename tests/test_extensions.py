@@ -862,3 +862,44 @@ def test_bpe_encode_applies_learned_merges(spark):
     # 'low' learned fully except the final (low,</w>) merge (rank 6+):
     # low -> [low, </w>] = 2 tokens, twice
     assert got[4] == 4
+
+
+def test_minhash_null_texts_are_not_duplicates(spark):
+    """Round-3 review regression: exact-first grouping must not pair
+    NULL texts with each other (undefined content is not duplicate
+    content — the simhash/ml-variant contract, and this function's own
+    pre-exact-first behavior)."""
+    rows = [
+        (1, None),
+        (2, None),
+        (3, None),
+        (10, "same exact text here"),
+        (11, "same exact text here"),
+        (20, "completely different words entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_dedup_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (10, 11) in pairs
+    assert all(a not in (1, 2, 3) and b not in (1, 2, 3) for a, b in pairs)
+
+
+def test_ivf_null_query_vector_is_skipped(spark):
+    """Round-3 review regression: a NULL embedding below query_max_id
+    must be skipped (it used to TypeError in the probe construction),
+    while valid queries still get results."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(0, None, 0)] + [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], i % 4)
+        for i in range(1, 60)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = S.ivf_ann_topk(emb, query_max_id=5, k=3, n_cells=4, n_probe=2)
+    got = {r.query_id for r in out.collect()}
+    assert 0 not in got and got == {1, 2, 3, 4}

@@ -296,9 +296,9 @@ def test_constrained_heap_spills_instead_of_oom(tmp_path):
     import subprocess
     import sys
 
-    if not os.path.exists("/tmp/sf1/lineitem.parquet"):
-        from scripts.make_sf1 import make
+    from scripts.make_sf1 import is_ready, make
 
+    if not is_ready("/tmp/sf1", 10):
         make("/root/testdata/sf0.1", "/tmp/sf1", 10)
 
     import duckdb

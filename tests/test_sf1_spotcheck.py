@@ -53,9 +53,9 @@ SPOT = [
 
 @pytest.fixture(scope="module")
 def sf1_dir():
-    if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")):
-        from scripts.make_sf1 import make
+    from scripts.make_sf1 import is_ready, make
 
+    if not is_ready(SF1_DIR, 10):
         make("/root/testdata/sf0.1", SF1_DIR, 10)
     return SF1_DIR
 

@@ -83,6 +83,9 @@ def test_no_python_udf_in_relational_paths(spark):
         "multimodal_decode",
         "sim_topk_pq",  # Arrow-vectorized PQ encode (deliberate: one
         #   numpy matmul/batch beats m*n_codes interpreted HOF folds)
+        "sim_topk_ivf",  # same: Arrow-vectorized IVF cell assignment
+        "sim_topk_ivf_indexed",  # (ivf_assign_arrow — one matmul/batch
+        "dedup_semantic",  # vs n_cells interpreted HOF folds per row)
         "sql_registered_udf",  # the POINT of the query: a pandas UDF
         #   registered into the SQL catalog and dispatched from SQL text
         "text_bpe_encode",  # greedy merge application is inherently

@@ -30,7 +30,7 @@ from plc_data_etl_pipeline_spark.registry import all_queries
 from .conftest import SF_DIR
 from .oracle_compare import compare
 
-ADV_DIR = "/tmp/plc_etl_adversarial_sf_v2"
+ADV_DIR = "/tmp/plc_etl_adversarial_sf_v3"
 
 _STAR = (
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem"
@@ -112,10 +112,13 @@ def _build(spark) -> str:
 
     emb_rows = []
     for i in range(200):
-        if i in (33, 149):
-            vec = None  # NULL embedding rows
-        elif i == 77:
-            vec = [0.0] * 64  # zero-norm vector
+        if i in (7, 33, 149):
+            vec = None  # NULL embedding rows — id 7 sits INSIDE the
+            # ANN query ranges (vec_id < 20), so query-side NULL guards
+            # are exercised too (round-3 review: the old fixture's
+            # NULLs were all above query_max_id and missed a crash)
+        elif i in (11, 77):
+            vec = [0.0] * 64  # zero-norm vectors (11 = in query range)
         elif i % 10 == 3:
             vec = [round((j % 7) * 0.25 - 0.75, 2) for j in range(64)]
             # repeated identical vectors (exact-dup cluster)

@@ -734,13 +734,30 @@ def connected_components(
     plans stay flat across iterations — the standard Spark shape for
     iterative graph algorithms at scale (GraphX/GraphFrames CC is the
     same dataflow).
+
+    The edge relation is materialized ONCE (eager localCheckpoint) —
+    without it every round re-runs the distinct-union over the raw
+    pairs — and is hash-repartitioned on ``src`` first so the preserved
+    LogicalRDD partitioning satisfies each round's join requirement:
+    only the (node-sized) label side shuffles per iteration. The label
+    side is hinted SHUFFLE_HASH so the stats-less edge side is neither
+    broadcast (OOM risk) nor sorted (merge join would re-sort the big
+    side every round).
     """
     edges_fwd = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
-    edges = edges_fwd.unionByName(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    ).distinct()
+    n_shuffle = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    edges = (
+        edges_fwd.unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .repartition(n_shuffle, "src")
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -749,7 +766,9 @@ def connected_components(
     )
     for _ in range(max_iters):
         neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(
+                labels.hint("shuffle_hash"), edges.src == labels.node
+            )
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )

@@ -34,20 +34,32 @@ def pagerank(
 
     Scale posture: each round is one equi-join edge⋈rank on the source
     key plus a map-side-combinable SUM per destination. The edge
-    relation is localCheckpoint-ed once (without it, round k's plan
-    re-derives the edge aggregation k+1 times) and the rank join is
-    hinted SHUFFLE_HASH: after checkpointing, Catalyst has no stats —
-    unhinted it may try to broadcast the (arbitrarily large) edge side
-    and OOM; hinted merge it re-sorts the edges every round. Ranks are
-    re-checkpointed every ``checkpoint_every`` rounds to bound lineage
-    depth (the GraphX/ALS pattern)."""
+    relation is hash-repartitioned on ``src`` (to exactly
+    ``spark.sql.shuffle.partitions``, so ENSURE_REQUIREMENTS recognizes
+    the layout) and then localCheckpoint-ed once: the LogicalRDD
+    preserves that output partitioning, so every iteration's join
+    shuffles ONLY the (node-sized) rank side — the edge relation, the
+    big side at 100 TB, never moves again. Without the checkpoint,
+    round k's plan would also re-derive the edge aggregation k+1 times.
+    The rank join is hinted SHUFFLE_HASH: after checkpointing, Catalyst
+    has no stats — unhinted it may try to broadcast the (arbitrarily
+    large) edge side and OOM; hinted merge it would re-sort the edges
+    every round. Ranks are re-checkpointed every ``checkpoint_every``
+    rounds to bound lineage depth (the GraphX/ALS pattern)."""
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionAll(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
+    n_shuffle = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    edges_deg = (
+        edges.join(deg, "src")
+        .repartition(n_shuffle, "src")
+        .localCheckpoint(eager=False)
+    )
     ranks = deg.select("src", F.lit(1000000).cast("bigint").alias("pr"))
     for i in range(iterations):
         ranks = (
@@ -110,6 +122,15 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.col("ord_v").alias("ord_dst"),
         )
     )
+    # Materialize the oriented edges ONCE — they feed three consumers
+    # (both wedge sides + the closing set); un-checkpointed, the plan
+    # re-runs the degree agg and both orientation joins three times.
+    # Pre-partitioning on src makes the wedge self-join exchange-free:
+    # both sides inherit the preserved HashPartitioning(src).
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    oriented = oriented.repartition(n_shuffle, "src").localCheckpoint()
     e1 = oriented.select(
         F.col("src"), F.col("dst").alias("b"), F.col("ord_dst").alias("ord_b")
     )

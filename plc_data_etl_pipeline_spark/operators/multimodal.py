@@ -76,6 +76,22 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the session's shuffle partitions
+    before a CPU-heavy Arrow stage. A local fixture (one parquet file =
+    one split) otherwise runs the whole mapInPandas on ONE core (sf5
+    audit: 59 s single-task phash while 31 cores idled). Applied only
+    when the input has fewer partitions than the configured parallelism
+    — an at-scale input (thousands of splits) passes through untouched,
+    so this never introduces a 100 TB payload shuffle."""
+    n_shuffle = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    if df.rdd.getNumPartitions() < n_shuffle:
+        return df.repartition(n_shuffle)
+    return df
+
+
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a decoded-media feature vector: byte
     histogram moments. Pure arithmetic on the payload bytes."""
@@ -118,7 +134,7 @@ def decode_media(media: DataFrame, real: bool = False, dim: int = 8) -> DataFram
                 }
             )
 
-    return media.mapInPandas(decode_batches, FEATURE_SCHEMA)
+    return _fan_out(media).mapInPandas(decode_batches, FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
@@ -147,38 +163,64 @@ def phash_media(media: DataFrame, dim: int = 64) -> DataFrame:
     BIGINT. The SHAPE is the real thing: with a codec present, only the
     per-batch numpy body changes (decode → DCT → threshold) while the
     Spark contract — binary in, one 64-bit fingerprint out through an
-    Arrow batch — is identical. Vectorized per batch (np.frombuffer,
-    reshape-free stride slicing); near-identical payloads (a few bytes
+    Arrow batch — is identical. Near-identical payloads (a few bytes
     changed) land within a small Hamming distance, unrelated payloads
     near 32.
+
+    Fully batch-vectorized: the whole Arrow batch is concatenated into
+    one byte buffer and the per-(payload, stride) means come from two
+    ``np.bincount`` passes over it — no per-row Python loop (the loop
+    form made 16M interpreted numpy calls for 250k docs: 59 s at sf5
+    vs ~1 s vectorized). Bit packing is ``np.packbits`` + a big-endian
+    uint64 view reinterpreted as int64 — the same two's complement as
+    the scalar ``h -= 1 << 64``.
     """
     import numpy as np
 
+    if dim % 8 != 0:
+        raise ValueError("dim must be a multiple of 8 for bit packing")
+
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes = []
-            for p in pdf["payload"]:
-                if p is None or len(p) == 0:
-                    hashes.append(0)
-                    continue
-                a = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.float64)
-                means = np.array(
-                    [a[d::dim].mean() if len(a[d::dim]) else 0.0
-                     for d in range(dim)]
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {"media_id": pdf["media_id"],
+                     "phash": pd.Series([], dtype="int64")}
                 )
-                bits = means > means.mean()
-                h = 0
-                for bit in bits:
-                    h = (h << 1) | int(bit)
-                # two's-complement into signed 64-bit for BIGINT
-                if h >= 1 << 63:
-                    h -= 1 << 64
-                hashes.append(h)
+                continue
+            payloads = [
+                b"" if p is None else bytes(p) for p in pdf["payload"]
+            ]
+            lens = np.array([len(p) for p in payloads], dtype=np.int64)
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            if buf.size:
+                row_id = np.repeat(np.arange(n, dtype=np.int64), lens)
+                offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                pos_in_row = (
+                    np.arange(buf.size, dtype=np.int64)
+                    - np.repeat(offsets, lens)
+                )
+                cls = row_id * dim + pos_in_row % dim
+                sums = np.bincount(
+                    cls, weights=buf.astype(np.float64), minlength=n * dim
+                ).reshape(n, dim)
+                counts = np.bincount(cls, minlength=n * dim).reshape(n, dim)
+            else:
+                sums = np.zeros((n, dim))
+                counts = np.zeros((n, dim), dtype=np.int64)
+            # mean of each stride slice; empty slices contribute 0.0
+            # (matches the scalar form's `mean() if slice else 0.0`,
+            # and all-empty payloads hash to 0 since no bit clears >).
+            means = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
+            bits = means > means.mean(axis=1, keepdims=True)
+            packed = np.ascontiguousarray(np.packbits(bits, axis=1))
+            h = packed.view(">u8").ravel().astype(np.uint64)
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "phash": hashes}
+                {"media_id": pdf["media_id"], "phash": h.view(np.int64)}
             )
 
-    return media.select("media_id", "payload").mapInPandas(
+    return _fan_out(media.select("media_id", "payload")).mapInPandas(
         hash_batches, "media_id long, phash long"
     )
 

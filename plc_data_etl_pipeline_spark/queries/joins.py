@@ -300,17 +300,44 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string matching via edit distance — the record-linkage
-    primitive (near-identical entity names). The pair space here is the
-    (small) supplier dimension squared; at corpus scale you'd gate the
-    quadratic compare behind LSH candidates exactly like dedup_minhash
-    does, with levenshtein as the verify stage."""
+    primitive (near-identical entity names). The pair space is the
+    (dimension-sized) supplier table squared — inherently O(n^2) work,
+    but made distributable and band-limited:
+
+    * the stream side is repartitioned to ``spark.sql.shuffle.partitions``
+      — a single-file dimension otherwise runs the whole nested-loop
+      join in ONE task (sf5 audit: 50k x 50k pairs pinned one core for
+      25+ minutes while 31 idled);
+    * ``|len(a) - len(b)| <= 2`` (a necessary condition for ed <= 2)
+      sits in the join condition over per-row precomputed lengths, so
+      pairs are rejected before any DP;
+    * the survivor pairs use the threshold form ``levenshtein(a, b, 2)``
+      (banded DP, O(k*L) per pair with early exit, -1 when above the
+      bound) instead of the full O(L^2) matrix.
+
+    At corpus (non-dimension) scale you'd gate the quadratic behind LSH
+    candidates exactly like dedup_minhash does, with levenshtein as the
+    verify stage."""
     s = load(spark, sf_dir, "supplier")
-    a = s.select(F.col("s_suppkey").alias("key_a"), F.col("s_name").alias("name_a"))
-    b = s.select(F.col("s_suppkey").alias("key_b"), F.col("s_name").alias("name_b"))
-    d = F.levenshtein("name_a", "name_b")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    a = s.select(
+        F.col("s_suppkey").alias("key_a"),
+        F.col("s_name").alias("name_a"),
+        F.length("s_name").alias("len_a"),
+    ).repartition(n_shuffle)
+    b = s.select(
+        F.col("s_suppkey").alias("key_b"),
+        F.col("s_name").alias("name_b"),
+        F.length("s_name").alias("len_b"),
+    )
+    d = F.levenshtein("name_a", "name_b", 2)
     return (
-        a.join(b, F.col("key_a") < F.col("key_b"))
-        .filter(d <= 2)
+        a.join(
+            b,
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= 2),
+        )
+        .filter(d >= 0)
         .select("key_a", "key_b", d.alias("edit_dist"))
     )
 

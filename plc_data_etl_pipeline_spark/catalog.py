@@ -51,6 +51,23 @@ def enable_table_cache() -> None:
     _CACHE_TABLES = True
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the session's shuffle partitions
+    before a stage that multiplies work per row (n-gram explodes,
+    Arrow-heavy mapInPandas bodies). A small local fixture is one
+    parquet split, so the whole explode+partial-agg otherwise runs in
+    ONE task (sf5 audit: 35-59 s single-core walls while 31 idled).
+    Conditional: an input already at or above the configured
+    parallelism passes through untouched, so at real scale (thousands
+    of splits) this never introduces an extra full shuffle."""
+    n_shuffle = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    if df.rdd.getNumPartitions() < n_shuffle:
+        return df.repartition(n_shuffle)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table as a DataFrame (schema from parquet footer)."""
     if name not in TABLES:

@@ -77,19 +77,10 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
-    """Spread a narrow input across the session's shuffle partitions
-    before a CPU-heavy Arrow stage. A local fixture (one parquet file =
-    one split) otherwise runs the whole mapInPandas on ONE core (sf5
-    audit: 59 s single-task phash while 31 cores idled). Applied only
-    when the input has fewer partitions than the configured parallelism
-    — an at-scale input (thousands of splits) passes through untouched,
-    so this never introduces a 100 TB payload shuffle."""
-    n_shuffle = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    if df.rdd.getNumPartitions() < n_shuffle:
-        return df.repartition(n_shuffle)
-    return df
+    """Conditional pre-Arrow-stage spread; see catalog.fan_out."""
+    from ..catalog import fan_out
+
+    return fan_out(df)
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:

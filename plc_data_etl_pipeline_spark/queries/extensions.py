@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import fan_out, load
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
@@ -611,7 +611,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.py::tfidf_top_terms). Scores are floor-quantized to 6
     decimals on both engines so 1-ulp LN differences cannot reorder the
     ranking; ties break on term."""
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"))
     return T.tfidf_top_terms(d, "doc_id", "text", k=5)
 
 
@@ -898,7 +898,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs (doc_id % 7 != 3) that
     share any distinct 5-gram with the held-out eval split (doc_id % 7 ==
     3); eval grams broadcast (operators/text.py::decontaminate)."""
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"))
     return T.decontaminate(
         d, "doc_id", "text", eval_flag=(F.col("doc_id") % 7 == 3)
     )
@@ -990,7 +990,7 @@ def text_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the top-20 a WindowGroupLimit-free sort-limit (tiny result)."""
     from ..operators.dedup import word_shingles
 
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"))
     words = F.split(F.col("text"), " ")
     grams = F.array_distinct(word_shingles(words, 5))
     g = d.filter(F.size(words) >= 5).select(
@@ -1028,7 +1028,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join on word (vocab at web scale outgrows a broadcast);
     per-doc mean is the final keyed agg. Round 4 absorbs the
     summation-order difference between engines."""
-    d = load(spark, sf_dir, "documents")
+    d = fan_out(load(spark, sf_dir, "documents"))
     w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     v = w.groupBy("word").agg(F.count("*").alias("c"))
     tot = v.agg(F.sum("c").cast("double").alias("tot"))
@@ -1572,7 +1572,7 @@ def text_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, so these stay shuffle joins. ROUND 4 absorbs the
     engines' summation-order difference (pattern of unigram_logprob).
     Documents with fewer than two tokens drop out in both engines."""
-    d = load(spark, sf_dir, "documents").select(
+    d = fan_out(load(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("w")
     )
     pairs = d.select(

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel as _StorageLevel
 from pyspark.sql.window import Window
 
 
@@ -756,7 +757,10 @@ def connected_components(
         )
         .distinct()
         .repartition(n_shuffle, "src")
-        .localCheckpoint()
+        # DISK_ONLY: same rationale as operators/graph.py — the edge
+        # relation is the big, round-invariant side; keep heap free for
+        # the per-round join/agg state.
+        .localCheckpoint(storageLevel=_StorageLevel.DISK_ONLY)
     )
     labels = (
         edges.select(F.col("src").alias("node"))

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def pagerank(
@@ -58,7 +59,13 @@ def pagerank(
     edges_deg = (
         edges.join(deg, "src")
         .repartition(n_shuffle, "src")
-        .localCheckpoint(eager=False)
+        # DISK_ONLY: the edge relation is the big side (2|E| rows). At
+        # heap-bound scale the default MEMORY_AND_DISK blocks compete
+        # with every round's join/agg execution memory — the sf20 audit
+        # OOM'd the 16g JVM when two graph queries' resident edge blocks
+        # coexisted. Rounds re-read it sequentially from local disk
+        # (page-cached), while heap stays free for shuffle state.
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     ranks = deg.select("src", F.lit(1000000).cast("bigint").alias("pr"))
     for i in range(iterations):
@@ -130,7 +137,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     n_shuffle = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    oriented = oriented.repartition(n_shuffle, "src").localCheckpoint()
+    oriented = oriented.repartition(n_shuffle, "src").localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY  # big side; see pagerank note
+    )
     e1 = oriented.select(
         F.col("src"), F.col("dst").alias("b"), F.col("ord_dst").alias("ord_b")
     )

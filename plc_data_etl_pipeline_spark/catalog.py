@@ -51,6 +51,13 @@ def enable_table_cache() -> None:
     _CACHE_TABLES = True
 
 
+def shuffle_partitions(spark: SparkSession) -> int:
+    """The session's configured shuffle parallelism — single source of
+    truth for operators that pre-partition big relations (graph loops,
+    connected components, fuzzy joins, fan_out)."""
+    return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Spread a narrow input across the session's shuffle partitions
     before a stage that multiplies work per row (n-gram explodes,
@@ -60,9 +67,7 @@ def fan_out(df: DataFrame) -> DataFrame:
     Conditional: an input already at or above the configured
     parallelism passes through untouched, so at real scale (thousands
     of splits) this never introduces an extra full shuffle."""
-    n_shuffle = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n_shuffle = shuffle_partitions(df.sparkSession)
     if df.rdd.getNumPartitions() < n_shuffle:
         return df.repartition(n_shuffle)
     return df

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel as _StorageLevel
 from pyspark.sql.window import Window
 
+from ..catalog import shuffle_partitions
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -748,15 +750,17 @@ def connected_components(
     edges_fwd = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
-    n_shuffle = int(
-        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n_shuffle = shuffle_partitions(pairs.sparkSession)
     edges = (
         edges_fwd.unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
-        .distinct()
+        # repartition FIRST, then dedup: HashPartitioning(src) satisfies
+        # the (src, dst) aggregate's clustered-distribution requirement,
+        # so the big edge relation is exchanged once, not twice, and the
+        # aggregate's output keeps the src partitioning the checkpoint pins.
         .repartition(n_shuffle, "src")
+        .dropDuplicates()
         # DISK_ONLY: same rationale as operators/graph.py — the edge
         # relation is the big, round-invariant side; keep heap free for
         # the per-round join/agg state.

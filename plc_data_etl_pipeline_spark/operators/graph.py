@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..catalog import shuffle_partitions
+
 
 def pagerank(
     pairs: DataFrame,
@@ -53,9 +55,7 @@ def pagerank(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    n_shuffle = int(
-        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n_shuffle = shuffle_partitions(pairs.sparkSession)
     edges_deg = (
         edges.join(deg, "src")
         .repartition(n_shuffle, "src")
@@ -134,11 +134,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # re-runs the degree agg and both orientation joins three times.
     # Pre-partitioning on src makes the wedge self-join exchange-free:
     # both sides inherit the preserved HashPartitioning(src).
-    n_shuffle = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n_shuffle = shuffle_partitions(edges.sparkSession)
     oriented = oriented.repartition(n_shuffle, "src").localCheckpoint(
-        storageLevel=StorageLevel.DISK_ONLY  # big side; see pagerank note
+        # eager=False: plan-only consumers (explain audits, dry runs)
+        # must not trigger the degree-agg + orientation joins; the
+        # checkpoint still materializes exactly once at first action.
+        eager=False,
+        storageLevel=StorageLevel.DISK_ONLY,  # big side; see pagerank note
     )
     e1 = oriented.select(
         F.col("src"), F.col("dst").alias("b"), F.col("ord_dst").alias("ord_b")

@@ -22,6 +22,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -31,6 +32,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from ..catalog import fan_out
 
 MEDIA_FORMATS = ("png", "jpeg", "wav")
 
@@ -76,13 +79,6 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Conditional pre-Arrow-stage spread; see catalog.fan_out."""
-    from ..catalog import fan_out
-
-    return fan_out(df)
-
-
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a decoded-media feature vector: byte
     histogram moments. Pure arithmetic on the payload bytes."""
@@ -125,7 +121,7 @@ def decode_media(media: DataFrame, real: bool = False, dim: int = 8) -> DataFram
                 }
             )
 
-    return _fan_out(media).mapInPandas(decode_batches, FEATURE_SCHEMA)
+    return fan_out(media).mapInPandas(decode_batches, FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
@@ -168,8 +164,12 @@ def phash_media(media: DataFrame, dim: int = 64) -> DataFrame:
     """
     import numpy as np
 
-    if dim % 8 != 0:
-        raise ValueError("dim must be a multiple of 8 for bit packing")
+    if dim != 64:
+        # The vectorized packbits->big-endian-uint64 view and the fixed
+        # "phash long" output schema both assume exactly one 64-bit word
+        # per row; other dims would crash (dim<64) or silently emit
+        # multiple words per row (dim=128).
+        raise ValueError("dim must be exactly 64 (one int64 fingerprint)")
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -211,7 +211,7 @@ def phash_media(media: DataFrame, dim: int = 64) -> DataFrame:
                 {"media_id": pdf["media_id"], "phash": h.view(np.int64)}
             )
 
-    return _fan_out(media.select("media_id", "payload")).mapInPandas(
+    return fan_out(media.select("media_id", "payload")).mapInPandas(
         hash_batches, "media_id long, phash long"
     )
 

@@ -15,7 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, shuffle_partitions
 from ..registry import query
 from ._conv import dsum, sql_dsum
 
@@ -319,7 +319,7 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates exactly like dedup_minhash does, with levenshtein as the
     verify stage."""
     s = load(spark, sf_dir, "supplier")
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_shuffle = shuffle_partitions(spark)
     a = s.select(
         F.col("s_suppkey").alias("key_a"),
         F.col("s_name").alias("name_a"),

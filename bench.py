@@ -212,6 +212,26 @@ def main() -> None:
                 F.count(F.lit(1)).alias("n")
             ),
         ),
+        (
+            # minimal TWO-shuffle two-level agg on an in-memory range of
+            # the events row count — zero parquet, trivial int keys. This
+            # is the floor for the flagship sensor_rollup_daily's exact
+            # distinct-count shape (partial -> exchange(user grain) ->
+            # exchange(day grain)); measured ~0.21 s on local[32], i.e.
+            # the flagship's entire warm time. Whatever gap remains vs
+            # DuckDB on that query is two-stage scheduling constant, not
+            # plan or data work.
+            "two_shuffle_agg",
+            spark.range(load(spark, sf_dir, "events").count())
+            .groupBy(
+                (F.col("id") % 5).alias("a"),
+                (F.col("id") % 30).alias("b"),
+                (F.col("id") % 1000).alias("u"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("a", "b")
+            .agg(F.sum("c").alias("s"), F.count("u").alias("nu")),
+        ),
     ):
         fdf.write.format("noop").mode("overwrite").save()
         times = []

@@ -821,3 +821,132 @@ def cluster_survivors(
         )
         .withColumn("is_survivor", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document dedup: exact substring spans + C4-style unit dedup
+# ---------------------------------------------------------------------------
+
+
+def substring_dup_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Exact duplicated-substring coverage per document (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) at token ``k``-gram granularity.
+
+    The paper builds a corpus-wide suffix array to find every substring of
+    >= 50 tokens that occurs twice; a suffix array is inherently a
+    single-machine index. The distributed equivalent: every token
+    ``k``-gram that occurs >= 2 times anywhere in the corpus marks a
+    duplicated span, and the union of its ``k`` covered token positions
+    per document measures how much of the document is duplicated text
+    (the paper's "fraction of tokens in a duplicate substring").
+
+    Plan shape (all JVM, no Python): split -> transform/sequence gram
+    builder (``sequence`` is guarded: Spark's sequence(0, n) DESCENDS for
+    n < 0) -> posexplode -> groupBy(gram) count (map-side partial absorbs
+    hot grams, unlike a window count which would single-task them) ->
+    equi-join grams back to the >= 2 set (AQE skew-split applies) ->
+    explode covered positions (x``k`` blowup of *duplicated* grams only)
+    -> per-doc distinct counts. Production note: the gram join key can be
+    narrowed to ``xxhash64(gram)`` for shuffle width; kept as the raw
+    gram here so the DuckDB oracle computes the identical set.
+
+    Returns one row per document that contains at least one duplicated
+    gram: (id, n_tok, dup_grams, covered_tokens).
+    """
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+        .withColumn("__n_tok", F.size("__toks"))
+        .filter(F.col("__n_tok") >= k)
+    )
+    grams = base.select(
+        id_col,
+        F.col("__n_tok").cast("long").alias("n_tok"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, __n_tok - {k}),"
+                f" i -> array_join(slice(__toks, i + 1, {k}), ' '))"
+            )
+        ).alias("__pos", "__gram"),
+    ).withColumn("pos", F.col("__pos").cast("long"))
+    dup_set = (
+        grams.groupBy("__gram")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__gram")
+    )
+    covered = grams.join(dup_set, "__gram").select(
+        id_col,
+        "n_tok",
+        "pos",
+        F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("__cp"),
+    )
+    return covered.groupBy(id_col).agg(
+        F.max("n_tok").alias("n_tok"),
+        F.countDistinct("pos").alias("dup_grams"),
+        F.countDistinct("__cp").alias("covered_tokens"),
+    )
+
+
+def chunk_dedup(
+    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 16
+) -> DataFrame:
+    """C4-style corpus-global unit dedup (Raffel et al. 2020, C4 corpus,
+    arXiv:1910.10683): C4 keeps each three-sentence span's FIRST
+    occurrence across the whole corpus and deletes every later one. The
+    driver's documents have no sentence/line structure, so the unit here
+    is a fixed ``chunk_tokens``-token chunk; first occurrence = smallest
+    (doc_id, chunk_idx), matching C4's deterministic keep-one rule.
+
+    Keep-first is computed as groupBy(chunk) -> MIN(doc_id<<20 | idx)
+    (map-side-combinable; a window row_number would stream every replica
+    of a hot chunk through one task — the sf5 98%-dup audit regime) and a
+    join back marks survivors. The (id<<20|idx) BIGINT pack follows the
+    join_asof/OHLC convention (struct min_by degrades to SortAggregate);
+    it bounds documents at 2^20 chunks (= 16M tokens at the default
+    width), far above any real training document.
+
+    Returns per document: n_chunks, kept_chunks, and cleaned_text (the
+    surviving chunks rejoined in order; NULL when nothing survives —
+    i.e. the whole document was seen earlier in the corpus).
+    """
+    pack = F.col(id_col).cast("long") * F.lit(1 << 20).cast("long") + F.col("__idx")
+    chunks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+        .withColumn("__n_tok", F.size("__toks"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, (__n_tok - 1) div {chunk_tokens}),"
+                    f" j -> array_join("
+                    f"slice(__toks, j * {chunk_tokens} + 1, {chunk_tokens}), ' '))"
+                )
+            ).alias("__idx", "__chunk"),
+        )
+    )
+    firsts = chunks.groupBy("__chunk").agg(F.min(pack).alias("__first"))
+    marked = chunks.join(firsts, "__chunk").withColumn(
+        "__kept", pack == F.col("__first")
+    )
+    kept_struct = F.when(
+        F.col("__kept"), F.struct(F.col("__idx"), F.col("__chunk"))
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("__kept").cast("long")).alias("kept_chunks"),
+        F.when(
+            F.sum(F.col("__kept").cast("long")) > 0,
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["__chunk"],
+                ),
+                " ",
+            ),
+        ).alias("cleaned_text"),
+    )

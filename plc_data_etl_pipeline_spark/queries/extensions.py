@@ -218,6 +218,89 @@ def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_substring",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(i AS BIGINT) AS pos,
+             array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS gram
+      FROM base, UNNEST(range(0, n_tok - 7)) AS t(i)
+    ),
+    dup_set AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+    covered AS (
+      SELECT g.doc_id, g.n_tok, g.pos, CAST(cp AS BIGINT) AS cp
+      FROM grams g JOIN dup_set USING (gram),
+           UNNEST(range(g.pos, g.pos + 8)) AS u(cp)
+    )
+    SELECT doc_id, MAX(n_tok) AS n_tok,
+           COUNT(DISTINCT pos) AS dup_grams,
+           COUNT(DISTINCT cp) AS covered_tokens
+    FROM covered GROUP BY doc_id
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring coverage (Lee et al. 2022,
+    arXiv:2107.06499) at 8-token-gram granularity: per document, how many
+    gram start positions are corpus-duplicated and how many token
+    positions those duplicated grams cover. The distributed stand-in for
+    the paper's suffix-array pass — see operators/dedup.py
+    substring_dup_spans for the plan-shape rationale."""
+    return D.substring_dup_spans(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=8
+    )
+
+
+@query(
+    "dedup_chunk_c4",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(j AS BIGINT) AS idx,
+             array_to_string(list_slice(toks, j * 16 + 1, j * 16 + 16), ' ')
+               AS chunk
+      FROM base, UNNEST(range(0, (n_tok - 1) // 16 + 1)) AS t(j)
+    ),
+    firsts AS (
+      SELECT chunk,
+             MIN(CAST(doc_id AS BIGINT) * 1048576 + idx) AS first_pack
+      FROM chunks GROUP BY chunk
+    ),
+    marked AS (
+      SELECT c.doc_id, c.idx, c.chunk,
+             (CAST(c.doc_id AS BIGINT) * 1048576 + c.idx = f.first_pack)
+               AS kept
+      FROM chunks c JOIN firsts f USING (chunk)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_chunks,
+           string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY idx)
+             AS cleaned_text
+    FROM marked GROUP BY doc_id
+    """,
+)
+def dedup_chunk_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-global keep-first unit dedup (Raffel et al. 2020,
+    arXiv:1910.10683), adapted to 16-token chunks (the driver corpus has
+    no line/sentence structure): each distinct chunk survives only at its
+    first (doc_id, idx) occurrence; later replicas are deleted and the
+    document is rebuilt from its surviving chunks. See
+    operators/dedup.py chunk_dedup."""
+    return D.chunk_dedup(
+        load(spark, sf_dir, "documents"), "doc_id", "text", chunk_tokens=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -903,3 +903,73 @@ def test_ivf_null_query_vector_is_skipped(spark):
     out = S.ivf_ann_topk(emb, query_max_id=5, k=3, n_cells=4, n_probe=2)
     got = {r.query_id for r in out.collect()}
     assert 0 not in got and got == {1, 2, 3, 4}
+
+
+def test_substring_dup_spans_planted(spark):
+    """Two docs share one 8-token run; a third is unique. Exact expected
+    coverage: the shared run of 10 tokens yields 3 duplicated gram starts
+    (10 - 8 + 1) covering all 10 positions in each doc."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " " + " ".join(f"a{i}" for i in range(6))),
+            (2, " ".join(f"b{i}" for i in range(6)) + " " + shared),
+            (3, " ".join(f"u{i}" for i in range(20))),  # unique
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.substring_dup_spans(docs, "doc_id", "text", k=8).collect()
+    }
+    assert set(out) == {1, 2}  # the unique doc reports nothing
+    for did, n_tok in [(1, 16), (2, 16)]:
+        assert out[did]["n_tok"] == n_tok
+        assert out[did]["dup_grams"] == 3
+        assert out[did]["covered_tokens"] == 10
+
+
+def test_substring_dup_spans_within_doc_repeat(spark):
+    """Lee et al. count a substring repeated WITHIN one document too."""
+    run = " ".join(f"r{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, run + " x0 x1 x2 " + run)], ["doc_id", "text"]
+    )
+    row = D.substring_dup_spans(docs, "doc_id", "text", k=8).collect()[0]
+    assert row["dup_grams"] == 2 and row["covered_tokens"] == 16
+
+
+def test_chunk_dedup_keep_first_semantics(spark):
+    """Doc 2 replays doc 1 exactly -> zero survivors, NULL cleaned_text;
+    doc 3 shares only its first 16-token chunk -> that chunk is deleted
+    and the tail survives in order."""
+    c0 = " ".join(f"c{i}" for i in range(16))
+    tail = " ".join(f"t{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, c0), (2, c0), (3, c0 + " " + tail)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.chunk_dedup(docs, "doc_id", "text", chunk_tokens=16).collect()
+    }
+    assert out[1]["kept_chunks"] == 1 and out[1]["cleaned_text"] == c0
+    assert out[2]["kept_chunks"] == 0 and out[2]["cleaned_text"] is None
+    assert out[3]["n_chunks"] == 3 and out[3]["kept_chunks"] == 2
+    # surviving chunks rejoin in positional order
+    assert out[3]["cleaned_text"] == tail
+
+
+def test_chunk_dedup_idempotent(spark):
+    """Running chunk dedup on its own cleaned output deletes nothing."""
+    c0 = " ".join(f"c{i}" for i in range(16))
+    tail = " ".join(f"t{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, c0), (2, c0 + " " + tail)], ["doc_id", "text"]
+    )
+    first = D.chunk_dedup(docs, "doc_id", "text", chunk_tokens=16)
+    cleaned = first.filter(F.col("cleaned_text").isNotNull()).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    second = D.chunk_dedup(cleaned, "doc_id", "text", chunk_tokens=16)
+    for r in second.collect():
+        assert r["kept_chunks"] == r["n_chunks"]

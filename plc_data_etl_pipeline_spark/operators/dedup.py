@@ -843,27 +843,46 @@ def substring_dup_spans(
     per document measures how much of the document is duplicated text
     (the paper's "fraction of tokens in a duplicate substring").
 
-    Plan shape (all JVM, no Python): split -> transform/sequence gram
-    builder (``sequence`` is guarded: Spark's sequence(0, n) DESCENDS for
-    n < 0) -> posexplode -> groupBy(gram) count (map-side partial absorbs
-    hot grams, unlike a window count which would single-task them) ->
-    equi-join grams back to the >= 2 set (AQE skew-split applies) ->
-    explode covered positions (x``k`` blowup of *duplicated* grams only)
-    -> per-doc distinct counts. Production note: the gram join key can be
-    narrowed to ``xxhash64(gram)`` for shuffle width; kept as the raw
-    gram here so the DuckDB oracle computes the identical set.
+    Plan shape (all JVM, no Python), built for the duplicate-heavy
+    corpora this operator exists for:
+
+    * **Exact-first star collapse** (same trick as minhash_dedup_pairs):
+      grams are generated once per DISTINCT text carrying its replica
+      count, never per document — at the sf5 audit regime (250k docs,
+      2% distinct) that is 50x less gram work. A gram's global
+      occurrence count is the replica-weighted sum, so within-text
+      repeats and cross-replica duplication count identically to the
+      naive per-doc expansion.
+    * groupBy(gram) weighted count (map-side partial absorbs hot grams,
+      unlike a window count which would single-task them) -> equi-join
+      grams back to the >= 2 set (AQE skew-split applies). The
+      ``sequence`` gram builder is guarded: Spark's sequence(0, n)
+      DESCENDS for n < 0.
+    * **Interval union via sorted gaps**, not a covered-position
+      explode: per text, covered = sum(min(k, pos - prev_pos)) over
+      pos-sorted duplicated grams (first gram contributes k). Exact,
+      and it replaces a x``k`` row blowup + two-countDistinct Expand
+      with one narrow window over text-grain partitions.
+    * Per-text stats fan back to documents with one equi-join on the
+      text (inner: dup coverage is a content property, identical for
+      every replica). Production note: the gram and text join keys can
+      be narrowed to ``xxhash64`` digests for shuffle width; kept raw
+      here so the DuckDB oracle computes the identical set.
 
     Returns one row per document that contains at least one duplicated
     gram: (id, n_tok, dup_grams, covered_tokens).
     """
-    base = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    docs = df.filter(F.col(text_col).isNotNull()).select(id_col, text_col)
+    dist = (
+        docs.groupBy(text_col)
+        .agg(F.count("*").alias("__rep"))
+        .withColumn("__toks", F.split(F.col(text_col), " "))
         .withColumn("__n_tok", F.size("__toks"))
         .filter(F.col("__n_tok") >= k)
     )
-    grams = base.select(
-        id_col,
+    grams = dist.select(
+        text_col,
+        "__rep",
         F.col("__n_tok").cast("long").alias("n_tok"),
         F.posexplode(
             F.expr(
@@ -874,20 +893,28 @@ def substring_dup_spans(
     ).withColumn("pos", F.col("__pos").cast("long"))
     dup_set = (
         grams.groupBy("__gram")
-        .agg(F.count("*").alias("__c"))
+        .agg(F.sum("__rep").alias("__c"))
         .filter(F.col("__c") >= 2)
         .select("__gram")
     )
-    covered = grams.join(dup_set, "__gram").select(
-        id_col,
-        "n_tok",
-        "pos",
-        F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("__cp"),
+    w = Window.partitionBy(text_col).orderBy("pos")
+    gap = F.coalesce(
+        F.least(F.lit(k).cast("long"), F.col("pos") - F.lag("pos").over(w)),
+        F.lit(k).cast("long"),
     )
-    return covered.groupBy(id_col).agg(
-        F.max("n_tok").alias("n_tok"),
-        F.countDistinct("pos").alias("dup_grams"),
-        F.countDistinct("__cp").alias("covered_tokens"),
+    per_text = (
+        grams.join(dup_set, "__gram")
+        .select(text_col, "n_tok", "pos")
+        .withColumn("__gap", gap)
+        .groupBy(text_col)
+        .agg(
+            F.max("n_tok").alias("n_tok"),
+            F.count("pos").alias("dup_grams"),
+            F.sum("__gap").alias("covered_tokens"),
+        )
+    )
+    return docs.join(per_text, text_col).select(
+        id_col, "n_tok", "dup_grams", "covered_tokens"
     )
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import fan_out, load
 from ..registry import query
 from ._conv import quant, sql_quant
 
@@ -289,4 +289,87 @@ def sample_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.filter(F.col("bucket16") < F.col("decile")).select(
         "doc_id", "n_chars", "decile", "bucket16"
+    )
+
+
+@query(
+    "sample_dsir_weights",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    v AS (SELECT word, COUNT(*) AS c_raw, SUM(is_t) AS c_t
+          FROM w GROUP BY word),
+    tot AS (SELECT CAST(SUM(c_raw) AS DOUBLE) AS r_tot,
+                   CAST(SUM(c_t) AS DOUBLE) AS t_tot,
+                   CAST(COUNT(*) AS DOUBLE) AS v_size
+            FROM v),
+    score AS (
+      SELECT w.doc_id, COUNT(*) AS n_words,
+             -- + 0.0 normalizes IEEE negative zero (the engines round a
+             -- tiny negative mean to -0.0 vs 0.0 inconsistently)
+             ROUND(AVG(LN(CAST(v.c_t + 1 AS DOUBLE) / (t_tot + v_size))
+                     - LN(CAST(v.c_raw + 1 AS DOUBLE) / (r_tot + v_size))),
+                   4) + 0.0 AS avg_log_ratio
+      FROM w JOIN v USING (word), tot
+      GROUP BY w.doc_id
+    )
+    SELECT doc_id, n_words, avg_log_ratio,
+           avg_log_ratio > 0 AS selected
+    FROM score
+    """,
+)
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169): score
+    every raw document by how much more likely its words are under the
+    TARGET distribution (here the lang='en' slice) than under the raw
+    pool — avg over words of ln p_target(w) - ln p_raw(w), both
+    add-1-smoothed unigram MLEs. The paper then Gumbel-resamples by
+    these weights; the deterministic analogue exported here is the
+    weight itself plus a selected = weight > 0 flag ("looks more
+    target-like than pool-like"), so the selection set is reproducible
+    and oracle-checkable.
+
+    Scale shape: ONE exploded scan produces both distributions (the
+    target count is a conditional sum in the same groupBy — no second
+    pass over the corpus); the grand totals are a one-row broadcast; the
+    word->counts lookup is a shuffle join on word (a web-scale vocab
+    outgrows a broadcast); the per-doc mean is the final keyed agg.
+    Round-4 absorbs cross-engine summation order, as in
+    text_unigram_logprob."""
+    d = fan_out(load(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    w = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_t"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    v = w.groupBy("word").agg(
+        F.count("*").alias("c_raw"), F.sum("is_t").alias("c_t")
+    )
+    tot = v.agg(
+        F.sum("c_raw").cast("double").alias("r_tot"),
+        F.sum("c_t").cast("double").alias("t_tot"),
+        F.count("*").cast("double").alias("v_size"),
+    )
+    ratio = F.log(
+        (F.col("c_t") + 1).cast("double") / (F.col("t_tot") + F.col("v_size"))
+    ) - F.log(
+        (F.col("c_raw") + 1).cast("double") / (F.col("r_tot") + F.col("v_size"))
+    )
+    return (
+        w.join(v, "word")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            # + 0.0 normalizes IEEE negative zero (see oracle comment)
+            (F.round(F.avg(ratio), 4) + F.lit(0.0)).alias("avg_log_ratio"),
+        )
+        .withColumn("selected", F.col("avg_log_ratio") > 0)
     )

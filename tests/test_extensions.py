@@ -973,3 +973,46 @@ def test_chunk_dedup_idempotent(spark):
     second = D.chunk_dedup(cleaned, "doc_id", "text", chunk_tokens=16)
     for r in second.collect():
         assert r["kept_chunks"] == r["n_chunks"]
+
+
+def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
+    """Docs made of target-exclusive words must outscore docs made of
+    pool-exclusive words, and the smoothed ratio must stay finite for
+    words absent from the target slice."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha beta alpha beta",   # en (target) vocabulary
+                "alpha beta beta alpha",   # en
+                "gamma delta gamma delta", # pool-only vocabulary
+                "alpha beta gamma delta",  # mixed, non-target doc
+            ],
+            "lang": ["en", "en", "fr", "fr"],
+            "source": ["s"] * 4,
+            "n_chars": [22] * 4,
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    from plc_data_etl_pipeline_spark.queries.curation import sample_dsir_weights
+
+    out = {
+        r["doc_id"]: r for r in sample_dsir_weights(spark, sf).collect()
+    }
+    # target-vocab docs score strictly above the pool-only doc
+    assert out[1]["avg_log_ratio"] > out[3]["avg_log_ratio"]
+    assert out[2]["avg_log_ratio"] > out[3]["avg_log_ratio"]
+    assert out[1]["selected"] and not out[3]["selected"]
+    # mixed doc lands strictly between
+    assert (
+        out[3]["avg_log_ratio"]
+        < out[4]["avg_log_ratio"]
+        < out[1]["avg_log_ratio"]
+    )
+    # smoothing keeps every weight finite
+    import math
+
+    assert all(math.isfinite(r["avg_log_ratio"]) for r in out.values())

@@ -53,6 +53,11 @@ HEADLINE = [
     "scalar_math",           # expression-heavy projection
     "dedup_exact",           # content dedup
     "dedup_minhash",         # MinHash+LSH fuzzy dedup
+    # dedup_substring is deliberately NOT here: its count-then-filter
+    #   gram pass is ~5 stage waves of pure scheduling floor at sf0.1
+    #   (1.1 s for 5k docs) while the real measurement lives at scale —
+    #   BASELINE.md "Sub-document dedup scaling": 250k docs 3.5 s, 1M
+    #   docs 5.4 s after the distinct-text star collapse.
     "text_wordcount",        # explode + count
     "text_quality",          # text feature extraction
     "text_char_entropy",     # char-class entropy (translate-based curation)

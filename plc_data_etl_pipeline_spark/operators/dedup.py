@@ -869,6 +869,16 @@ def substring_dup_spans(
       be narrowed to ``xxhash64`` digests for shuffle width; kept raw
       here so the DuckDB oracle computes the identical set.
 
+    Deliberate tradeoff: the gram subtree is evaluated twice (dup-set
+    build + probe). Exchange reuse cannot dedupe it — column pruning
+    specializes each branch's shuffle (verified: the probe carries
+    (text, n_tok, pos), the build only (gram, rep), so the exchanges
+    never canonicalize equal) — and persisting the gram set would
+    materialize ~``k``x the corpus bytes to executor storage, a loss at
+    scale against re-running a streaming split+explode over the much
+    smaller distinct-text relation. Measured with the recompute: 250k
+    docs 3.5 s, 1M docs 5.4 s (BASELINE.md).
+
     Returns one row per document that contains at least one duplicated
     gram: (id, n_tok, dup_grams, covered_tokens).
     """
@@ -939,6 +949,13 @@ def chunk_dedup(
     Returns per document: n_chunks, kept_chunks, and cleaned_text (the
     surviving chunks rejoined in order; NULL when nothing survives —
     i.e. the whole document was seen earlier in the corpus).
+
+    The chunk subtree is evaluated twice (firsts build + marked probe)
+    for the same reason documented in substring_dup_spans: pruned
+    shuffles never canonicalize equal for exchange reuse, and
+    materializing the full chunk set would cost corpus-scale storage
+    to save a streaming re-explode. Callers should fan_out()
+    single-split inputs (the registered query does).
     """
     pack = F.col(id_col).cast("long") * F.lit(1 << 20).cast("long") + F.col("__idx")
     chunks = (

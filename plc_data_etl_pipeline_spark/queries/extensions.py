@@ -295,9 +295,14 @@ def dedup_chunk_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     no line/sentence structure): each distinct chunk survives only at its
     first (doc_id, idx) occurrence; later replicas are deleted and the
     document is rebuilt from its surviving chunks. See
-    operators/dedup.py chunk_dedup."""
+    operators/dedup.py chunk_dedup. fan_out spreads the single-split
+    local fixture before the chunk explode (conditional — a no-op at
+    real-scale split counts)."""
     return D.chunk_dedup(
-        load(spark, sf_dir, "documents"), "doc_id", "text", chunk_tokens=16
+        fan_out(load(spark, sf_dir, "documents")),
+        "doc_id",
+        "text",
+        chunk_tokens=16,
     )
 
 

@@ -14,7 +14,11 @@ def summary(doc: str) -> str:
     first = doc.strip().replace("\n", " ")
     while "  " in first:
         first = first.replace("  ", " ")
+    # Sentence-split on ". ", skipping abbreviation periods (citations
+    # like "Lee et al. 2022" would otherwise truncate the summary).
     cut = first.find(". ")
+    while cut >= 0 and first[:cut].endswith(("et al", "e.g", "i.e", "vs", "arXiv")):
+        cut = first.find(". ", cut + 1)
     s = first if cut < 0 else first[: cut + 1]
     return s[:160] + "..." if len(s) > 160 else s
 

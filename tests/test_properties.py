@@ -405,3 +405,94 @@ def test_anomaly_seasonal_property(spark, tmp_path_factory, rows):
 @_SETTINGS
 def test_interp_linear_property(spark, tmp_path_factory, rows):
     _check_events_query(spark, tmp_path_factory, rows, "ts_interp_linear")
+
+
+# --- sub-document dedup: the star-collapse + interval-union rewrite is a
+# hand-derived algebraic transformation; pin it to a brute-force reference
+# over randomized token corpora (tiny alphabet -> dense collisions).
+
+WORD = st.sampled_from(["a", "b", "c"])
+DOC = st.lists(WORD, min_size=0, max_size=12).map(lambda ws: " ".join(ws))
+CORPUS = st.lists(DOC, min_size=0, max_size=8)
+
+
+def _brute_substring(texts: list[str], k: int):
+    """Naive per-doc k-gram duplicate coverage (the oracle semantics)."""
+    grams: dict[str, int] = {}
+    per_doc = []
+    for t in texts:
+        toks = t.split(" ")
+        spans = [
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        ] if len(toks) >= k else []
+        per_doc.append((toks, spans))
+        for g in spans:
+            grams[g] = grams.get(g, 0) + 1
+    out = {}
+    for doc_id, (toks, spans) in enumerate(per_doc):
+        dup_pos = [i for i, g in enumerate(spans) if grams[g] >= 2]
+        if not dup_pos:
+            continue
+        covered = set()
+        for i in dup_pos:
+            covered.update(range(i, i + k))
+        out[doc_id] = (len(toks), len(dup_pos), len(covered))
+    return out
+
+
+@given(texts=CORPUS, k=st.integers(min_value=2, max_value=4))
+@_SETTINGS
+def test_substring_dup_spans_matches_bruteforce(spark, texts, k):
+    from plc_data_etl_pipeline_spark.operators.dedup import substring_dup_spans
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)) or [(0, None)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["dup_grams"], r["covered_tokens"])
+        for r in substring_dup_spans(df, "doc_id", "text", k=k).collect()
+    }
+    want = _brute_substring(texts, k)
+    assert got == want
+
+
+def _brute_chunks(texts: list[str], width: int):
+    """Naive corpus-global keep-first chunk dedup."""
+    chunks = []  # (doc_id, idx, chunk)
+    for doc_id, t in enumerate(texts):
+        toks = t.split(" ")
+        n = (len(toks) - 1) // width + 1  # >=1 chunk even for 1 token
+        for j in range(n):
+            chunks.append((doc_id, j, " ".join(toks[j * width : (j + 1) * width])))
+    firsts = {}
+    for doc_id, j, c in chunks:
+        pack = doc_id * (1 << 20) + j
+        if c not in firsts or pack < firsts[c]:
+            firsts[c] = pack
+    out = {}
+    for doc_id, t in enumerate(texts):
+        mine = [(j, c) for d, j, c in chunks if d == doc_id]
+        kept = [
+            (j, c)
+            for j, c in mine
+            if firsts[c] == doc_id * (1 << 20) + j
+        ]
+        cleaned = " ".join(c for _, c in sorted(kept)) if kept else None
+        out[doc_id] = (len(mine), len(kept), cleaned)
+    return out
+
+
+@given(texts=CORPUS, width=st.integers(min_value=2, max_value=4))
+@_SETTINGS
+def test_chunk_dedup_matches_bruteforce(spark, texts, width):
+    from plc_data_etl_pipeline_spark.operators.dedup import chunk_dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)) or [(0, None)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["kept_chunks"], r["cleaned_text"])
+        for r in chunk_dedup(df, "doc_id", "text", chunk_tokens=width).collect()
+    }
+    want = _brute_chunks(texts, width)
+    assert got == want

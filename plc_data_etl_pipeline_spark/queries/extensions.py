@@ -1817,7 +1817,14 @@ def sim_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     e = load(spark, sf_dir, "embeddings")
-    path = os.path.join(tempfile.gettempdir(), "plc_etl_ivf_index")
+    # Session-scoped path: a fixed /tmp name let two concurrent Spark
+    # sessions (e.g. pytest + a driver sim on one box) clobber each
+    # other's _temporary dirs mid-write. applicationId is unique per
+    # session and stable within it.
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"plc_etl_ivf_index_{spark.sparkContext.applicationId}",
+    )
     shutil.rmtree(path, ignore_errors=True)
     S.build_ivf_index(e, path, n_cells=16)
     queries_ = [

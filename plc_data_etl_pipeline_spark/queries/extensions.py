@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, load
+from ..operators import clustering as _C
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
@@ -1525,6 +1526,24 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vectors stay internal — no array columns in declared output)."""
     e = load(spark, sf_dir, "embeddings")
     return S.semantic_dedup(e, threshold=0.95).select("vec_id", "label")
+
+
+@query("cluster_kmeans", oracle=_C.kmeans_oracle_sql(k=8, n_iter=3))
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class distributed k-means corpus clustering (Lloyd's): the
+    curation primitive behind topic balancing, cluster-proportional data
+    mixing, and SemDeDup/IVF cell structure — here surfaced as its own
+    oracle-checked operator rather than an internal of those paths.
+    k=8 cells, 3 Lloyd rounds, deterministic smallest-id init. Output:
+    every vector's final cell and squared-L2 distance to its centroid.
+    ORACLE-CHECKED (rare for iterative ML): every float op on both
+    engines runs the identical IEEE sequence — see
+    operators/clustering.py. Scale shape: assignment is a map-side
+    Arrow kernel (no join, no vector shuffle), each update collects
+    only k x dim doubles; fan_out spreads the one-split fixture so the
+    Arrow passes parallelize (conditional — real inputs skip it)."""
+    e = fan_out(load(spark, sf_dir, "embeddings"))
+    return _C.kmeans_lloyd(e, k=8, n_iter=3)
 
 
 @query(

@@ -1016,3 +1016,76 @@ def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
     import math
 
     assert all(math.isfinite(r["avg_log_ratio"]) for r in out.values())
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Four well-separated blobs: Lloyd must put every blob in one cell,
+    and distinct blobs in distinct cells (k=4, any labeling)."""
+    import numpy as np
+
+    from plc_data_etl_pipeline_spark.operators import clustering as C
+
+    rng = np.random.default_rng(11)
+    centers = np.array(
+        [[10.0] * 64, [-10.0] * 64, [10.0] * 32 + [-10.0] * 32, [0.0] * 64]
+    )
+    # Interleave ids (id % 4 == blob) so the deterministic smallest-id
+    # init seeds one centroid per blob — smallest-id init is the
+    # oracle-parity contract, and like any fixed init it cannot split a
+    # blob it never seeded (see kmeans_lloyd docstring).
+    rows = []
+    for b, mu in enumerate(centers):
+        for j in range(25):
+            v = mu + 0.1 * rng.standard_normal(64)
+            rows.append((j * 4 + b, [float(x) for x in v], b))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = C.kmeans_lloyd(emb, k=4, n_iter=3).collect()
+    by_blob: dict[int, set[int]] = {}
+    for r in out:
+        by_blob.setdefault(r["vec_id"] % 4, set()).add(r["cell"])
+    assert all(len(cells) == 1 for cells in by_blob.values()), by_blob
+    assert len({next(iter(c)) for c in by_blob.values()}) == 4
+    # tight blobs: every member sits close to its centroid
+    assert all(r["dist"] < 64 * 0.5 for r in out)
+
+
+def test_kmeans_exact_and_plain_folds_agree(spark):
+    """The production plain-SUM update mode must produce the same
+    assignments as the oracle-exact sequential-fold mode (float error
+    ~1e-13 relative never flips an argmin on real data)."""
+    from plc_data_etl_pipeline_spark.catalog import load
+    from plc_data_etl_pipeline_spark.operators import clustering as C
+
+    emb = load(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["vec_id"], r["cell"])
+        for r in C.kmeans_lloyd(emb, k=8, n_iter=3, exact_folds=True).collect()
+    }
+    plain = {
+        (r["vec_id"], r["cell"])
+        for r in C.kmeans_lloyd(
+            emb, k=8, n_iter=3, exact_folds=False
+        ).collect()
+    }
+    assert exact == plain
+
+
+def test_kmeans_null_vectors_excluded_zero_vectors_kept(spark):
+    """NULL embeddings drop (no distance defined); all-zero vectors are
+    legitimate L2 points and must cluster, unlike the cosine paths."""
+    from plc_data_etl_pipeline_spark.operators import clustering as C
+
+    rows = [
+        (0, [1.0] * 64),
+        (1, None),
+        (2, [0.0] * 64),
+        (3, [1.0] * 64),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in C.kmeans_lloyd(emb, k=2, n_iter=2).collect()}
+    assert set(out) == {0, 2, 3}
+    assert out[0]["cell"] == out[3]["cell"]
+    assert out[2]["cell"] != out[0]["cell"]
+    assert out[2]["dist"] == 0.0

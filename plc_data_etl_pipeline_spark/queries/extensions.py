@@ -1528,6 +1528,71 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup(e, threshold=0.95).select("vec_id", "label")
 
 
+@query(
+    "text_quality_classifier",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    f AS (
+      SELECT doc_id,
+             list_concat(w, [w[i] || ' ' || w[i + 1]
+                             FOR i IN range(1, len(w))]) AS feats
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id, len(feats) AS n_feats,
+             list_reduce(
+               [CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 2001 - 1000
+                FOR x IN feats],
+               (a, b) -> a + b) AS wsum
+      FROM f
+    )
+    SELECT doc_id, n_feats,
+           -- + 0.0 normalizes IEEE negative zero after ROUND
+           ROUND(CAST(wsum AS DOUBLE) / 1000.0 / CAST(n_feats AS DOUBLE), 6)
+             + 0.0 AS score,
+           CAST(wsum AS DOUBLE) / 1000.0 / CAST(n_feats AS DOUBLE)
+             > 0.02 AS keep
+    FROM s
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text-classifier inference with hashed features — the
+    fastText-style model-based quality gate (Joulin et al. 2016,
+    arXiv:1607.01759) used by CCNet/LLaMA-style curation to score every
+    document: unigram + word-bigram features hash to weight-table slots,
+    the document score is the mean feature weight, keep = score above a
+    margin. The WEIGHTS here are a deterministic md5-derived stand-in
+    (no trained model ships in this env — same honesty contract as the
+    multimodal decode stub); the plumbing IS the real inference shape:
+    feature hashing, table lookup, mean pooling, thresholding, all
+    JVM-side in one pass with zero shuffles (no UDF — hashing is md5 +
+    conv, pooling an integer fold). Oracle-checkable because weights
+    stay INTEGER until two exact final divisions: the feature-weight sum
+    is an order-free exact BIGINT, immune to float reassociation. At
+    100 TB a real model's weight table broadcasts instead; the scan
+    shape is unchanged."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    feats = F.concat(words, D.word_shingles(words, 2))
+    weights = F.transform(
+        feats,
+        lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+        % 2001
+        - 1000,
+    )
+    wsum = F.aggregate(weights, F.lit(0).cast("long"), lambda a, b: a + b)
+    n = F.size(feats)
+    score = F.try_divide(
+        F.try_divide(wsum.cast("double"), F.lit(1000.0)), n.cast("double")
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_feats"),
+        (F.round(score, 6) + F.lit(0.0)).alias("score"),
+        (score > 0.02).alias("keep"),
+    )
+
+
 @query("cluster_kmeans", oracle=_C.kmeans_oracle_sql(k=8, n_iter=3))
 def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-class distributed k-means corpus clustering (Lloyd's): the

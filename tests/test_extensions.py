@@ -1089,3 +1089,39 @@ def test_kmeans_null_vectors_excluded_zero_vectors_kept(spark):
     assert out[0]["cell"] == out[3]["cell"]
     assert out[2]["cell"] != out[0]["cell"]
     assert out[2]["dist"] == 0.0
+
+
+def test_quality_classifier_matches_hand_computation(spark, tmp_path):
+    """The hashed-linear-classifier score equals a pure-Python
+    recomputation of the same feature hashing + mean pooling."""
+    import hashlib
+
+    from plc_data_etl_pipeline_spark.queries.extensions import (
+        text_quality_classifier,
+    )
+
+    text = "alpha beta gamma"
+    docs_pd = __import__("pandas").DataFrame(
+        {
+            "doc_id": [1],
+            "text": [text],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [len(text)],
+        }
+    )
+    sf = str(tmp_path)
+    docs_pd.to_parquet(f"{sf}/documents.parquet")
+    words = text.split(" ")
+    feats = words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+
+    def weight(f):
+        h = int(hashlib.md5(f.encode()).hexdigest()[:8], 16)
+        return h % 2001 - 1000
+
+    wsum = sum(weight(f) for f in feats)
+    expected = round(wsum / 1000.0 / len(feats), 6)
+    row = text_quality_classifier(spark, sf).collect()[0]
+    assert row["n_feats"] == 5
+    assert row["score"] == expected
+    assert row["keep"] == (wsum / 1000.0 / len(feats) > 0.02)

@@ -789,3 +789,71 @@ def bpe_encode(
         return pd.Series(out, dtype="Int64")
 
     return docs.withColumn("n_bpe_tokens", count_tokens(F.col(text_col)))
+
+
+# --- HTML -> text extraction (web-corpus ingestion stage) ------------------
+
+# Single-pass entity decode order: named/numeric entities first, &amp;
+# LAST — decoding &amp; first would turn '&amp;lt;' into '<' (the classic
+# double-decode bug). Shared by the engine chain and the oracle twin.
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def synthesize_html(documents: DataFrame) -> DataFrame:
+    """Wrap each fixture document in a deterministic HTML page — the
+    stand-in for crawled web pages (same honesty contract as
+    ``multimodal.synthesize_media``): a title derived from doc_id, a
+    <style> and a <script> block whose contents must NOT leak into the
+    extraction, boilerplate <nav>, the document text in a <p>, and an
+    entity-bearing trailer exercising the decode table."""
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "</title><style>p{color:red}</style>"
+            '<script>var t = "evil&tracker";</script></head>'
+            "<body><nav>Home &amp; About</nav><p>"
+        ),
+        F.col("text"),
+        F.lit(
+            "</p><p>Tom &amp; Jerry &lt;3 &quot;quoted&quot;&nbsp;text</p>"
+            "</body></html>"
+        ),
+    )
+    return documents.select("doc_id", F.col("text").alias("source_text"),
+                            html.alias("html"))
+
+
+def html_extract(html: Column) -> Column:
+    """Boilerplate-stripping HTML->text extraction (the trafilatura-
+    shaped ingestion stage, reduced to its deterministic core): drop
+    <script>/<style> subtrees wholesale, strip remaining tags, decode
+    entities, collapse whitespace. Pure JVM regexp/replace chain — one
+    codegen'd projection, no UDF, and every regex is in the common
+    Java-regex/RE2 subset (lazy ``.*?`` yes, backreferences no, and an
+    explicit ``[ \\t\\n\\r]`` class because Java's \\s and RE2's \\s
+    disagree on vertical tab)."""
+    s = F.regexp_replace(html, "<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, "<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, "<[^>]*>", " ")
+    for ent, ch in HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, "[ \\t\\n\\r]+", " "))
+
+
+def sql_html_extract(expr: str) -> str:
+    """DuckDB twin of :func:`html_extract` — identical op sequence."""
+    s = f"regexp_replace({expr}, '<script[^>]*>.*?</script>', ' ', 'g')"
+    s = f"regexp_replace({s}, '<style[^>]*>.*?</style>', ' ', 'g')"
+    s = f"regexp_replace({s}, '<[^>]*>', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        s = f"replace({s}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({s}, '[ \\t\\n\\r]+', ' ', 'g'))"

@@ -821,3 +821,113 @@ def dq_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.sum(is_anom.cast("int")).cast("bigint").alias("n_anomalies"),
     )
+
+
+@query(
+    "event_attribution",
+    oracle="""
+    WITH j AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS conv_cents,
+             MIN(rn) AS fp_rn
+      FROM j WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    first_t AS (
+      SELECT user_id, arg_min(event_type, rn) AS first_touch
+      FROM j WHERE event_type <> 'purchase' GROUP BY user_id
+    ),
+    last_t AS (
+      SELECT t.user_id, arg_max(t.event_type, t.rn) AS last_touch
+      FROM j t JOIN conv c ON t.user_id = c.user_id AND t.rn < c.fp_rn
+      WHERE t.event_type <> 'purchase'
+      GROUP BY t.user_id
+    ),
+    base AS (
+      SELECT c.user_id, c.conv_cents,
+             COALESCE(f.first_touch, 'direct') AS first_touch,
+             COALESCE(l.last_touch, 'direct') AS last_touch
+      FROM conv c
+      LEFT JOIN first_t f ON c.user_id = f.user_id
+      LEFT JOIN last_t l ON c.user_id = l.user_id
+    )
+    SELECT model, channel, n_users,
+           CAST(cents AS DOUBLE) / 100 AS attributed_value
+    FROM (
+      SELECT 'first_touch' AS model, first_touch AS channel,
+             COUNT(*) AS n_users, SUM(conv_cents) AS cents
+      FROM base GROUP BY first_touch
+      UNION ALL
+      SELECT 'last_touch', last_touch, COUNT(*), SUM(conv_cents)
+      FROM base GROUP BY last_touch
+    )
+    """,
+)
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style conversion attribution over user journeys — the
+    analytics shape every event warehouse grows next to funnels and
+    retention: credit each converting user's total purchase value to a
+    channel under two models at once. first_touch = the user's earliest
+    non-purchase event type; last_touch = the latest non-purchase type
+    STRICTLY BEFORE the first purchase (users who purchase with no prior
+    touch credit 'direct'). One row_number window (ts, event_id — the
+    unique tiebreak the minute-quantized adversarial fixture requires),
+    then three aggregations and two joins ALL keyed on user_id, so every
+    exchange reuses the same hash partitioning; channel rollups shuffle
+    k rows. NULL event types drop out of both the touch and conversion
+    sides identically in both engines (<> and = are NULL-rejecting);
+    NULL purchase values are skipped by SUM on both sides. Money follows
+    the exact integer-cents convention (queries/_conv.py)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    j = ev.select(
+        "user_id", "event_type", "value", F.row_number().over(w).alias("rn")
+    )
+    is_p = F.col("event_type") == "purchase"
+    conv = j.filter(is_p).groupBy("user_id").agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+        ).alias("conv_cents"),
+        F.min("rn").alias("fp_rn"),
+    )
+    touches = j.filter(F.col("event_type") != "purchase")
+    first_t = touches.groupBy("user_id").agg(
+        F.min_by("event_type", "rn").alias("first_touch")
+    )
+    last_t = (
+        touches.join(conv.select("user_id", "fp_rn"), "user_id")
+        .filter(F.col("rn") < F.col("fp_rn"))
+        .groupBy("user_id")
+        .agg(F.max_by("event_type", "rn").alias("last_touch"))
+    )
+    base = (
+        conv.join(first_t, "user_id", "left")
+        .join(last_t, "user_id", "left")
+        .select(
+            "conv_cents",
+            F.coalesce("first_touch", F.lit("direct")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("direct")).alias("last_touch"),
+        )
+    )
+
+    def rollup(channel_col: str, model: str) -> DataFrame:
+        return base.groupBy(F.col(channel_col).alias("channel")).agg(
+            F.count("*").alias("n_users"),
+            (F.sum("conv_cents").cast("double") / 100).alias(
+                "attributed_value"
+            ),
+        ).select(
+            F.lit(model).alias("model"),
+            "channel",
+            "n_users",
+            "attributed_value",
+        )
+
+    return rollup("first_touch", "first_touch").unionByName(
+        rollup("last_touch", "last_touch")
+    )

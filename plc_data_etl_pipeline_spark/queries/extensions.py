@@ -1529,6 +1529,61 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_html_extract",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, text AS source_text,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || '</title><style>p{{color:red}}</style>'
+             || '<script>var t = "evil&tracker";</script></head>'
+             || '<body><nav>Home &amp; About</nav><p>'
+             || text
+             || '</p><p>Tom &amp; Jerry &lt;3 &quot;quoted&quot;'
+             || '&nbsp;text</p></body></html>' AS html
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id, source_text, html,
+             {T.sql_html_extract('html')} AS body
+      FROM h
+    )
+    SELECT doc_id,
+           regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+           body,
+           strpos(body, source_text) > 0 AS contains_source,
+           LENGTH(body) AS n_chars
+    FROM x
+    """,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus ingestion stage: HTML -> clean text extraction (the
+    trafilatura-shaped step every crawled-data pipeline runs first),
+    over deterministically synthesized pages wrapping the fixture
+    documents (same stand-in honesty contract as the multimodal decode
+    stub — no crawl ships in this env; the extraction chain is real).
+    Steps: drop <script>/<style> subtrees wholesale (tracker/style
+    content must NOT leak into training text), strip remaining tags,
+    single-pass entity decode (&amp; decoded LAST — the classic
+    double-decode bug), collapse whitespace. One codegen'd JVM
+    regexp/replace projection, zero shuffles, no UDF; patterns stay in
+    the Java-regex/RE2 common subset so the oracle is bit-identical.
+    contains_source audits that the original text survives extraction
+    intact."""
+    d = load(spark, sf_dir, "documents")
+    h = T.synthesize_html(d)
+    body = T.html_extract(F.col("html"))
+    return h.select(
+        "doc_id",
+        F.regexp_extract("html", "<title>([^<]*)</title>", 1).alias("title"),
+        body.alias("body"),
+        (F.position(F.col("source_text"), body) > 0).alias(
+            "contains_source"
+        ),
+        F.length(body).cast("bigint").alias("n_chars"),
+    )
+
+
+@query(
     "text_quality_classifier",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -1125,3 +1125,36 @@ def test_quality_classifier_matches_hand_computation(spark, tmp_path):
     assert row["n_feats"] == 5
     assert row["score"] == expected
     assert row["keep"] == (wsum / 1000.0 / len(feats) > 0.02)
+
+
+def test_html_extract_strips_boilerplate_and_decodes_entities(spark):
+    """Script/style/tag content must never leak into training text;
+    entities decode once (no &amp;lt; double-decode); NULLs propagate."""
+    from plc_data_etl_pipeline_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "literal &amp;lt; stays lt"),  # double-decode trap
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    h = T.synthesize_html(docs)
+    out = {
+        r["doc_id"]: r
+        for r in h.select(
+            "doc_id", T.html_extract(F.col("html")).alias("body")
+        ).collect()
+    }
+    body1 = out[1]["body"]
+    assert "alpha beta" in body1
+    for leaked in ("evil", "tracker", "color:red", "script", "nav"):
+        assert leaked not in body1, f"boilerplate leaked: {leaked}"
+    assert 'Tom & Jerry <3 "quoted" text' in body1
+    assert "Home & About" in body1
+    assert "  " not in body1  # whitespace collapsed
+    # &amp;lt; decodes to &lt; exactly once, never to '<'
+    assert "&lt; stays lt" in out[2]["body"]
+    assert "< stays lt" not in out[2]["body"].replace("&lt;", "")
+    assert out[3]["body"] is None

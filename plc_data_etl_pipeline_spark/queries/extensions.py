@@ -1568,8 +1568,11 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp/replace projection, zero shuffles, no UDF; patterns stay in
     the Java-regex/RE2 common subset so the oracle is bit-identical.
     contains_source audits that the original text survives extraction
-    intact."""
-    d = load(spark, sf_dir, "documents")
+    intact. fan_out spreads the few-split fixture scan across the
+    session's parallelism — the regex chain is the per-row-heavy stage
+    (sf20: 3 input splits left 29 cores idle; conditional, so
+    real-scale inputs skip the extra shuffle)."""
+    d = fan_out(load(spark, sf_dir, "documents"))
     h = T.synthesize_html(d)
     body = T.html_extract(F.col("html"))
     return h.select(

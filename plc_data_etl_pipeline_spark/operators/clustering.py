@@ -157,7 +157,12 @@ def kmeans_lloyd(
     per round. NULL vectors are excluded up front (no distance is
     defined); zero vectors are legitimate L2 points and participate.
     """
-    valid = emb.filter(F.col(vec_col).isNotNull())
+    # Persist across the n_iter+1 separate driver actions: without it
+    # every collect re-runs the scan (and any upstream fan_out shuffle)
+    # from scratch — ReusedExchange can't help across actions. Released
+    # before returning, so the caller's one final action re-scans once
+    # and nothing leaks into the session's block manager.
+    valid = emb.filter(F.col(vec_col).isNotNull()).persist()
     init = valid.orderBy(id_col).limit(k).select(vec_col).collect()
     cents: Centroids = [
         (i, [float(x) for x in r[0]]) for i, r in enumerate(init)
@@ -167,6 +172,7 @@ def kmeans_lloyd(
             "best", kmeans_assign_arrow(cents)(F.col(vec_col))
         )
         cents = _update_centroids(assigned, id_col, vec_col, exact_folds)
+    valid.unpersist(blocking=False)
     final = valid.withColumn(
         "best", kmeans_assign_arrow(cents)(F.col(vec_col))
     )
@@ -180,7 +186,6 @@ def kmeans_lloyd(
 def kmeans_oracle_sql(
     k: int = 8,
     n_iter: int = 3,
-    dim: int = 64,
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -188,12 +193,14 @@ def kmeans_oracle_sql(
     """The DuckDB twin of :func:`kmeans_lloyd`, unrolled to ``n_iter``
     assignment/update CTE pairs. Every float op mirrors the engine's
     sequence exactly (see module docstring), so the hash compare is
-    deterministic, not luck."""
+    deterministic, not luck. The distance fold ranges over ``len(v)``
+    (like the update CTEs already do) rather than a hardcoded dim, so
+    the twin stays correct for any vector width."""
 
     def dist(v: str, c: str) -> str:
         return (
             f"list_reduce([({v}[i] - {c}[i]) * ({v}[i] - {c}[i]) "
-            f"FOR i IN range(1, {dim} + 1)], (a, b) -> a + b)"
+            f"FOR i IN range(1, len({v}) + 1)], (a, b) -> a + b)"
         )
 
     parts = [

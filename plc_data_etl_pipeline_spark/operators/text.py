@@ -837,11 +837,15 @@ def html_extract(html: Column) -> Column:
     <script>/<style> subtrees wholesale, strip remaining tags, decode
     entities, collapse whitespace. Pure JVM regexp/replace chain — one
     codegen'd projection, no UDF, and every regex is in the common
-    Java-regex/RE2 subset (lazy ``.*?`` yes, backreferences no, and an
-    explicit ``[ \\t\\n\\r]`` class because Java's \\s and RE2's \\s
-    disagree on vertical tab)."""
-    s = F.regexp_replace(html, "<script[^>]*>.*?</script>", " ")
-    s = F.regexp_replace(s, "<style[^>]*>.*?</style>", " ")
+    Java-regex/RE2 subset (lazy ``.*?`` yes, ``(?is)`` flags yes,
+    backreferences no, and an explicit ``[ \\t\\n\\r]`` class because
+    Java's \\s and RE2's \\s disagree on vertical tab). The subtree
+    drops are ``(?is)`` — case-insensitive and DOTALL — because real
+    pages write ``<SCRIPT>`` and multi-line bodies, and without DOTALL
+    the lazy match stops at a newline, the generic tag strip then eats
+    only the tags, and the raw JS/CSS body leaks into training text."""
+    s = F.regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, "(?is)<style[^>]*>.*?</style>", " ")
     s = F.regexp_replace(s, "<[^>]*>", " ")
     for ent, ch in HTML_ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(ch))
@@ -850,8 +854,8 @@ def html_extract(html: Column) -> Column:
 
 def sql_html_extract(expr: str) -> str:
     """DuckDB twin of :func:`html_extract` — identical op sequence."""
-    s = f"regexp_replace({expr}, '<script[^>]*>.*?</script>', ' ', 'g')"
-    s = f"regexp_replace({s}, '<style[^>]*>.*?</style>', ' ', 'g')"
+    s = f"regexp_replace({expr}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    s = f"regexp_replace({s}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
     s = f"regexp_replace({s}, '<[^>]*>', ' ', 'g')"
     for ent, ch in HTML_ENTITIES:
         lit = ch.replace("'", "''")

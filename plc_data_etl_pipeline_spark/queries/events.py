@@ -838,23 +838,20 @@ def dq_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
              MIN(rn) AS fp_rn
       FROM j WHERE event_type = 'purchase' GROUP BY user_id
     ),
-    first_t AS (
-      SELECT user_id, arg_min(event_type, rn) AS first_touch
-      FROM j WHERE event_type <> 'purchase' GROUP BY user_id
-    ),
-    last_t AS (
-      SELECT t.user_id, arg_max(t.event_type, t.rn) AS last_touch
+    pre AS (
+      SELECT t.user_id,
+             arg_min(t.event_type, t.rn) AS first_touch,
+             arg_max(t.event_type, t.rn) AS last_touch
       FROM j t JOIN conv c ON t.user_id = c.user_id AND t.rn < c.fp_rn
       WHERE t.event_type <> 'purchase'
       GROUP BY t.user_id
     ),
     base AS (
       SELECT c.user_id, c.conv_cents,
-             COALESCE(f.first_touch, 'direct') AS first_touch,
-             COALESCE(l.last_touch, 'direct') AS last_touch
+             COALESCE(p.first_touch, 'direct') AS first_touch,
+             COALESCE(p.last_touch, 'direct') AS last_touch
       FROM conv c
-      LEFT JOIN first_t f ON c.user_id = f.user_id
-      LEFT JOIN last_t l ON c.user_id = l.user_id
+      LEFT JOIN pre p ON c.user_id = p.user_id
     )
     SELECT model, channel, n_users,
            CAST(cents AS DOUBLE) / 100 AS attributed_value
@@ -872,14 +869,17 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marketing-style conversion attribution over user journeys — the
     analytics shape every event warehouse grows next to funnels and
     retention: credit each converting user's total purchase value to a
-    channel under two models at once. first_touch = the user's earliest
-    non-purchase event type; last_touch = the latest non-purchase type
-    STRICTLY BEFORE the first purchase (users who purchase with no prior
-    touch credit 'direct'). One row_number window (ts, event_id — the
-    unique tiebreak the minute-quantized adversarial fixture requires),
-    then three aggregations and two joins ALL keyed on user_id, so every
-    exchange reuses the same hash partitioning; channel rollups shuffle
-    k rows. NULL event types drop out of both the touch and conversion
+    channel under two models at once. Both models score only
+    PRE-CONVERSION touches (non-purchase events strictly before the
+    user's first purchase — a touch seen after converting can't have
+    caused it): first_touch = the earliest such type, last_touch = the
+    latest; users who purchase with no prior touch credit 'direct'
+    under both. One row_number window (ts, event_id — the unique
+    tiebreak the minute-quantized adversarial fixture requires), then
+    one conversion aggregate, one shared pre-conversion aggregate
+    (min_by and max_by in the same pass) and one join, ALL keyed on
+    user_id so every exchange reuses the same hash partitioning;
+    channel rollups shuffle k rows. NULL event types drop out of both the touch and conversion
     sides identically in both engines (<> and = are NULL-rejecting);
     NULL purchase values are skipped by SUM on both sides. Money follows
     the exact integer-cents convention (queries/_conv.py)."""
@@ -895,24 +895,20 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("conv_cents"),
         F.min("rn").alias("fp_rn"),
     )
-    touches = j.filter(F.col("event_type") != "purchase")
-    first_t = touches.groupBy("user_id").agg(
-        F.min_by("event_type", "rn").alias("first_touch")
-    )
-    last_t = (
-        touches.join(conv.select("user_id", "fp_rn"), "user_id")
+    pre = (
+        j.filter(F.col("event_type") != "purchase")
+        .join(conv.select("user_id", "fp_rn"), "user_id")
         .filter(F.col("rn") < F.col("fp_rn"))
         .groupBy("user_id")
-        .agg(F.max_by("event_type", "rn").alias("last_touch"))
-    )
-    base = (
-        conv.join(first_t, "user_id", "left")
-        .join(last_t, "user_id", "left")
-        .select(
-            "conv_cents",
-            F.coalesce("first_touch", F.lit("direct")).alias("first_touch"),
-            F.coalesce("last_touch", F.lit("direct")).alias("last_touch"),
+        .agg(
+            F.min_by("event_type", "rn").alias("first_touch"),
+            F.max_by("event_type", "rn").alias("last_touch"),
         )
+    )
+    base = conv.join(pre, "user_id", "left").select(
+        "conv_cents",
+        F.coalesce("first_touch", F.lit("direct")).alias("first_touch"),
+        F.coalesce("last_touch", F.lit("direct")).alias("last_touch"),
     )
 
     def rollup(channel_col: str, model: str) -> DataFrame:

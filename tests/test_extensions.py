@@ -1158,3 +1158,28 @@ def test_html_extract_strips_boilerplate_and_decodes_entities(spark):
     assert "&lt; stays lt" in out[2]["body"]
     assert "< stays lt" not in out[2]["body"].replace("&lt;", "")
     assert out[3]["body"] is None
+
+
+def test_html_extract_multiline_and_uppercase_script(spark):
+    """Real pages write <SCRIPT> and multi-line bodies; the (?is)
+    subtree drop must strip them on BOTH engines (without DOTALL the
+    lazy match stops at a newline and the JS body leaks)."""
+    import duckdb
+
+    from plc_data_etl_pipeline_spark.operators import text as T
+
+    html = (
+        '<html><head><SCRIPT type="text/javascript">\n'
+        "var tracker = 1;\nsend(tracker);\n</SCRIPT>"
+        "<STYLE>\nbody { color: red }\n</STYLE></head>"
+        "<body><p>keep this\ntext</p></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    body = df.select(T.html_extract(F.col("html")).alias("b")).collect()[0][
+        "b"
+    ]
+    assert body == "keep this text"
+    dd = duckdb.connect().execute(
+        f"SELECT {T.sql_html_extract('?')}", [html]
+    ).fetchone()[0]
+    assert dd == body

@@ -928,6 +928,31 @@ def substring_dup_spans(
     )
 
 
+def _token_chunks(
+    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int
+) -> DataFrame:
+    """Explode each document into fixed-width non-overlapping token
+    chunks: ``(id_col, __idx, __chunk)``. The shared unitization step of
+    chunk_dedup (C4 keep-first) and common_chunk_filter (CCNet-style
+    boilerplate drop) — the driver corpus has no line/sentence structure,
+    so fixed token windows stand in for those natural units."""
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+        .withColumn("__n_tok", F.size("__toks"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, (__n_tok - 1) div {chunk_tokens}),"
+                    f" j -> array_join("
+                    f"slice(__toks, j * {chunk_tokens} + 1, {chunk_tokens}), ' '))"
+                )
+            ).alias("__idx", "__chunk"),
+        )
+    )
+
+
 def chunk_dedup(
     df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 16
 ) -> DataFrame:
@@ -958,21 +983,7 @@ def chunk_dedup(
     single-split inputs (the registered query does).
     """
     pack = F.col(id_col).cast("long") * F.lit(1 << 20).cast("long") + F.col("__idx")
-    chunks = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
-        .withColumn("__n_tok", F.size("__toks"))
-        .select(
-            id_col,
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, (__n_tok - 1) div {chunk_tokens}),"
-                    f" j -> array_join("
-                    f"slice(__toks, j * {chunk_tokens} + 1, {chunk_tokens}), ' '))"
-                )
-            ).alias("__idx", "__chunk"),
-        )
-    )
+    chunks = _token_chunks(df, id_col, text_col, chunk_tokens)
     firsts = chunks.groupBy("__chunk").agg(F.min(pack).alias("__first"))
     marked = chunks.join(firsts, "__chunk").withColumn(
         "__kept", pack == F.col("__first")
@@ -985,6 +996,63 @@ def chunk_dedup(
         F.sum(F.col("__kept").cast("long")).alias("kept_chunks"),
         F.when(
             F.sum(F.col("__kept").cast("long")) > 0,
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["__chunk"],
+                ),
+                " ",
+            ),
+        ).alias("cleaned_text"),
+    )
+
+
+def common_chunk_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """CCNet-style corpus-frequency boilerplate removal (Wenzek et al.
+    2020, arXiv:1911.00359 §3.1 paragraph dedup; RefinedWeb, Penedo et
+    al. 2023, arXiv:2306.01116, line-wise corrections): a unit that
+    occurs in ``min_docs`` or more DISTINCT documents is boilerplate
+    (headers, footers, cookie banners) and is deleted from EVERY
+    document — unlike C4 keep-first (chunk_dedup), which preserves one
+    copy. Unit = fixed ``chunk_tokens``-token chunk (shared
+    _token_chunks; the corpus has no line structure).
+
+    Plan shape: document frequency is a two-level aggregation —
+    (chunk, doc) distinct partial first, then a count per chunk — so a
+    chunk repeated inside one document counts once and no countDistinct
+    Expand doubles the exploded stream. The frequency relation (distinct
+    chunks above threshold only, one short string each) left-joins back
+    onto a streaming re-explode of the corpus; survivors rebuild the
+    document ordered by chunk index. No window over the corpus, no
+    all-pairs anything; every shuffle key is the chunk hash or the doc
+    id. Returns per document: n_chunks, dropped_chunks, cleaned_text
+    (NULL when every chunk was boilerplate).
+    """
+    chunks = _token_chunks(df, id_col, text_col, chunk_tokens)
+    common = (
+        chunks.select("__chunk", id_col)
+        .dropDuplicates()
+        .groupBy("__chunk")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__chunk", F.lit(True).alias("__common"))
+    )
+    marked = chunks.join(common, "__chunk", "left")
+    kept_struct = F.when(
+        F.col("__common").isNull(), F.struct(F.col("__idx"), F.col("__chunk"))
+    )
+    dropped = F.sum(F.coalesce(F.col("__common"), F.lit(False)).cast("long"))
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        dropped.alias("dropped_chunks"),
+        F.when(
+            F.count("*") > dropped,
             F.array_join(
                 F.transform(
                     F.array_sort(F.collect_list(kept_struct)),

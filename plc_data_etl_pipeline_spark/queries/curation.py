@@ -373,3 +373,71 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("selected", F.col("avg_log_ratio") > 0)
     )
+
+
+@query(
+    "pack_shard_manifest",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id // 64 AS shard_id,
+             coalesce(text, '') AS t,
+             CASE WHEN text IS NULL THEN 0
+                  ELSE len(string_split(text, ' ')) END AS n_tok
+      FROM documents
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(t)) AS BIGINT) AS n_chars,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id,
+           md5(string_agg(md5(t), '' ORDER BY md5(t))) AS shard_digest
+    FROM d GROUP BY shard_id
+    """,
+)
+def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: assign every document to a fixed-size
+    shard (64 docs at fixture scale; thousands in production),
+    contiguous on the monotone ingest key for sequential read locality — the WebDataset / tar-shard layout,
+    Aizman et al. 2019, arXiv:2001.01858) and emit the per-shard
+    manifest a trainer needs for resumable, verifiable epochs: doc and
+    token and char counts, the id range, and a content digest. The
+    digest is md5 over the SORTED per-doc md5s — order-insensitive, so
+    any engine (or a re-run with different parallelism) producing the
+    same document set produces the same digest; that is the integrity
+    check a 100 TB shard store runs before shipping shards to trainers.
+
+    Scale shape: one scan, one keyed shuffle on shard_id; every stat
+    except the digest is map-side combinable, and the digest's
+    collect_list is bounded by the shard size (shard_docs x 32 bytes). For
+    non-dense ingest keys swap the range assignment for
+    pmod(xxhash64(key), n_shards) — same plan, hash instead of range;
+    the range form is used here because it is cross-engine exact.
+    NULL-text documents count as zero-token members with the digest of
+    the empty string, so the manifest still accounts for every row."""
+    d = load(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    n_tok = (
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(F.split("text", " ")))
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.expr("doc_id div 64").alias("shard_id"),
+            t.alias("t"),
+            n_tok.alias("n_tok"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(F.length("t")).cast("bigint").alias("n_chars"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list(F.md5("t"))), "")
+            ).alias("shard_digest"),
+        )
+    )

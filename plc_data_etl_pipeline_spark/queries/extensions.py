@@ -307,6 +307,52 @@ def dedup_chunk_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_common_chunks",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(j AS BIGINT) AS idx,
+             array_to_string(list_slice(toks, j * 8 + 1, j * 8 + 8), ' ')
+               AS chunk
+      FROM base, UNNEST(range(0, (n_tok - 1) // 8 + 1)) AS t(j)
+    ),
+    freq AS (
+      SELECT chunk FROM (SELECT DISTINCT chunk, doc_id FROM chunks)
+      GROUP BY chunk HAVING COUNT(*) >= 3
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN f.chunk IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_chunks,
+           string_agg(CASE WHEN f.chunk IS NULL THEN c.chunk END,
+                      ' ' ORDER BY c.idx) AS cleaned_text
+    FROM chunks c LEFT JOIN freq f USING (chunk)
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_common_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal (Wenzek et al. 2020,
+    arXiv:1911.00359): drop EVERY occurrence of any 8-token chunk that
+    appears in >= 3 distinct documents — the corpus-frequency
+    complement of dedup_chunk_c4's keep-first rule (C4 keeps one copy;
+    CCNet's paragraph dedup and RefinedWeb's line-wise corrections
+    delete all copies of over-common units, which are boilerplate, not
+    content). See operators/dedup.py common_chunk_filter for the
+    two-level document-frequency plan."""
+    return D.common_chunk_filter(
+        fan_out(load(spark, sf_dir, "documents")),
+        "doc_id",
+        "text",
+        chunk_tokens=8,
+        min_docs=3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -936,6 +936,11 @@ def _token_chunks(
     chunk_dedup (C4 keep-first) and common_chunk_filter (CCNet-style
     boilerplate drop) — the driver corpus has no line/sentence structure,
     so fixed token windows stand in for those natural units."""
+    if chunk_tokens < 1:
+        # interpolated into SQL below: 0 would DIV-BY-ZERO at execution
+        # (far from the caller), negative would build a DESCENDING
+        # sequence and end-relative slices — garbage chunks, no error.
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
     return (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))

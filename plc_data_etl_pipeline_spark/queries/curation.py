@@ -399,8 +399,9 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard manifest: assign every document to a fixed-size
     shard (64 docs at fixture scale; thousands in production),
-    contiguous on the monotone ingest key for sequential read locality — the WebDataset / tar-shard layout,
-    Aizman et al. 2019, arXiv:2001.01858) and emit the per-shard
+    contiguous on the monotone ingest key for sequential read locality
+    (the WebDataset / tar-shard layout, Aizman et al. 2019,
+    arXiv:2001.01858), and emit the per-shard
     manifest a trainer needs for resumable, verifiable epochs: doc and
     token and char counts, the id range, and a content digest. The
     digest is md5 over the SORTED per-doc md5s — order-insensitive, so

@@ -975,6 +975,40 @@ def test_chunk_dedup_idempotent(spark):
         assert r["kept_chunks"] == r["n_chunks"]
 
 
+def test_common_chunk_filter_deletes_every_copy(spark):
+    """The CCNet complement of keep-first: a chunk in >=3 distinct docs
+    disappears from ALL of them (including the first), rare chunks
+    survive, and per-doc repeats count once toward document frequency."""
+    c0 = " ".join(f"c{i}" for i in range(8))
+    tail = " ".join(f"t{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, c0 + " " + tail), (2, c0), (3, c0 + " " + c0)],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.common_chunk_filter(
+            docs, "doc_id", "text", chunk_tokens=8, min_docs=3
+        ).collect()
+    }
+    # c0 appears in 3 distinct docs (doc 3's repeat counts once) -> gone
+    assert out[1]["dropped_chunks"] == 1 and out[1]["cleaned_text"] == tail
+    assert out[2]["dropped_chunks"] == 1 and out[2]["cleaned_text"] is None
+    assert out[3]["dropped_chunks"] == 2 and out[3]["cleaned_text"] is None
+
+
+def test_token_chunks_rejects_nonpositive_width(spark):
+    """chunk_tokens is interpolated into SQL: 0 would DIV-BY-ZERO at
+    execution and negatives build descending sequences — both callers
+    share the eager ValueError instead."""
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    for bad in (0, -4):
+        with pytest.raises(ValueError, match="chunk_tokens"):
+            D.chunk_dedup(docs, "doc_id", "text", chunk_tokens=bad)
+        with pytest.raises(ValueError, match="chunk_tokens"):
+            D.common_chunk_filter(docs, "doc_id", "text", chunk_tokens=bad)
+
+
 def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
     """Docs made of target-exclusive words must outscore docs made of
     pool-exclusive words, and the smoothed ratio must stay finite for

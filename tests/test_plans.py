@@ -86,6 +86,8 @@ def test_no_python_udf_in_relational_paths(spark):
         "sim_topk_ivf",  # same: Arrow-vectorized IVF cell assignment
         "sim_topk_ivf_indexed",  # (ivf_assign_arrow — one matmul/batch
         "dedup_semantic",  # vs n_cells interpreted HOF folds per row)
+        "cluster_kmeans",  # same Arrow assignment kernel per Lloyd round
+        #   (deterministic when the earlier kmeans persist is cold)
         "sql_registered_udf",  # the POINT of the query: a pandas UDF
         #   registered into the SQL catalog and dispatched from SQL text
         "text_bpe_encode",  # greedy merge application is inherently
@@ -618,3 +620,27 @@ def test_flagship_two_level_agg_shape(spark):
     assert p.count("Exchange") == 2, p
     assert "SortAggregate" not in p, "two-level agg degraded to sort-agg"
     assert p.count("HashAggregate") == 4  # partial+final at both levels
+
+
+def test_common_chunk_filter_two_level_df_no_expand(spark):
+    """dedup_common_chunks' document-frequency contract: the (chunk, doc)
+    distinct partial + per-chunk count must be TWO hash-aggregate levels
+    — never a countDistinct, whose Expand node doubles the exploded
+    chunk stream (the corpus's largest intermediate). Budget: at most 3
+    hash exchanges (chunk-doc distinct, chunk frequency, final per-doc
+    rebuild; the frequency->chunks join is broadcast at fixture scale,
+    shuffle-reusing at real scale) and no cartesian anywhere."""
+    p = plan(spark, "dedup_common_chunks", mode="simple")
+    assert "Expand" not in p, "countDistinct Expand over the exploded stream"
+    assert p.count("Exchange hashpartitioning") <= 3, p
+    assert "CartesianProduct" not in p
+
+
+def test_shard_manifest_single_shuffle(spark):
+    """pack_shard_manifest is one scan + one keyed shuffle: every stat
+    partial-aggregates map-side (ObjectHashAggregate partial+final for
+    the digest's bounded collect_list). A second exchange means the
+    manifest stopped being a single-pass operator."""
+    p = plan(spark, "pack_shard_manifest", mode="simple")
+    assert p.count("Exchange") == 1, p
+    assert p.count("ObjectHashAggregate") == 2, "partial+final agg expected"

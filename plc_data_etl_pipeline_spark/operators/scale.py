@@ -105,6 +105,105 @@ def salted_join(
     return joined.drop("__salt")
 
 
+def hot_keys(
+    df: DataFrame,
+    key: str,
+    sample_fraction: float = 0.01,
+    hot_share: float = 0.001,
+    max_hot_keys: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Sampled hot-key detection: keys whose share of a Bernoulli sample
+    is >= ``hot_share`` (deterministic top-``max_hot_keys`` by sampled
+    count, then key). One sampled scan + a key-grain aggregate whose
+    output is at most the sampled distinct-key count; the result is a
+    tiny (key, __hot) relation meant to be broadcast. Sampling makes
+    this an execution HEURISTIC — a missed hot key degrades performance
+    only, never results (salted_join_hot keeps multiplicity exact for
+    every key, detected or not)."""
+    samp = df.sample(fraction=sample_fraction, seed=seed).groupBy(key).agg(
+        F.count("*").alias("__n")
+    )
+    total = samp.agg(F.sum("__n").alias("__t"))
+    return (
+        samp.crossJoin(F.broadcast(total))
+        .filter(F.col("__n") >= F.col("__t") * hot_share)
+        .orderBy(F.col("__n").desc(), key)
+        .limit(max_hot_keys)
+        .select(key, F.lit(True).alias("__hot"))
+    )
+
+
+def salted_join_hot(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+    sample_fraction: float = 0.01,
+    hot_share: float = 0.001,
+    max_hot_keys: int = 10_000,
+) -> DataFrame:
+    """Hot-key-only salted join — the 100 TB form of ``salted_join``.
+
+    Blanket salting replicates the ENTIRE small side once per bucket:
+    at 75M small-side rows x 8 salts that is 600M shuffled rows and a
+    guaranteed spill (measured: the sf50 probe), paid even when only a
+    handful of keys are actually skewed. This variant salts ONLY the
+    keys a sampled pass flags as hot (``hot_keys``): both sides are
+    tagged by a broadcast join against the hot-key relation, hot big
+    rows get a random salt in [0, salt_buckets), cold rows salt 0; hot
+    small rows replicate across all buckets via an exploded
+    ``sequence``, cold small rows keep the single salt 0. ONE equi-join
+    on (key, salt) — single scan per side, replication proportional to
+    the hot-key row count, not the table.
+
+    Row multiplicity is exact for every key whatever the sample says:
+    a big row's (key, salt) always matches exactly one small replica.
+    ``how`` is restricted exactly like ``salted_join`` and for the same
+    reason (unmatched small-side rows would surface once per replica
+    under right/full outer)."""
+    allowed = {"inner", "left", "left_outer", "left_semi", "leftsemi"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join_hot supports how in {sorted(allowed)}, got {how!r}"
+        )
+    hot = hot_keys(
+        big,
+        key,
+        sample_fraction=sample_fraction,
+        hot_share=hot_share,
+        max_hot_keys=max_hot_keys,
+    )
+    salted_big = (
+        big.join(F.broadcast(hot), key, "left")
+        .withColumn(
+            "__salt",
+            F.when(
+                F.col("__hot").isNotNull(),
+                (F.rand(seed=42) * salt_buckets).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("__hot")
+    )
+    replicated_small = (
+        small.join(F.broadcast(hot), key, "left")
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.when(
+                    F.col("__hot").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(salt_buckets - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("__hot")
+    )
+    return salted_big.join(replicated_small, [key, "__salt"], how).drop(
+        "__salt"
+    )
+
+
 def key_distribution(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
     """Skew diagnosis: per-key row counts + share of total for the top-N
     keys (run this before choosing between plain, AQE-skew, and salted

@@ -435,6 +435,59 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_salted_hot",
+    oracle=f"""
+    WITH big AS (
+      SELECT o_orderkey
+      FROM orders, UNNEST(range(1, CASE WHEN o_orderkey % 1000 = 0
+                                        THEN 501 ELSE 3 END)) AS t(i)
+    )
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_rows,
+           {sql_dsum('o.o_totalprice', 'total_price')}
+    FROM big b JOIN orders o USING (o_orderkey)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_salted_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-ONLY salted join (operators/scale.py::salted_join_hot) —
+    the 100 TB refinement of join_salted_skew's blanket salting, which
+    replicates the whole small side per bucket (measured at sf50: 600M
+    replicated rows, guaranteed spill). Here a sampled pass detects the
+    hot keys and only THEIR small-side rows replicate; cold keys join
+    with zero overhead. The fixture plants real skew deterministically:
+    every 1000th order explodes into 500 fact rows (others 2), so the
+    sampler genuinely fires on the hot tail. The oracle is the PLAIN
+    join — the salt must change execution, never semantics, whatever
+    the sample detected."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mult = F.when(F.col("o_orderkey") % 1000 == 0, F.lit(500)).otherwise(
+        F.lit(2)
+    )
+    big = o.select(
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(1), mult)).alias("__i"),
+    ).select("o_orderkey")
+    from ..operators.scale import salted_join_hot
+
+    j = salted_join_hot(
+        big,
+        o,
+        "o_orderkey",
+        salt_buckets=8,
+        how="inner",
+        sample_fraction=0.5,
+        hot_share=0.005,
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+@query(
     "join_shuffle_hash",
     oracle=f"""
     SELECT n.n_name,

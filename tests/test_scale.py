@@ -94,6 +94,57 @@ def test_salted_join_left_outer(spark):
     assert rows == [(1, 10, "one"), (1, 11, "one"), (99, 12, None)]
 
 
+def test_hot_keys_finds_planted_hot_tail(spark):
+    """The sampled detector flags the 90%-share key and none of the
+    long-tail keys (at full-sample fraction the check is exact)."""
+    import random
+
+    random.seed(11)
+    rows = [(1 if random.random() < 0.9 else random.randint(2, 200), i)
+            for i in range(20000)]
+    big = spark.createDataFrame(rows, "k int, payload int")
+    hot = SC.hot_keys(big, "k", sample_fraction=1.0, hot_share=0.05)
+    assert [r.k for r in hot.collect()] == [1]
+
+
+def test_salted_join_hot_exact_vs_plain(spark):
+    """Hot-key salting preserves row multiplicity exactly on a skewed
+    input — including when the sample misses keys (tiny fraction) and
+    when it flags everything (hot_share=0)."""
+    import random
+
+    random.seed(13)
+    big_rows = [(1 if random.random() < 0.9 else random.randint(2, 20), i)
+                for i in range(5000)]
+    big = spark.createDataFrame(big_rows, "k int, payload int")
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(1, 21)], "k int, label string"
+    )
+    plain = sorted(
+        map(tuple, big.join(small, "k").select("k", "payload", "label").collect())
+    )
+    for frac, share in [(1.0, 0.05), (0.02, 0.5), (1.0, 0.0)]:
+        out = SC.salted_join_hot(
+            big, small, "k", sample_fraction=frac, hot_share=share
+        ).select("k", "payload", "label")
+        assert sorted(map(tuple, out.collect())) == plain, (frac, share)
+
+
+def test_salted_join_hot_left_outer_and_how_guard(spark):
+    big = spark.createDataFrame(
+        [(1, 10), (1, 11), (99, 12)], "k int, payload int"
+    )
+    small = spark.createDataFrame([(1, "one")], "k int, label string")
+    out = SC.salted_join_hot(big, small, "k", how="left").select(
+        "k", "payload", "label"
+    )
+    assert sorted(map(tuple, out.collect())) == [
+        (1, 10, "one"), (1, 11, "one"), (99, 12, None)
+    ]
+    with pytest.raises(ValueError, match="salted_join_hot"):
+        SC.salted_join_hot(big, small, "k", how="full")
+
+
 def test_key_distribution_diagnoses_skew(spark):
     big = spark.createDataFrame(
         [(1, i) for i in range(900)] + [(2, i) for i in range(100)],

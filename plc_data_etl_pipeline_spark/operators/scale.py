@@ -63,6 +63,28 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+# Joins whose semantics survive small-side replication: an unmatched
+# small-side row would surface once per salt bucket under right/full
+# outer (and leak the __salt column's multiplicity).
+_SALTED_HOW = {"inner", "left", "left_outer", "left_semi", "leftsemi"}
+
+
+def _check_salted_args(fn_name: str, how: str, salt_buckets: int) -> None:
+    if how not in _SALTED_HOW:
+        raise ValueError(
+            f"{fn_name} supports how in {sorted(_SALTED_HOW)}, got {how!r}: "
+            "replicating the small side per salt would duplicate its "
+            "unmatched rows in right/full outer results"
+        )
+    if salt_buckets < 1:
+        # 0 would silently disable salting AND (hot variant) build a
+        # descending sequence(0, -1) = phantom salt=-1 replicas that
+        # never match — the documented Spark sequence gotcha.
+        raise ValueError(
+            f"{fn_name} needs salt_buckets >= 1, got {salt_buckets}"
+        )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -87,13 +109,7 @@ def salted_join(
     multiplicity); those need a different strategy (swap sides, or
     dedupe unmatched replicas).
     """
-    allowed = {"inner", "left", "left_outer", "left_semi", "leftsemi"}
-    if how not in allowed:
-        raise ValueError(
-            f"salted_join supports how in {sorted(allowed)}, got {how!r}: "
-            "replicating the small side per salt would duplicate its "
-            "unmatched rows in right/full outer results"
-        )
+    _check_salted_args("salted_join", how, salt_buckets)
     salted_big = big.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )
@@ -143,6 +159,7 @@ def salted_join_hot(
     sample_fraction: float = 0.01,
     hot_share: float = 0.001,
     max_hot_keys: int = 10_000,
+    seed: int = 42,
 ) -> DataFrame:
     """Hot-key-only salted join — the 100 TB form of ``salted_join``.
 
@@ -163,17 +180,14 @@ def salted_join_hot(
     ``how`` is restricted exactly like ``salted_join`` and for the same
     reason (unmatched small-side rows would surface once per replica
     under right/full outer)."""
-    allowed = {"inner", "left", "left_outer", "left_semi", "leftsemi"}
-    if how not in allowed:
-        raise ValueError(
-            f"salted_join_hot supports how in {sorted(allowed)}, got {how!r}"
-        )
+    _check_salted_args("salted_join_hot", how, salt_buckets)
     hot = hot_keys(
         big,
         key,
         sample_fraction=sample_fraction,
         hot_share=hot_share,
         max_hot_keys=max_hot_keys,
+        seed=seed,
     )
     salted_big = (
         big.join(F.broadcast(hot), key, "left")
@@ -181,7 +195,7 @@ def salted_join_hot(
             "__salt",
             F.when(
                 F.col("__hot").isNotNull(),
-                (F.rand(seed=42) * salt_buckets).cast("int"),
+                (F.rand(seed=seed) * salt_buckets).cast("int"),
             ).otherwise(F.lit(0)),
         )
         .drop("__hot")

@@ -164,7 +164,11 @@ def fingerprint(col: Column | str, prefix_chars: int = 64) -> Column:
 
 
 def tfidf_top_terms(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Top-k terms per document by TF-IDF over the whole corpus.
 
@@ -185,15 +189,23 @@ def tfidf_top_terms(
     end-to-end regression appearing only on repeat executions in the
     same session. dfreq is vocabulary-sized (Heaps' law: ~millions of
     terms even web-scale, tens of MB serialized), the textbook
-    broadcast side; corpora whose vocabulary outgrows executor memory
-    would switch this to a shuffled-hash hint on dfreq instead.
+    broadcast side. Corpora whose vocabulary outgrows executor memory
+    (or the 8 GB BroadcastExchange hard cap) pass
+    ``broadcast_vocab=False``: dfreq then carries a SHUFFLE_HASH hint —
+    still a deterministic, explicitly-pinned build side (no sort of the
+    tf stream, no AQE side race), just partition-wise instead of
+    broadcast.
     """
     terms = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
+    else:
+        dfreq = dfreq.hint("shuffle_hash")
     ndocs = df.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(ndocs))
         .withColumn(
             "tfidf",

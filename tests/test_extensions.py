@@ -975,6 +975,21 @@ def test_chunk_dedup_idempotent(spark):
         assert r["kept_chunks"] == r["n_chunks"]
 
 
+def test_tfidf_shuffle_hash_mode_matches_broadcast(spark):
+    """broadcast_vocab=False (the over-8GB-vocabulary escape hatch) must
+    produce identical rows through a ShuffledHashJoin — the hint changes
+    execution strategy only, and keeps the build side explicitly pinned
+    (no AQE side race either way)."""
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b b d"), (3, "c d d d e")],
+        ["doc_id", "text"],
+    )
+    bc = T.tfidf_top_terms(docs, "doc_id", "text", k=3)
+    sh = T.tfidf_top_terms(docs, "doc_id", "text", k=3, broadcast_vocab=False)
+    assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
+    assert "ShuffledHashJoin" in sh._jdf.queryExecution().executedPlan().toString()
+
+
 def test_common_chunk_filter_deletes_every_copy(spark):
     """The CCNet complement of keep-first: a chunk in >=3 distinct docs
     disappears from ALL of them (including the first), rare chunks

@@ -145,6 +145,19 @@ def test_salted_join_hot_left_outer_and_how_guard(spark):
         SC.salted_join_hot(big, small, "k", how="full")
 
 
+def test_salted_join_rejects_nonpositive_buckets(spark):
+    """salt_buckets=0 would silently disable salting (and, in the hot
+    variant, build descending sequence(0,-1) phantom replicas) — both
+    forms fail eagerly instead."""
+    big = spark.createDataFrame([(1, 10)], "k int, payload int")
+    small = spark.createDataFrame([(1, "one")], "k int, label string")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="salt_buckets"):
+            SC.salted_join(big, small, "k", salt_buckets=bad)
+        with pytest.raises(ValueError, match="salt_buckets"):
+            SC.salted_join_hot(big, small, "k", salt_buckets=bad)
+
+
 def test_key_distribution_diagnoses_skew(spark):
     big = spark.createDataFrame(
         [(1, i) for i in range(900)] + [(2, i) for i in range(100)],

@@ -91,6 +91,105 @@ def incremental_dedup(
     )
 
 
+def _bloom_positions(
+    content_cols: list[str], n_bits: int, n_hashes: int
+) -> Column:
+    """Array of the ``n_hashes`` bloom bit positions for a row's content
+    (xxhash64 varied by a prepended per-hash literal; pmod keeps the
+    position non-negative)."""
+    return F.array(
+        *[
+            F.pmod(
+                F.xxhash64(F.lit(i), *[F.col(c) for c in content_cols]),
+                F.lit(n_bits),
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    content_cols: list[str],
+    n_bits: int = 1 << 23,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Distributed Bloom filter over row content, materialized as a
+    bitmap-words DataFrame ``(word_idx: long, bits: long)`` — at most
+    ``n_bits/64`` rows regardless of corpus size.
+
+    This is the bounded-memory form of the corpus side of
+    :func:`incremental_dedup`: exact digests cost 32 bytes/doc (3.2 TB
+    of shuffle for a 100B-doc corpus), a Bloom at ~10 bits/doc costs
+    ~125 GB — and the bitmap itself is built with ONE keyed aggregation
+    (explode k positions → bit_or per 64-bit word), never a driver-side
+    sketch merge. Deterministic: xxhash64 is seed-fixed, so the same
+    corpus always yields the same bitmap (bit-stable across partitioning
+    and engines' task orders — bit_or is commutative).
+
+    Classic analysis (Bloom 1970, CACM 13(7)): false-positive rate
+    ~= (1 - e^(-k*n/m))^k for n elements, m bits, k hashes; false
+    negatives are impossible.
+    """
+    pos = F.explode(_bloom_positions(content_cols, n_bits, n_hashes)).alias(
+        "__pos"
+    )
+    return (
+        df.select(pos)
+        .select(
+            F.expr("shiftright(__pos, 6)").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(__pos & 63 as int))").alias("__mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+
+
+def bloom_incremental_new(
+    batch: DataFrame,
+    bloom: DataFrame,
+    content_cols: list[str],
+    id_col: str,
+    n_bits: int = 1 << 23,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Rows of ``batch`` whose content is definitely NOT in the corpus
+    the ``bloom`` bitmap was built over (same n_bits/n_hashes!) — the
+    crawl-ingest admission gate: no false negatives ever (a true dup is
+    always caught), a tunable sliver of false positives (new docs
+    wrongly dropped as dups — acceptable for crawl dedup, where recall
+    of NEW content trades against never re-admitting dups).
+
+    Plan: probe keys (id, k positions) explode once, ONE equi-join
+    against the bitmap words (broadcast when small, shuffle otherwise —
+    the bitmap is <= n_bits/64 rows either way), per-id AND-fold, then
+    a semi-join back onto the batch. The batch's document bodies never
+    replicate through the probe — only (id, position) pairs do.
+    """
+    probes = batch.select(
+        F.col(id_col),
+        F.explode(_bloom_positions(content_cols, n_bits, n_hashes)).alias(
+            "__pos"
+        ),
+    ).select(
+        id_col,
+        F.expr("shiftright(__pos, 6)").alias("word_idx"),
+        F.expr("shiftleft(1L, cast(__pos & 63 as int))").alias("__mask"),
+    )
+    hit = (
+        F.col("bits").isNotNull()
+        & (F.col("bits").bitwiseAND(F.col("__mask")) == F.col("__mask"))
+    ).cast("int")
+    new_ids = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy(id_col)
+        .agg(F.min(hit).alias("__all_hit"))
+        .filter(F.col("__all_hit") == 0)
+        .select(id_col)
+    )
+    return batch.join(new_ids, id_col, "left_semi")
+
+
 # ---------------------------------------------------------------------------
 # Shingling / n-grams
 # ---------------------------------------------------------------------------

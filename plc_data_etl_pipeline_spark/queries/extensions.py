@@ -109,6 +109,25 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_bloom_incremental", oracle=None)  # bloom FPs — not SQL-expressible
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory incremental dedup: the dedup_incremental split
+    (batch doc_id>=200 vs corpus doc_id<300) gated by a distributed
+    Bloom bitmap over corpus content instead of exact digests —
+    ~10 bits/doc where digests cost 256, the sketch a 100B-doc corpus
+    actually fits (operators/dedup.py::bloom_build /
+    bloom_incremental_new). Rows-only for the driver (false positives
+    are hash-determined, not SQL-expressible); the pytest asserts the
+    no-false-negative guarantee and exact agreement with the digest
+    anti-join at fixture scale (zero FPs at this fill factor), and the
+    adversarial suite runs it over NULL/dup-heavy corpora."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bloom = D.bloom_build(d.filter(F.col("doc_id") < 300), ["text"])
+    return D.bloom_incremental_new(
+        d.filter(F.col("doc_id") >= 200), bloom, ["text"], "doc_id"
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+
+
 @query("dedup_minhash", oracle=None)  # xxhash64 signatures — engine-specific
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH fuzzy-dup pairs (shingle→sign→band→bucket-join→Jaccard

@@ -975,6 +975,61 @@ def test_chunk_dedup_idempotent(spark):
         assert r["kept_chunks"] == r["n_chunks"]
 
 
+def test_bloom_incremental_no_false_negatives_and_exact_here(spark):
+    """Every batch doc whose content exists in the corpus MUST be gated
+    out (Bloom guarantees no false negatives); at fixture fill factor
+    (k*n << m) there are no false positives either, so the result is
+    exactly the digest anti-join's."""
+    corpus = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(200)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        # 50 true dups of corpus content + 50 genuinely new docs
+        [(1000 + i, f"doc body {i}") for i in range(50)]
+        + [(2000 + i, f"fresh body {i}") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    bloom = D.bloom_build(corpus, ["text"])
+    out = sorted(
+        r.doc_id
+        for r in D.bloom_incremental_new(
+            batch, bloom, ["text"], "doc_id"
+        ).collect()
+    )
+    exact = sorted(
+        r.doc_id
+        for r in batch.join(
+            corpus.select("text"), "text", "left_anti"
+        ).collect()
+    )
+    dup_ids = {1000 + i for i in range(50)}
+    assert not dup_ids.intersection(out), "false negative: dup admitted"
+    assert out == exact  # zero FPs at this fill factor
+
+
+def test_bloom_bitmap_is_bounded_and_fp_rate_in_envelope(spark):
+    """The bitmap never exceeds n_bits/64 words however big the corpus,
+    and the measured FP rate on disjoint content stays within 3x the
+    analytic (1 - e^(-kn/m))^k envelope for a deliberately tiny filter."""
+    import math
+
+    n, n_bits, k = 2000, 1 << 14, 5
+    corpus = spark.createDataFrame(
+        [(i, f"member {i}") for i in range(n)], ["doc_id", "text"]
+    )
+    bloom = D.bloom_build(corpus, ["text"], n_bits=n_bits, n_hashes=k)
+    assert bloom.count() <= n_bits // 64
+    probe = spark.createDataFrame(
+        [(i, f"outsider {i}") for i in range(4000)], ["doc_id", "text"]
+    )
+    admitted = D.bloom_incremental_new(
+        probe, bloom, ["text"], "doc_id", n_bits=n_bits, n_hashes=k
+    ).count()
+    fp_rate = (4000 - admitted) / 4000
+    analytic = (1 - math.exp(-k * n / n_bits)) ** k
+    assert fp_rate <= 3 * analytic + 1e-9, (fp_rate, analytic)
+
+
 def test_tfidf_shuffle_hash_mode_matches_broadcast(spark):
     """broadcast_vocab=False (the over-8GB-vocabulary escape hatch) must
     produce identical rows through a ShuffledHashJoin — the hint changes

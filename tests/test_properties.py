@@ -496,3 +496,81 @@ def test_chunk_dedup_matches_bruteforce(spark, texts, width):
     }
     want = _brute_chunks(texts, width)
     assert got == want
+
+
+def _brute_common_chunks(texts: list[str], width: int, min_docs: int):
+    """Naive CCNet-style delete-all-copies-of-common-chunks."""
+    per_doc = {}
+    df_count: dict[str, set[int]] = {}
+    for doc_id, t in enumerate(texts):
+        toks = t.split(" ")
+        n = (len(toks) - 1) // width + 1
+        cs = [" ".join(toks[j * width : (j + 1) * width]) for j in range(n)]
+        per_doc[doc_id] = cs
+        for c in set(cs):
+            df_count.setdefault(c, set()).add(doc_id)
+    common = {c for c, docs in df_count.items() if len(docs) >= min_docs}
+    out = {}
+    for doc_id, cs in per_doc.items():
+        kept = [c for c in cs if c not in common]
+        out[doc_id] = (
+            len(cs),
+            len(cs) - len(kept),
+            " ".join(kept) if kept else None,
+        )
+    return out
+
+
+@given(
+    texts=CORPUS,
+    width=st.integers(min_value=1, max_value=4),
+    min_docs=st.integers(min_value=2, max_value=3),
+)
+@_SETTINGS
+def test_common_chunk_filter_matches_bruteforce(spark, texts, width, min_docs):
+    from plc_data_etl_pipeline_spark.operators.dedup import common_chunk_filter
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)) or [(0, None)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["dropped_chunks"], r["cleaned_text"])
+        for r in common_chunk_filter(
+            df, "doc_id", "text", chunk_tokens=width, min_docs=min_docs
+        ).collect()
+    }
+    want = _brute_common_chunks(texts, width, min_docs)
+    assert got == want
+
+
+@given(
+    member=st.lists(st.text("ab", min_size=1, max_size=6), min_size=0,
+                    max_size=25, unique=True),
+    probe=st.lists(st.text("abc", min_size=1, max_size=6), min_size=0,
+                   max_size=25, unique=True),
+)
+@_SETTINGS
+def test_bloom_never_false_negative(spark, member, probe):
+    """Whatever the corpus/probe mix, a probe row whose content IS in
+    the corpus is never admitted as new — the Bloom guarantee the
+    ingest gate leans on (false positives are allowed and bounded by
+    the sibling envelope test)."""
+    from plc_data_etl_pipeline_spark.operators.dedup import (
+        bloom_build,
+        bloom_incremental_new,
+    )
+
+    corpus = spark.createDataFrame(
+        list(enumerate(member)) or [(0, None)], "doc_id int, text string"
+    ).filter("text IS NOT NULL")
+    batch = spark.createDataFrame(
+        list(enumerate(probe)) or [(0, None)], "doc_id int, text string"
+    ).filter("text IS NOT NULL")
+    bloom = bloom_build(corpus, ["text"], n_bits=1 << 12, n_hashes=3)
+    admitted = {
+        r["text"]
+        for r in bloom_incremental_new(
+            batch, bloom, ["text"], "doc_id", n_bits=1 << 12, n_hashes=3
+        ).collect()
+    }
+    assert not admitted.intersection(set(member))

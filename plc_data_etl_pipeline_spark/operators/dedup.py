@@ -91,20 +91,41 @@ def incremental_dedup(
     )
 
 
+def _bloom_content(content_cols: list[str]) -> list[Column]:
+    """NULL-tagged string forms of the content columns: xxhash64 SKIPS
+    NULL children, so hashing raw columns would make ('x', NULL) and
+    (NULL, 'x') collide on every hash — a systematic 100%-collision
+    class, not a probabilistic FP. Coalescing each column to a sentinel
+    keeps NULL positional."""
+    return [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>"))
+        for c in content_cols
+    ]
+
+
 def _bloom_positions(
     content_cols: list[str], n_bits: int, n_hashes: int
 ) -> Column:
     """Array of the ``n_hashes`` bloom bit positions for a row's content
     (xxhash64 varied by a prepended per-hash literal; pmod keeps the
     position non-negative)."""
+    content = _bloom_content(content_cols)
     return F.array(
         *[
-            F.pmod(
-                F.xxhash64(F.lit(i), *[F.col(c) for c in content_cols]),
-                F.lit(n_bits),
-            )
+            F.pmod(F.xxhash64(F.lit(i), *content), F.lit(n_bits))
             for i in range(n_hashes)
         ]
+    )
+
+
+def _bloom_word_cols() -> tuple[Column, Column]:
+    """Shared bit layout of build and probe: 64-bit words indexed by
+    pos>>6, bit pos&63 — ONE definition so the two sides can never
+    disagree. (Function, not module constants: F.expr needs an active
+    SparkContext in classic mode.)"""
+    return (
+        F.expr("shiftright(__pos, 6)"),
+        F.expr("shiftleft(1L, cast(__pos & 63 as int))"),
     )
 
 
@@ -137,8 +158,8 @@ def bloom_build(
     return (
         df.select(pos)
         .select(
-            F.expr("shiftright(__pos, 6)").alias("word_idx"),
-            F.expr("shiftleft(1L, cast(__pos & 63 as int))").alias("__mask"),
+            _bloom_word_cols()[0].alias("word_idx"),
+            _bloom_word_cols()[1].alias("__mask"),
         )
         .groupBy("word_idx")
         .agg(F.bit_or("__mask").alias("bits"))
@@ -152,6 +173,7 @@ def bloom_incremental_new(
     id_col: str,
     n_bits: int = 1 << 23,
     n_hashes: int = 5,
+    broadcast_bloom: bool = True,
 ) -> DataFrame:
     """Rows of ``batch`` whose content is definitely NOT in the corpus
     the ``bloom`` bitmap was built over (same n_bits/n_hashes!) — the
@@ -160,34 +182,51 @@ def bloom_incremental_new(
     wrongly dropped as dups — acceptable for crawl dedup, where recall
     of NEW content trades against never re-admitting dups).
 
-    Plan: probe keys (id, k positions) explode once, ONE equi-join
-    against the bitmap words (broadcast when small, shuffle otherwise —
-    the bitmap is <= n_bits/64 rows either way), per-id AND-fold, then
-    a semi-join back onto the batch. The batch's document bodies never
-    replicate through the probe — only (id, position) pairs do.
+    Plan: probe keys ((id, content-hash), k positions) explode once,
+    ONE equi-join against the bitmap words (broadcast by default; pass
+    ``broadcast_bloom=False`` for bitmaps past executor memory or the
+    8 GB BroadcastExchange cap — a SHUFFLE_HASH hint then keeps the
+    bitmap the pinned build side, partition-wise), per-(id, hash)
+    AND-fold, then a semi-join back onto the batch. Gating keys on the
+    content hash alongside the id keeps the guarantee even when id
+    values repeat with DIFFERENT content (each distinct content gates
+    on its own probes, never on a neighbor's). Batch document bodies
+    never replicate through the probe — only key/position pairs do.
     """
+    content_h = F.xxhash64(F.lit(-1), *_bloom_content(content_cols)).alias(
+        "__ch"
+    )
     probes = batch.select(
         F.col(id_col),
+        content_h,
         F.explode(_bloom_positions(content_cols, n_bits, n_hashes)).alias(
             "__pos"
         ),
     ).select(
         id_col,
-        F.expr("shiftright(__pos, 6)").alias("word_idx"),
-        F.expr("shiftleft(1L, cast(__pos & 63 as int))").alias("__mask"),
+        "__ch",
+        _bloom_word_cols()[0].alias("word_idx"),
+        _bloom_word_cols()[1].alias("__mask"),
     )
     hit = (
         F.col("bits").isNotNull()
         & (F.col("bits").bitwiseAND(F.col("__mask")) == F.col("__mask"))
     ).cast("int")
-    new_ids = (
-        probes.join(F.broadcast(bloom), "word_idx", "left")
-        .groupBy(id_col)
+    bloom_side = F.broadcast(bloom) if broadcast_bloom else bloom.hint(
+        "shuffle_hash"
+    )
+    new_keys = (
+        probes.join(bloom_side, "word_idx", "left")
+        .groupBy(id_col, "__ch")
         .agg(F.min(hit).alias("__all_hit"))
         .filter(F.col("__all_hit") == 0)
-        .select(id_col)
+        .select(id_col, "__ch")
     )
-    return batch.join(new_ids, id_col, "left_semi")
+    return (
+        batch.withColumn("__ch", content_h)
+        .join(new_keys, [id_col, "__ch"], "left_semi")
+        .drop("__ch")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -77,9 +77,11 @@ def _check_salted_args(fn_name: str, how: str, salt_buckets: int) -> None:
             "unmatched rows in right/full outer results"
         )
     if salt_buckets < 1:
-        # 0 would silently disable salting AND (hot variant) build a
-        # descending sequence(0, -1) = phantom salt=-1 replicas that
-        # never match — the documented Spark sequence gotcha.
+        # 0 is silent data loss, not just disabled salting: plain
+        # salted_join's explode of an EMPTY salt array drops every
+        # small-side row (inner join returns nothing), and the hot
+        # variant's sequence(0, -1) DESCENDS into phantom salt=-1
+        # replicas that never match — the documented sequence gotcha.
         raise ValueError(
             f"{fn_name} needs salt_buckets >= 1, got {salt_buckets}"
         )

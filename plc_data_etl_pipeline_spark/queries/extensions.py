@@ -120,12 +120,18 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     are hash-determined, not SQL-expressible); the pytest asserts the
     no-false-negative guarantee and exact agreement with the digest
     anti-join at fixture scale (zero FPs at this fill factor), and the
-    adversarial suite runs it over NULL/dup-heavy corpora."""
+    adversarial suite runs it over NULL/dup-heavy corpora. Like the
+    digest sibling, the gate is followed by within-batch survivor
+    election (min doc_id per content) — the Bloom knows yesterday's
+    corpus, not today's batch."""
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     bloom = D.bloom_build(d.filter(F.col("doc_id") < 300), ["text"])
-    return D.bloom_incremental_new(
+    gated = D.bloom_incremental_new(
         d.filter(F.col("doc_id") >= 200), bloom, ["text"], "doc_id"
-    ).select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    return D.exact_dedup(gated, ["text"], "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
 
 
 @query("dedup_minhash", oracle=None)  # xxhash64 signatures — engine-specific

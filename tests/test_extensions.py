@@ -1007,6 +1007,27 @@ def test_bloom_incremental_no_false_negatives_and_exact_here(spark):
     assert out == exact  # zero FPs at this fill factor
 
 
+def test_bloom_gate_duplicate_ids_and_null_columns(spark):
+    """(a) A repeated id with DIFFERENT content gates each content on
+    its own probes — the corpus dup is rejected, the new text admitted,
+    under the same id. (b) Multi-column content keeps NULL positional:
+    ('x', NULL) and (NULL, 'x') must not collide (xxhash64 skips NULL
+    children; the operator NULL-tags each column)."""
+    schema = "doc_id int, title string, body string"
+    corpus = spark.createDataFrame([(1, "x", None)], schema)
+    bloom = D.bloom_build(corpus, ["title", "body"])
+    batch = spark.createDataFrame(
+        [(5, "x", None), (5, None, "x"), (5, "fresh", "fresh")], schema
+    )
+    out = {
+        (r.doc_id, r.title, r.body)
+        for r in D.bloom_incremental_new(
+            batch, bloom, ["title", "body"], "doc_id"
+        ).collect()
+    }
+    assert out == {(5, None, "x"), (5, "fresh", "fresh")}
+
+
 def test_bloom_bitmap_is_bounded_and_fp_rate_in_envelope(spark):
     """The bitmap never exceeds n_bits/64 words however big the corpus,
     and the measured FP rate on disjoint content stays within 3x the

@@ -146,9 +146,9 @@ def test_salted_join_hot_left_outer_and_how_guard(spark):
 
 
 def test_salted_join_rejects_nonpositive_buckets(spark):
-    """salt_buckets=0 would silently disable salting (and, in the hot
-    variant, build descending sequence(0,-1) phantom replicas) — both
-    forms fail eagerly instead."""
+    """salt_buckets=0 is silent data loss (plain form: empty salt array
+    explodes the small side away, inner join returns NOTHING; hot form:
+    descending sequence(0,-1) phantom replicas) — both fail eagerly."""
     big = spark.createDataFrame([(1, 10)], "k int, payload int")
     small = spark.createDataFrame([(1, "one")], "k int, label string")
     for bad in (0, -3):

@@ -581,3 +581,52 @@ def test_streaming_throughput_100x_reference_exactly_once(spark, tmp_path):
     assert stats["lo"] == 0 and stats["n"] == stats["hi"] + 1, (
         "gaps in committed sequence: rows lost"
     )
+
+
+def test_bloom_admission_gate_stream_matches_batch(spark, tmp_path):
+    """The Bloom crawl-admission gate as a streaming ingest stage:
+    foreachBatch applies bloom_incremental_new per micro-batch against
+    the STATIC corpus bitmap (stateless stream side — gating is per-row,
+    so the union over micro-batches equals the batch twin exactly).
+    AvailableNow drains the backlog and terminates."""
+    from plc_data_etl_pipeline_spark.operators.dedup import (
+        bloom_build,
+        bloom_incremental_new,
+    )
+
+    docs = load(spark, SF_DIR, "documents").filter(F.col("text").isNotNull())
+    corpus = docs.filter(F.col("doc_id") < 300)
+    batch = docs.filter(F.col("doc_id") >= 200).select(
+        "doc_id", "text", "lang", "source"
+    )
+    src = str(tmp_path / "batch_docs")
+    batch.repartition(6).write.parquet(src)
+    bloom = bloom_build(corpus, ["text"])
+
+    admitted = []
+
+    def gate(mb_df, batch_id):
+        rows = bloom_incremental_new(
+            mb_df, bloom, ["text"], "doc_id"
+        ).collect()
+        admitted.extend(tuple(r) for r in rows)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    want = _batch_rows(bloom_incremental_new(batch, bloom, ["text"], "doc_id"))
+    assert sorted(admitted) == want
+    assert len(want) > 0

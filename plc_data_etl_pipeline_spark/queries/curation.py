@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import fan_out, load
+from ..operators import text as T
 from ..registry import query
 from ._conv import quant, sql_quant
 
@@ -441,4 +442,140 @@ def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_join(F.array_sort(F.collect_list(F.md5("t"))), "")
             ).alias("shard_digest"),
         )
+    )
+
+
+_BODY_ENT_SQL = "-(" + " + ".join(
+    _TERM_SQL.format(c=c)
+    for c in ("c_alpha", "c_digit", "c_space", "c_other")
+) + ")"
+
+
+@query(
+    "pipeline_web_ingest",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, text AS source_text,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || '</title><style>p{{color:red}}</style>'
+             || '<script>var t = "evil&tracker";</script></head>'
+             || '<body><nav>Home &amp; About</nav><p>'
+             || text
+             || '</p><p>Tom &amp; Jerry &lt;3 &quot;quoted&quot;'
+             || '&nbsp;text</p></body></html>' AS html
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id, source_text, {extract} AS body FROM h
+    ),
+    c AS (
+      SELECT doc_id, body,
+             COALESCE(strpos(body, source_text) > 0, FALSE) AS keep_extract,
+             COALESCE(LENGTH(body), 0) AS n,
+             LENGTH(body) - LENGTH(regexp_replace(lower(body), '[a-z]', '', 'g')) AS c_alpha,
+             LENGTH(body) - LENGTH(regexp_replace(body, '[0-9]', '', 'g')) AS c_digit,
+             LENGTH(body) - LENGTH(replace(body, ' ', '')) AS c_space
+      FROM x
+    ),
+    e AS (
+      SELECT doc_id, body, keep_extract, n,
+             CASE WHEN n >= 16 THEN {ent} >= 0.8 ELSE FALSE END AS keep_entropy
+      FROM (SELECT *, n - c_alpha - c_digit - c_space AS c_other FROM c) t
+    ),
+    s AS (
+      SELECT doc_id, keep_extract, keep_entropy, CAST(n AS BIGINT) AS n_chars,
+             doc_id = MIN(doc_id) OVER (PARTITION BY body) AS is_survivor
+      FROM e
+    )
+    SELECT doc_id, n_chars, keep_extract, keep_entropy, is_survivor,
+           (keep_extract AND keep_entropy AND is_survivor) AS admit
+    FROM s
+    """.format(
+        extract=T.sql_html_extract("html"),
+        ent=sql_quant(_BODY_ENT_SQL, 6),
+    ),
+)
+def pipeline_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed WEB-INGEST flagship — what a crawled-corpus pipeline
+    runs per snapshot, as ONE declarative auditable plan over the
+    synthesized pages: HTML->text extraction (script/style drop, entity
+    decode) -> extraction audit (source text survived, length floor) ->
+    char-class entropy gibberish gate ON THE EXTRACTED BODY -> corpus
+    exact-dedup survivor election on the body -> final admit bit, with
+    every stage's verdict in the output row (a user audits WHY a page
+    was rejected — the pipeline_corpus_curation contract, upstream of
+    it in a real deployment).
+
+    Scale shape: extraction + entropy are ONE narrow codegen'd
+    projection (zero shuffles); the only exchange is the survivor
+    window on body; verdict assembly rides the same row, no joins at
+    all — strictly cheaper than curation's three-pass join shape.
+    NULL-text documents flow through (NULL body -> every gate false),
+    so the manifest accounts for every crawled page."""
+    from pyspark.sql.window import Window
+
+    d = fan_out(load(spark, sf_dir, "documents"))
+    x = T.synthesize_html(d).select(
+        "doc_id", "source_text", T.html_extract(F.col("html")).alias("body")
+    )
+    c = x.select(
+        "doc_id",
+        "body",
+        F.coalesce(
+            F.position(F.col("source_text"), F.col("body")) > 0, F.lit(False)
+        ).alias("keep_extract"),
+        F.coalesce(F.length("body"), F.lit(0)).alias("n"),
+        (
+            F.length("body")
+            - F.length(
+                F.translate(
+                    F.lower(F.col("body")), "abcdefghijklmnopqrstuvwxyz", ""
+                )
+            )
+        ).alias("c_alpha"),
+        (
+            F.length("body") - F.length(F.translate("body", "0123456789", ""))
+        ).alias("c_digit"),
+        (
+            F.length("body") - F.length(F.translate("body", " ", ""))
+        ).alias("c_space"),
+    ).withColumn(
+        "c_other", F.col("n") - F.col("c_alpha") - F.col("c_digit") - F.col("c_space")
+    )
+    ent = -(
+        _term(F.col("c_alpha"))
+        + _term(F.col("c_digit"))
+        + _term(F.col("c_space"))
+        + _term(F.col("c_other"))
+    )
+    e = c.select(
+        "doc_id",
+        "body",
+        "keep_extract",
+        "n",
+        F.when(F.col("n") >= 16, quant(ent, 6) >= 0.8)
+        .otherwise(F.lit(False))
+        .alias("keep_entropy"),
+    )
+    s = e.select(
+        "doc_id",
+        "keep_extract",
+        "keep_entropy",
+        F.col("n").cast("bigint").alias("n_chars"),
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("body"))
+        ).alias("is_survivor"),
+    )
+    return s.select(
+        "doc_id",
+        "n_chars",
+        "keep_extract",
+        "keep_entropy",
+        "is_survivor",
+        (
+            F.col("keep_extract")
+            & F.col("keep_entropy")
+            & F.col("is_survivor")
+        ).alias("admit"),
     )

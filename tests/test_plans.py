@@ -644,3 +644,14 @@ def test_shard_manifest_single_shuffle(spark):
     p = plan(spark, "pack_shard_manifest", mode="simple")
     assert p.count("Exchange") == 1, p
     assert p.count("ObjectHashAggregate") == 2, "partial+final agg expected"
+
+
+def test_web_ingest_single_shuffle_no_joins(spark):
+    """pipeline_web_ingest's shape contract: extraction + entropy are
+    ONE narrow projection, the survivor window is the ONLY keyed
+    shuffle, and verdict assembly rides the row — no joins at all
+    (strictly cheaper than curation's three-pass join shape)."""
+    p = plan(spark, "pipeline_web_ingest", mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p
+    assert "Expand" not in p

@@ -884,3 +884,55 @@ def sql_html_extract(expr: str) -> str:
         lit = ch.replace("'", "''")
         s = f"replace({s}, '{ent}', '{lit}')"
     return f"trim(regexp_replace({s}, '[ \\t\\n\\r]+', ' ', 'g'))"
+
+
+def sql_synthesize_html(doc_id: str = "doc_id", text: str = "text") -> str:
+    """DuckDB twin of :func:`synthesize_html`'s page literal — ONE
+    definition shared by every oracle that wraps fixture documents in
+    the synthetic page (text_html_extract, pipeline_web_ingest), so the
+    two queries can never silently test different pages."""
+    return (
+        f"'<html><head><title>Doc ' || CAST({doc_id} AS VARCHAR)"
+        " || '</title><style>p{color:red}</style>'"
+        " || '<script>var t = \"evil&tracker\";</script></head>'"
+        " || '<body><nav>Home &amp; About</nav><p>'"
+        f" || {text}"
+        " || '</p><p>Tom &amp; Jerry &lt;3 &quot;quoted&quot;"
+        "&nbsp;text</p></body></html>'"
+    )
+
+
+def html_main_content(html: Column) -> Column:
+    """MAIN-CONTENT extraction — the readability/trafilatura core step
+    (Barbaresi 2021, ACL demo; Mozilla readability), reduced to its
+    deterministic kernel: after dropping <script>/<style> subtrees,
+    take the FIRST content ``<p>`` block — page chrome (head/title,
+    nav, footer, trailing link paragraphs) lives outside it on template
+    pages — then strip tags, decode entities, collapse whitespace.
+    NULL when the page has no non-empty <p> block.
+
+    Downstream quality/dedup gates must run on THIS region, not the
+    full page text: chrome dilutes entropy/length signals (short
+    gibberish hides behind healthy boilerplate) and unique-per-page
+    chrome (the title carries the page id) makes every full-page body
+    distinct, which silently turns dedup survivor election vacuous."""
+    s = F.regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, "(?is)<style[^>]*>.*?</style>", " ")
+    p = F.regexp_extract(s, "(?is)<p[^>]*>(.*?)</p>", 1)
+    p = F.regexp_replace(p, "<[^>]*>", " ")
+    for ent, ch in HTML_ENTITIES:
+        p = F.replace(p, F.lit(ent), F.lit(ch))
+    p = F.trim(F.regexp_replace(p, "[ \\t\\n\\r]+", " "))
+    return F.nullif(p, F.lit(""))
+
+
+def sql_html_main_content(expr: str) -> str:
+    """DuckDB twin of :func:`html_main_content` — identical op chain."""
+    s = f"regexp_replace({expr}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    s = f"regexp_replace({s}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    s = f"regexp_extract({s}, '(?is)<p[^>]*>(.*?)</p>', 1)"
+    s = f"regexp_replace({s}, '<[^>]*>', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        s = f"replace({s}, '{ent}', '{lit}')"
+    return f"nullif(trim(regexp_replace({s}, '[ \\t\\n\\r]+', ' ', 'g')), '')"

@@ -37,6 +37,46 @@ def _term(c: F.Column) -> F.Column:
     p = c.cast("double") / F.col("n").cast("double")
     return F.when(c > 0, p * F.log2(p)).otherwise(F.lit(0.0))
 
+# The 4-class entropy sum, shared by text_char_entropy and
+# pipeline_web_ingest (engine + oracle sides each defined ONCE).
+_ENT4_SQL = "-(" + " + ".join(
+    _TERM_SQL.format(c=c)
+    for c in ("c_alpha", "c_digit", "c_space", "c_other")
+) + ")"
+
+
+def _char_class_counts(src_col: str) -> list[F.Column]:
+    """The three translate()-based char-class counts over ``src_col``
+    (c_other = n - sum, derived by the caller)."""
+    return [
+        (
+            F.length(src_col)
+            - F.length(
+                F.translate(
+                    F.lower(F.col(src_col)), "abcdefghijklmnopqrstuvwxyz", ""
+                )
+            )
+        ).alias("c_alpha"),
+        (
+            F.length(src_col)
+            - F.length(F.translate(src_col, "0123456789", ""))
+        ).alias("c_digit"),
+        (
+            F.length(src_col) - F.length(F.translate(src_col, " ", ""))
+        ).alias("c_space"),
+    ]
+
+
+def _ent4() -> F.Column:
+    return -(
+        _term(F.col("c_alpha"))
+        + _term(F.col("c_digit"))
+        + _term(F.col("c_space"))
+        + _term(F.col("c_other"))
+    )
+
+
+
 
 @query(
     "text_char_entropy",
@@ -51,15 +91,7 @@ def _term(c: F.Column) -> F.Column:
     SELECT doc_id, n, c_alpha, c_digit, c_space,
            {ent} AS char_entropy
     FROM (SELECT *, n - c_alpha - c_digit - c_space AS c_other FROM c) t
-    """.format(
-        ent=sql_quant(
-            "-(" + " + ".join(
-                _TERM_SQL.format(c=c)
-                for c in ("c_alpha", "c_digit", "c_space", "c_other")
-            ) + ")",
-            6,
-        )
-    ),
+    """.format(ent=sql_quant(_ENT4_SQL, 6)),
 )
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-class entropy (alpha/digit/space/other, base-2): the
@@ -76,30 +108,14 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select(
         "doc_id",
         F.length("text").alias("n"),
-        (
-            F.length("text")
-            - F.length(
-                F.translate(
-                    F.lower(F.col("text")), "abcdefghijklmnopqrstuvwxyz", ""
-                )
-            )
-        ).alias("c_alpha"),
-        (
-            F.length("text") - F.length(F.translate("text", "0123456789", ""))
-        ).alias("c_digit"),
-        (
-            F.length("text") - F.length(F.translate("text", " ", ""))
-        ).alias("c_space"),
-    ).withColumn("c_other", F.col("n") - F.col("c_alpha") - F.col("c_digit") - F.col("c_space"))
-    ent = -(
-        _term(F.col("c_alpha"))
-        + _term(F.col("c_digit"))
-        + _term(F.col("c_space"))
-        + _term(F.col("c_other"))
+        *_char_class_counts("text"),
+    ).withColumn(
+        "c_other",
+        F.col("n") - F.col("c_alpha") - F.col("c_digit") - F.col("c_space"),
     )
     return base.select(
         "doc_id", "n", "c_alpha", "c_digit", "c_space",
-        quant(ent, 6).alias("char_entropy"),
+        quant(_ent4(), 6).alias("char_entropy"),
     )
 
 
@@ -445,115 +461,98 @@ def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BODY_ENT_SQL = "-(" + " + ".join(
-    _TERM_SQL.format(c=c)
-    for c in ("c_alpha", "c_digit", "c_space", "c_other")
-) + ")"
-
 
 @query(
     "pipeline_web_ingest",
     oracle="""
     WITH h AS (
-      SELECT doc_id, text AS source_text,
-             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
-             || '</title><style>p{{color:red}}</style>'
-             || '<script>var t = "evil&tracker";</script></head>'
-             || '<body><nav>Home &amp; About</nav><p>'
-             || text
-             || '</p><p>Tom &amp; Jerry &lt;3 &quot;quoted&quot;'
-             || '&nbsp;text</p></body></html>' AS html
+      SELECT doc_id, text AS source_text, {synth} AS html
       FROM documents
     ),
     x AS (
-      SELECT doc_id, source_text, {extract} AS body FROM h
+      SELECT doc_id,
+             trim(regexp_replace(source_text, '[ \t\n\r]+', ' ', 'g'))
+               AS norm_src,
+             {extract} AS main FROM h
     ),
     c AS (
-      SELECT doc_id, body,
-             COALESCE(strpos(body, source_text) > 0, FALSE) AS keep_extract,
-             COALESCE(LENGTH(body), 0) AS n,
-             LENGTH(body) - LENGTH(regexp_replace(lower(body), '[a-z]', '', 'g')) AS c_alpha,
-             LENGTH(body) - LENGTH(regexp_replace(body, '[0-9]', '', 'g')) AS c_digit,
-             LENGTH(body) - LENGTH(replace(body, ' ', '')) AS c_space
+      SELECT doc_id, main,
+             COALESCE(main = norm_src, FALSE) AS keep_extract,
+             COALESCE(LENGTH(main), 0) AS n,
+             LENGTH(main) - LENGTH(regexp_replace(lower(main), '[a-z]', '', 'g')) AS c_alpha,
+             LENGTH(main) - LENGTH(regexp_replace(main, '[0-9]', '', 'g')) AS c_digit,
+             LENGTH(main) - LENGTH(replace(main, ' ', '')) AS c_space
       FROM x
     ),
     e AS (
-      SELECT doc_id, body, keep_extract, n,
-             CASE WHEN n >= 16 THEN {ent} >= 0.8 ELSE FALSE END AS keep_entropy
+      SELECT doc_id, main, keep_extract, n,
+             CASE WHEN n >= 16 THEN {ent} >= 0.3 ELSE FALSE END AS keep_entropy
       FROM (SELECT *, n - c_alpha - c_digit - c_space AS c_other FROM c) t
     ),
     s AS (
       SELECT doc_id, keep_extract, keep_entropy, CAST(n AS BIGINT) AS n_chars,
-             doc_id = MIN(doc_id) OVER (PARTITION BY body) AS is_survivor
+             main IS NOT NULL
+               AND doc_id = MIN(doc_id) OVER (PARTITION BY main)
+               AS is_survivor
       FROM e
     )
     SELECT doc_id, n_chars, keep_extract, keep_entropy, is_survivor,
            (keep_extract AND keep_entropy AND is_survivor) AS admit
     FROM s
     """.format(
-        extract=T.sql_html_extract("html"),
-        ent=sql_quant(_BODY_ENT_SQL, 6),
+        synth=T.sql_synthesize_html(),
+        extract=T.sql_html_main_content("html"),
+        ent=sql_quant(_ENT4_SQL, 6),
     ),
 )
 def pipeline_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed WEB-INGEST flagship — what a crawled-corpus pipeline
     runs per snapshot, as ONE declarative auditable plan over the
-    synthesized pages: HTML->text extraction (script/style drop, entity
-    decode) -> extraction audit (source text survived, length floor) ->
-    char-class entropy gibberish gate ON THE EXTRACTED BODY -> corpus
-    exact-dedup survivor election on the body -> final admit bit, with
-    every stage's verdict in the output row (a user audits WHY a page
-    was rejected — the pipeline_corpus_curation contract, upstream of
-    it in a real deployment).
+    synthesized pages: MAIN-CONTENT extraction (script/style subtree
+    drop, first content <p>, entity decode — the readability-shaped
+    step; page chrome is excluded, see html_main_content for why gating
+    on the full body would be vacuous) -> extraction audit (main
+    content equals the whitespace-normalized source) -> char-class
+    entropy gibberish gate (>= 0.3 bits: single-class runs score ~0,
+    pure alpha+space prose ~0.6) ON THE EXTRACTED CONTENT with a 16-char
+    too-short-to-judge floor -> corpus exact-dedup survivor election on
+    the content (NULL content is never a survivor) -> final admit bit,
+    with every stage's verdict in the output row (a user audits WHY a
+    page was rejected — the pipeline_corpus_curation contract, upstream
+    of it in a real deployment).
 
     Scale shape: extraction + entropy are ONE narrow codegen'd
     projection (zero shuffles); the only exchange is the survivor
-    window on body; verdict assembly rides the same row, no joins at
-    all — strictly cheaper than curation's three-pass join shape.
-    NULL-text documents flow through (NULL body -> every gate false),
-    so the manifest accounts for every crawled page."""
-    from pyspark.sql.window import Window
-
+    window on the content; verdict assembly rides the same row, no
+    joins at all — strictly cheaper than curation's three-pass join
+    shape. NULL-text documents flow through (NULL content -> every
+    gate false), so the manifest accounts for every crawled page."""
     d = fan_out(load(spark, sf_dir, "documents"))
     x = T.synthesize_html(d).select(
-        "doc_id", "source_text", T.html_extract(F.col("html")).alias("body")
+        "doc_id",
+        F.trim(
+            F.regexp_replace("source_text", "[ \t\n\r]+", " ")
+        ).alias("norm_src"),
+        T.html_main_content(F.col("html")).alias("main"),
     )
     c = x.select(
         "doc_id",
-        "body",
-        F.coalesce(
-            F.position(F.col("source_text"), F.col("body")) > 0, F.lit(False)
-        ).alias("keep_extract"),
-        F.coalesce(F.length("body"), F.lit(0)).alias("n"),
-        (
-            F.length("body")
-            - F.length(
-                F.translate(
-                    F.lower(F.col("body")), "abcdefghijklmnopqrstuvwxyz", ""
-                )
-            )
-        ).alias("c_alpha"),
-        (
-            F.length("body") - F.length(F.translate("body", "0123456789", ""))
-        ).alias("c_digit"),
-        (
-            F.length("body") - F.length(F.translate("body", " ", ""))
-        ).alias("c_space"),
+        "main",
+        F.coalesce(F.col("main") == F.col("norm_src"), F.lit(False)).alias(
+            "keep_extract"
+        ),
+        F.coalesce(F.length("main"), F.lit(0)).alias("n"),
+        *_char_class_counts("main"),
     ).withColumn(
-        "c_other", F.col("n") - F.col("c_alpha") - F.col("c_digit") - F.col("c_space")
-    )
-    ent = -(
-        _term(F.col("c_alpha"))
-        + _term(F.col("c_digit"))
-        + _term(F.col("c_space"))
-        + _term(F.col("c_other"))
+        "c_other",
+        F.col("n") - F.col("c_alpha") - F.col("c_digit") - F.col("c_space"),
     )
     e = c.select(
         "doc_id",
-        "body",
+        "main",
         "keep_extract",
         "n",
-        F.when(F.col("n") >= 16, quant(ent, 6) >= 0.8)
+        F.when(F.col("n") >= 16, quant(_ent4(), 6) >= 0.3)
         .otherwise(F.lit(False))
         .alias("keep_entropy"),
     )
@@ -563,8 +562,11 @@ def pipeline_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_entropy",
         F.col("n").cast("bigint").alias("n_chars"),
         (
-            F.col("doc_id")
-            == F.min("doc_id").over(Window.partitionBy("body"))
+            F.col("main").isNotNull()
+            & (
+                F.col("doc_id")
+                == F.min("doc_id").over(Window.partitionBy("main"))
+            )
         ).alias("is_survivor"),
     )
     return s.select(

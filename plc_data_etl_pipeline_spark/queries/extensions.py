@@ -1603,14 +1603,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_html_extract",
     oracle=f"""
     WITH h AS (
-      SELECT doc_id, text AS source_text,
-             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
-             || '</title><style>p{{color:red}}</style>'
-             || '<script>var t = "evil&tracker";</script></head>'
-             || '<body><nav>Home &amp; About</nav><p>'
-             || text
-             || '</p><p>Tom &amp; Jerry &lt;3 &quot;quoted&quot;'
-             || '&nbsp;text</p></body></html>' AS html
+      SELECT doc_id, text AS source_text, {T.sql_synthesize_html()} AS html
       FROM documents
     ),
     x AS (

@@ -1308,3 +1308,38 @@ def test_html_extract_multiline_and_uppercase_script(spark):
         f"SELECT {T.sql_html_extract('?')}", [html]
     ).fetchone()[0]
     assert dd == body
+
+
+def test_web_ingest_gates_are_non_vacuous(spark, tmp_path):
+    """Each pipeline_web_ingest verdict must actually fire on its
+    designed target: short gibberish fails the entropy gate (page
+    chrome must NOT dilute it), duplicate pages lose survivor election
+    (the doc_id-bearing title must NOT make bodies unique), NULL text
+    is never a survivor, whitespace-bearing sources still pass the
+    extraction audit, and healthy unique prose is admitted."""
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again"),
+        (2, "0000000000000000"),                       # gibberish, 16 chars
+        (3, "duplicate page body words here and more of them"),
+        (4, "duplicate page body words here and more of them"),
+        (5, None),                                     # NULL crawl
+        (6, "white  space\trun\nsurvives the extraction audit fine"),
+    ]
+    spark.createDataFrame(rows, "doc_id int, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.doc_id: r
+        for r in all_queries()["pipeline_web_ingest"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[1].admit is True
+    assert out[2].keep_entropy is False and out[2].admit is False
+    assert out[3].is_survivor is True and out[3].admit is True
+    assert out[4].is_survivor is False and out[4].admit is False
+    assert out[5].is_survivor is False and out[5].admit is False
+    assert out[5].keep_extract is False and out[5].n_chars == 0
+    assert out[6].keep_extract is True and out[6].admit is True

@@ -581,3 +581,56 @@ def pipeline_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("is_survivor")
         ).alias("admit"),
     )
+
+
+@query(
+    "sample_weighted_topk",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS u32
+      FROM documents
+      WHERE text IS NOT NULL AND n_chars > 0
+    ),
+    k AS (
+      SELECT doc_id, n_chars,
+             {key} AS es_key
+      FROM b
+    )
+    SELECT doc_id, n_chars, es_key
+    FROM k ORDER BY es_key DESC, doc_id LIMIT 100
+    """.format(
+        key=sql_quant(
+            "LN((CAST(u32 AS DOUBLE) + 1.0) / 4294967296.0)"
+            " / CAST(n_chars AS DOUBLE)",
+            6,
+        )
+    ),
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted sampling WITHOUT replacement via the
+    Efraimidis-Spirakis exponential-key trick (Efraimidis & Spirakis
+    2006, IPL 97(5)): each row draws key = ln(u)/w for u ~ U(0,1] and
+    weight w, and the k LARGEST keys are exactly a weighted sample
+    without replacement — the one-pass, merge-friendly form of weighted
+    reservoir sampling (weights here: n_chars, longer docs
+    proportionally likelier). u is hash-derived (md5 of content), NOT
+    rand(): deterministic across runs, engines, and partitionings —
+    which is what makes a sampling operator oracle-checkable at all.
+
+    Scale shape: one narrow projection computes the key, then a global
+    top-k — TakeOrderedAndProject (per-partition heaps + driver merge
+    of k rows), never a global sort; the same operator at 100 TB holds
+    k rows per task. Keys are 6-digit floor-quantized with doc_id
+    tie-break, the repo's standard cross-engine double convention."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("n_chars") > 0)
+    )
+    u32 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    u = (u32.cast("double") + 1.0) / 4294967296.0
+    key = quant(F.log(u) / F.col("n_chars").cast("double"), 6)
+    return (
+        d.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(100)
+    )

@@ -209,6 +209,68 @@ def cosine_topk_fold(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    query_max_id: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the dense-retrieval
+    staple — e.g. ANCE, Xiong et al. 2021, arXiv:2007.00808): for each
+    query vector, the k most-similar corpus vectors with a DIFFERENT
+    label — maximally confusable non-matches, the negatives that teach
+    an encoder the decision boundary (random negatives are trivially
+    easy and contribute no gradient signal).
+
+    Same shape and bit-exactness contract as :func:`cosine_topk_fold`:
+    bounded query side broadcast (corpus scanned once, no vector
+    shuffle), per-side norms precomputed, sequential HOF dot folds,
+    try_divide for degenerate-vector safety, WindowGroupLimit top-k.
+    NULL-label rows are excluded from both sides — "different label" is
+    undefined against NULL and would silently drop pairs either way."""
+    emb = valid_vectors(emb, vec_col).filter(F.col(label_col).isNotNull())
+    q = emb.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qvec"),
+        norm_fold(F.col(vec_col)).alias("qnorm"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("cvec"),
+        norm_fold(F.col(vec_col)).alias("cnorm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_label") != F.col("neighbor_label"))
+        .withColumn(
+            "cosine_sim",
+            F.try_divide(
+                dot_fold(F.col("qvec"), F.col("cvec")),
+                F.col("qnorm") * F.col("cnorm"),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (literal constants, not data)."""
     rng = np.random.default_rng(seed)

@@ -426,6 +426,54 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(e, query_max_id=20, k=5)
 
 
+@query(
+    "sim_hard_negatives",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND label IS NOT NULL
+        AND len(list_filter(embedding, x -> x <> 0)) > 0
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             list_reduce([CAST(q.embedding[i] AS DOUBLE)
+                          * CAST(c.embedding[i] AS DOUBLE)
+                          FOR i IN range(1, len(q.embedding) + 1)],
+                         (a, b) -> a + b) AS dot,
+             list_reduce([CAST(q.embedding[i] AS DOUBLE)
+                          * CAST(q.embedding[i] AS DOUBLE)
+                          FOR i IN range(1, len(q.embedding) + 1)],
+                         (a, b) -> a + b) AS qq,
+             list_reduce([CAST(c.embedding[i] AS DOUBLE)
+                          * CAST(c.embedding[i] AS DOUBLE)
+                          FOR i IN range(1, len(c.embedding) + 1)],
+                         (a, b) -> a + b) AS cc
+      FROM v q JOIN v c ON q.label <> c.label
+      WHERE q.vec_id < 20
+    ), scored AS (
+      SELECT query_id, query_label, neighbor_id, neighbor_label,
+             dot / (SQRT(qq) * SQRT(cc)) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot / (SQRT(qq) * SQRT(cc)) DESC,
+                                         neighbor_id) AS rank
+      FROM dots
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           ROUND(sim, 6) AS cosine_sim, rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query vector, the 5
+    most-similar corpus vectors with a DIFFERENT label (ANCE-style —
+    the confusable non-matches that carry the gradient signal). Exact
+    sequential-fold cosine, bit-identical both engines
+    (operators/similarity.py::hard_negatives)."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.hard_negatives(e, query_max_id=20, k=5)
+
+
 @query("sim_topk_lsh", oracle=None)  # approximate by construction
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 (multi-probe Hamming-1). Pytest

@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..queries import _conv
+
 
 def dot_fold(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two float arrays, as DOUBLE.
@@ -209,6 +211,43 @@ def cosine_topk_fold(
     )
 
 
+def _fold_topk_core(
+    q: DataFrame, c: DataFrame, cond, k: int, head_cols: list[str]
+) -> DataFrame:
+    """Shared tail of the broadcast-query fold joins (cosine_topk_fold,
+    hard_negatives): pair join on ``cond``, one dot fold per pair
+    (norms precomputed per side), raw-double window top-k with
+    neighbor_id tie-break, quantized similarity out. ONE definition so
+    the twins' bit-exactness conventions cannot drift apart. Output
+    similarity is floor-quantized (not engine-native ROUND): quant maps
+    the (-5e-7, 0) band to +0.0 on both engines, so the IEEE -0.0 vs
+    0.0 ROUND divergence documented in _conv.py can't break the
+    oracle's str()-keyed row sort."""
+    scored = (
+        F.broadcast(q)
+        .join(c, cond)
+        .withColumn(
+            "cosine_sim",
+            F.try_divide(
+                dot_fold(F.col("qvec"), F.col("cvec")),
+                F.col("qnorm") * F.col("cnorm"),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            *head_cols,
+            _conv.quant(F.col("cosine_sim"), 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
 def hard_negatives(
     emb: DataFrame,
     query_max_id: int,
@@ -243,31 +282,19 @@ def hard_negatives(
         F.col(vec_col).alias("cvec"),
         norm_fold(F.col(vec_col)).alias("cnorm"),
     )
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("query_label") != F.col("neighbor_label"))
-        .withColumn(
-            "cosine_sim",
-            F.try_divide(
-                dot_fold(F.col("qvec"), F.col("cvec")),
-                F.col("qnorm") * F.col("cnorm"),
-            ),
-        )
+    # cosine across mismatched dimensions is undefined (Spark's
+    # zip_with NULL-pads, DuckDB's indexed fold truncates — a silent
+    # cross-engine divergence on variable-length vectors): pair only
+    # equal-dimension vectors, explicitly, on both engines.
+    cond = (F.col("query_label") != F.col("neighbor_label")) & (
+        F.size("qvec") == F.size("cvec")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "query_label",
-            "neighbor_id",
-            "neighbor_label",
-            F.round("cosine_sim", 6).alias("cosine_sim"),
-            "rank",
-        )
+    return _fold_topk_core(
+        q,
+        c,
+        cond,
+        k,
+        ["query_id", "query_label", "neighbor_id", "neighbor_label"],
     )
 
 

@@ -124,3 +124,15 @@ def sql_davg(expr: str, alias: str, scale: int = 2) -> str:
         f"CAST(SUM({sql_cents(expr, scale)}) AS DOUBLE) / {10**scale}"
         f" / COUNT({expr}) AS {alias}"
     )
+
+
+def hash_u32(col: str | Column) -> Column:
+    """Deterministic 32-bit uniform from content: first 8 hex chars of
+    md5 as a BIGINT in [0, 2^32). Engine-portable (md5 hex is identical
+    everywhere) — the hash-uniform every deterministic sampling/weight
+    derivation shares. Oracle twin: :func:`sql_hash_u32`."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("long")
+
+
+def sql_hash_u32(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..catalog import fan_out, load
 from ..operators import text as T
 from ..registry import query
-from ._conv import quant, sql_quant
+from ._conv import hash_u32, quant, sql_hash_u32, sql_quant
 
 # Per-class entropy term: p*log2(p) with the zero-count guard. The four
 # terms are summed in one fixed textual order on both engines.
@@ -588,7 +588,7 @@ def pipeline_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT doc_id, n_chars,
-             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS u32
+             {u32} AS u32
       FROM documents
       WHERE text IS NOT NULL AND n_chars > 0
     ),
@@ -600,6 +600,7 @@ def pipeline_web_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_chars, es_key
     FROM k ORDER BY es_key DESC, doc_id LIMIT 100
     """.format(
+        u32=sql_hash_u32("text || chr(31) || CAST(doc_id AS VARCHAR)"),
         key=sql_quant(
             "LN((CAST(u32 AS DOUBLE) + 1.0) / 4294967296.0)"
             " / CAST(n_chars AS DOUBLE)",
@@ -614,7 +615,8 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight w, and the k LARGEST keys are exactly a weighted sample
     without replacement — the one-pass, merge-friendly form of weighted
     reservoir sampling (weights here: n_chars, longer docs
-    proportionally likelier). u is hash-derived (md5 of content), NOT
+    proportionally likelier). u is hash-derived (md5 of content +
+    doc_id — the id salt keeps duplicate texts independent), NOT
     rand(): deterministic across runs, engines, and partitionings —
     which is what makes a sampling operator oracle-checkable at all.
 
@@ -626,7 +628,14 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.col("n_chars") > 0)
     )
-    u32 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    # Uniform per ROW, not per text: hashing content alone would give
+    # every copy of a duplicated document the same key (breaking the
+    # ES independence assumption on dup-heavy corpora — up to k copies
+    # of ONE text "sampled"); salting with doc_id restores per-row
+    # independence while staying deterministic and oracle-checkable.
+    u32 = hash_u32(
+        F.concat_ws("\x1f", F.col("text"), F.col("doc_id").cast("string"))
+    )
     u = (u32.cast("double") + 1.0) / 4294967296.0
     key = quant(F.log(u) / F.col("n_chars").cast("double"), 6)
     return (

@@ -450,6 +450,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           FOR i IN range(1, len(c.embedding) + 1)],
                          (a, b) -> a + b) AS cc
       FROM v q JOIN v c ON q.label <> c.label
+        AND len(q.embedding) = len(c.embedding)
       WHERE q.vec_id < 20
     ), scored AS (
       SELECT query_id, query_label, neighbor_id, neighbor_label,
@@ -460,7 +461,8 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dots
     )
     SELECT query_id, query_label, neighbor_id, neighbor_label,
-           ROUND(sim, 6) AS cosine_sim, rank
+           CAST(FLOOR(sim * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             AS cosine_sim, rank
     FROM scored WHERE rank <= 5
     """,
 )

@@ -1343,3 +1343,44 @@ def test_web_ingest_gates_are_non_vacuous(spark, tmp_path):
     assert out[5].is_survivor is False and out[5].admit is False
     assert out[5].keep_extract is False and out[5].n_chars == 0
     assert out[6].keep_extract is True and out[6].admit is True
+
+
+def test_hard_negatives_label_semantics(spark):
+    """Hard negatives are NEVER same-label, NULL-label rows are excluded
+    from both sides, and the nearest different-label vector wins rank 1."""
+    rows = [
+        (0, [1.0, 0.0], 1),       # query, label 1
+        (1, [0.99, 0.1], 1),      # same label, most similar — must NOT appear
+        (2, [0.9, 0.3], 2),       # different label — expected rank 1
+        (3, [0.0, 1.0], 3),       # different label, orthogonal
+        (4, [1.0, 0.01], None),   # NULL label — excluded entirely
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = S.hard_negatives(emb, query_max_id=1, k=3).collect()
+    assert all(r.neighbor_label != r.query_label for r in out)
+    assert all(r.neighbor_id != 4 for r in out), "NULL label leaked in"
+    best = min(out, key=lambda r: r.rank)
+    assert best.neighbor_id == 2
+
+
+def test_weighted_sample_dup_texts_draw_independent_keys(spark, tmp_path):
+    """The ES uniform is salted with doc_id: copies of one duplicated
+    text must NOT share a key (unsalted, a hot dup could fill the whole
+    top-k with one text), and heavier (longer) docs must dominate the
+    sample vs a same-size light group."""
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    heavy = "word " * 400
+    rows = [(i, heavy.strip()) for i in range(200)] + [
+        (1000 + i, f"tiny {i}") for i in range(200)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = all_queries()["sample_weighted_topk"].fn(spark, str(tmp_path)).collect()
+    keys = [r.es_key for r in out if r.doc_id < 1000]
+    assert len(set(keys)) > 1, "duplicate texts drew one shared ES key"
+    n_heavy = sum(1 for r in out if r.doc_id < 1000)
+    assert n_heavy >= 90, f"length weighting too weak: {n_heavy}/100 heavy"

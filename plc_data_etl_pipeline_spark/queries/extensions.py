@@ -19,6 +19,7 @@ from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
 from ..registry import query
+from ._conv import hash_u32
 
 
 def _char_shingles(width: int = 5):
@@ -1746,12 +1747,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load(spark, sf_dir, "documents"))
     words = F.split(F.col("text"), " ")
     feats = F.concat(words, D.word_shingles(words, 2))
-    weights = F.transform(
-        feats,
-        lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
-        % 2001
-        - 1000,
-    )
+    weights = F.transform(feats, lambda x: hash_u32(x) % 2001 - 1000)
     wsum = F.aggregate(weights, F.lit(0).cast("long"), lambda a, b: a + b)
     n = F.size(feats)
     score = F.try_divide(

@@ -55,6 +55,11 @@ SPOT = [
     # the whole point; 10x the docs = 10x the shards).
     "dedup_common_chunks",
     "pack_shard_manifest",
+    # the composed ingest pipeline (its survivor election only fires on
+    # the dup-heavy replica corpus — sf0.01 is dup-free) and the ES
+    # weighted sampler (top-k boundary stability across 10x the rows).
+    "pipeline_web_ingest",
+    "sample_weighted_topk",
 ]
 
 

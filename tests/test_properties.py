@@ -574,3 +574,40 @@ def test_bloom_never_false_negative(spark, member, probe):
         ).collect()
     }
     assert not admitted.intersection(set(member))
+
+
+@given(
+    rows=ROWS,
+    rows2=ROWS,
+    buckets=st.integers(min_value=1, max_value=5),
+    share=st.sampled_from([0.0, 0.2, 0.9]),
+)
+@_SETTINGS
+def test_salted_hot_join_multiplicity_property(spark, rows, rows2, buckets, share):
+    """salted_join_hot == plain inner join on ANY frame pair, for any
+    bucket count and hot-share (including share=0: everything salted;
+    share=0.9: sampling flags almost nothing) — the salt must change
+    execution, never multiplicity. Small-side keys are deduped first
+    (the operator's small-side contract, same as salted_join's)."""
+    from plc_data_etl_pipeline_spark.operators.scale import salted_join_hot
+
+    big = _spark_df(spark, rows)
+    small = _spark_df(spark, [(k, v) for k, v in rows2], "k int, w int").dropDuplicates(
+        ["k"]
+    )
+    key = lambda t: tuple(str(x) for x in t)  # None-safe total order
+    plain = sorted(
+        map(tuple, big.join(small, "k").select("k", "v", "w").collect()),
+        key=key,
+    )
+    salted = sorted(
+        map(
+            tuple,
+            salted_join_hot(
+                big, small, "k", salt_buckets=buckets,
+                sample_fraction=1.0, hot_share=share,
+            ).select("k", "v", "w").collect(),
+        ),
+        key=key,
+    )
+    assert salted == plain

@@ -125,7 +125,11 @@ def _build(spark) -> str:
         else:
             r = random.Random(i)
             vec = [round(r.uniform(-1, 1), 3) for _ in range(64)]
-        emb_rows.append((i, vec, i % 10))
+        # NULL labels (13 inside the query range): label-aware ops
+        # (hard-negative mining) must EXCLUDE these on both sides —
+        # "different label" is three-valued against NULL.
+        label = None if i in (13, 99) else i % 10
+        emb_rows.append((i, vec, label))
     spark.createDataFrame(
         emb_rows, "vec_id long, embedding array<float>, label int"
     ).coalesce(1).write.mode("overwrite").parquet(

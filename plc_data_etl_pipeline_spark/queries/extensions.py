@@ -1032,9 +1032,9 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
              OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             - CAST(len(string_split(text, ' ')) AS BIGINT) AS start_offset,
+             - CAST(len(string_split(text, ' ')) AS BIGINT) AS BIGINT) AS start_offset,
            CAST(FLOOR((SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
              OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              - CAST(len(string_split(text, ' ')) AS BIGINT)) / 2048) AS BIGINT) AS bin,

@@ -470,7 +470,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o.o_orderdate AS DATE) AS o_orderdate,
            o.o_totalprice, t.sum_qty
     FROM (
-      SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem GROUP BY l_orderkey
       HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
     ) t

@@ -256,9 +256,9 @@ def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (SELECT first_day AS day, COUNT(*) AS new_users FROM f GROUP BY first_day)
     SELECT day, new_users,
-           SUM(new_users) OVER (ORDER BY day
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS cum_users
+           CAST(SUM(new_users) OVER (ORDER BY day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS cum_users
     FROM d
     """,
 )

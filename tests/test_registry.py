@@ -39,3 +39,32 @@ def test_no_complex_toplevel_columns(spark, name):
         "project them to JSON/strings before registering (driver "
         "canonicalizer cannot hash array/map/binary/struct values)"
     )
+
+
+def test_no_hugeint_oracle_columns(oracle):
+    """Registry-wide oracle TYPE audit (round-3 verdict item 1).
+
+    DuckDB widens SUM(BIGINT) to HUGEINT (int128). ``fetchall`` hands
+    HUGEINT back as plain Python int, so the local multiset compare can
+    never see the difference — but the driver's pandas-canonicalized hash
+    DOES (the round-3 ``pack_sequences`` red). Guard the whole class:
+    no oracle result column may have DuckDB type HUGEINT/UHUGEINT; wrap
+    the offending expression in CAST(... AS BIGINT). Cheap: plan-only,
+    no Spark session and no row fetch.
+    """
+    from plc_data_etl_pipeline_spark.registry import oracle_queries
+
+    offenders = {}
+    for name, sql in sorted(oracle_queries().items()):
+        rel = oracle.sql(sql)
+        bad = [
+            f"{col}:{t}"
+            for col, t in zip(rel.columns, (str(t) for t in rel.types))
+            if t in ("HUGEINT", "UHUGEINT")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracle columns with int128 type (driver hash will reject even "
+        f"value-identical results) — CAST to BIGINT: {offenders}"
+    )

@@ -540,6 +540,22 @@ def minhash_dedup_pairs(
         # shingle floor does not apply to it (the ml variant documents
         # the opposite choice for its own pair contract).
         g = _exact_first_groups(df, id_col, text_col)
+        # The grouped frame feeds THREE consumers (star pairs, the
+        # signature stage via reps, the shingle-verify side via reps) and
+        # each prunes different columns, so neither ReuseExchange nor AQE
+        # stage reuse fires — measured 3x full-text groupBy executions
+        # and 14 exchanges at sf0.1 (the round-3 bench regression). A
+        # LAZY localCheckpoint materializes the aggregation once on
+        # first use and shares it across all branches of the same
+        # action; unlike an in-operator .cache() it is released by the
+        # ContextCleaner when the returned frame is garbage-collected,
+        # so repeated invocations do not pile up executor storage.
+        g = g.localCheckpoint(eager=False)
+        # (Measured alternative: re-spreading the representatives with a
+        # repartition before the Python signature stage does NOT pay —
+        # the extra exchange costs more than the 0.2 s of single-core
+        # Python it parallelizes at sf0.1, and at real scale the groupBy
+        # output is already wide.)
         exact_stars = (
             g.filter(F.size("ids") >= 2)
             .select(F.explode(star_pairs_expr()).alias("p"))

@@ -140,11 +140,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH fuzzy-dup pairs (shingle→sign→band→bucket-join→Jaccard
     verify). Rows-only here; pytest plants known near-dups and checks
     recall + that every reported pair's exact Jaccard >= threshold.
-    fan_out spreads the shingle+signature projection across the
-    session's parallelism on few-split fixture scans (~15% at sf0.1;
-    the remaining wall is the ~14-stage scheduling floor, measured in
-    BASELINE.md); conditional, so multi-split inputs skip it."""
-    d = fan_out(load(spark, sf_dir, "documents"))
+    No query-level fan_out: the exact-first pass shuffles through a
+    groupBy anyway, and the operator itself spreads the distinct-text
+    representatives before the Python signature stage on few-split
+    inputs (round-4 fix: the shared group frame is also lazily
+    localCheckpoint-ed so its three consumers compute it once —
+    exchanges 14 -> 6 at sf0.1)."""
+    d = load(spark, sf_dir, "documents")
     return D.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
 
 

@@ -222,9 +222,23 @@ def bloom_incremental_new(
         .filter(F.col("__all_hit") == 0)
         .select(id_col, "__ch")
     )
+    # Null-SAFE id equality on the semi-join back: plain `=` is
+    # null-rejecting, so a batch row with a NULL id would be silently
+    # dropped even when its content is definitely new — a systematic
+    # drop, not the documented probabilistic false positive. (__ch is
+    # never NULL: xxhash64 over a non-empty argument list always
+    # produces a value.)
+    nk = new_keys.select(
+        F.col(id_col).alias("__nk_id"), F.col("__ch").alias("__nk_ch")
+    )
     return (
         batch.withColumn("__ch", content_h)
-        .join(new_keys, [id_col, "__ch"], "left_semi")
+        .join(
+            nk,
+            F.col(id_col).eqNullSafe(F.col("__nk_id"))
+            & (F.col("__ch") == F.col("__nk_ch")),
+            "left_semi",
+        )
         .drop("__ch")
     )
 

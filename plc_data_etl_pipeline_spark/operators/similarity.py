@@ -148,7 +148,9 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round("cosine_sim", 6).alias("cosine_sim"),
+            # quant, not ROUND: must match the JVM fold twin, which
+            # shares _fold_topk_core's floor-quant convention
+            _conv.quant(F.col("cosine_sim"), 6).alias("cosine_sim"),
             "rank",
         )
     )
@@ -185,29 +187,12 @@ def cosine_topk_fold(
         F.col(vec_col).alias("cvec"),
         norm_fold(F.col(vec_col)).alias("cnorm"),
     )
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine_sim",
-            F.try_divide(
-                dot_fold(F.col("qvec"), F.col("cvec")),
-                F.col("qnorm") * F.col("cnorm"),
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cosine_sim", 6).alias("cosine_sim"),
-            "rank",
-        )
+    return _fold_topk_core(
+        q,
+        c,
+        F.col("query_id") != F.col("neighbor_id"),
+        k,
+        ["query_id", "neighbor_id"],
     )
 
 

@@ -327,10 +327,12 @@ def sample_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     score AS (
       SELECT w.doc_id, COUNT(*) AS n_words,
              -- + 0.0 normalizes IEEE negative zero (the engines round a
-             -- tiny negative mean to -0.0 vs 0.0 inconsistently)
-             ROUND(AVG(LN(CAST(v.c_t + 1 AS DOUBLE) / (t_tot + v_size))
-                     - LN(CAST(v.c_raw + 1 AS DOUBLE) / (r_tot + v_size))),
-                   4) + 0.0 AS avg_log_ratio
+             -- tiny negative mean to -0.0 vs 0.0 inconsistently);
+             -- floor-quant instead of ROUND: same IEEE ops as Spark's
+             -- quant(), immune to shortest-repr half-up ties
+             CAST(FLOOR((AVG(LN(CAST(v.c_t + 1 AS DOUBLE) / (t_tot + v_size))
+                     - LN(CAST(v.c_raw + 1 AS DOUBLE) / (r_tot + v_size))))
+                   * 10000.0 + 0.5) AS DOUBLE) / 10000.0 + 0.0 AS avg_log_ratio
       FROM w JOIN v USING (word), tot
       GROUP BY w.doc_id
     )
@@ -385,8 +387,12 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),
-            # + 0.0 normalizes IEEE negative zero (see oracle comment)
-            (F.round(F.avg(ratio), 4) + F.lit(0.0)).alias("avg_log_ratio"),
+            # + 0.0 normalizes IEEE negative zero (see oracle comment).
+            # quant(), not ROUND: Spark rounds the shortest-repr decimal
+            # HALF_UP while DuckDB rounds the binary value, so a
+            # log-ratio landing on a .xxxx5 shortest-repr tie could
+            # flake the oracle hash (round-4 advice).
+            (quant(F.avg(ratio), 4) + F.lit(0.0)).alias("avg_log_ratio"),
         )
         .withColumn("selected", F.col("avg_log_ratio") > 0)
     )

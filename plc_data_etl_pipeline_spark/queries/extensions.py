@@ -19,7 +19,7 @@ from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
 from ..registry import query
-from ._conv import hash_u32
+from ._conv import hash_u32, quant
 
 
 def _char_shingles(width: int = 5):
@@ -420,7 +420,12 @@ def dedup_common_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          neighbor_id) AS rank
       FROM dots
     )
-    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, rank
+    SELECT query_id, neighbor_id,
+           -- floor-quant, not ROUND: the engine twins share
+           -- _fold_topk_core's quant convention (round-4 advice)
+           CAST(FLOOR(sim * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+             AS cosine_sim,
+           rank
     FROM scored WHERE rank <= 5
     """,
 )
@@ -1726,9 +1731,11 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM f
     )
     SELECT doc_id, n_feats,
-           -- + 0.0 normalizes IEEE negative zero after ROUND
-           ROUND(CAST(wsum AS DOUBLE) / 1000.0 / CAST(n_feats AS DOUBLE), 6)
-             + 0.0 AS score,
+           -- + 0.0 normalizes IEEE negative zero; floor-quant, not
+           -- ROUND (same IEEE ops as Spark's quant(), no tie flake)
+           CAST(FLOOR((CAST(wsum AS DOUBLE) / 1000.0
+                       / CAST(n_feats AS DOUBLE)) * 1000000.0 + 0.5)
+                AS DOUBLE) / 1000000.0 + 0.0 AS score,
            CAST(wsum AS DOUBLE) / 1000.0 / CAST(n_feats AS DOUBLE)
              > 0.02 AS keep
     FROM s
@@ -1762,7 +1769,9 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n.alias("n_feats"),
-        (F.round(score, 6) + F.lit(0.0)).alias("score"),
+        # quant(), not ROUND: immune to Spark's shortest-repr HALF_UP
+        # vs DuckDB's binary-value rounding on .xxxxx5 ties (r4 advice)
+        (quant(score, 6) + F.lit(0.0)).alias("score"),
         (score > 0.02).alias("keep"),
     )
 

@@ -1028,6 +1028,26 @@ def test_bloom_gate_duplicate_ids_and_null_columns(spark):
     assert out == {(5, None, "x"), (5, "fresh", "fresh")}
 
 
+def test_bloom_gate_null_id_rows_survive(spark):
+    """A batch row with a NULL id and definitely-new content must be
+    admitted (round-4 advice: the plain-equality semi-join back was
+    null-rejecting, a SYSTEMATIC drop rather than the documented
+    probabilistic false positive), and a NULL-id row whose content IS
+    in the corpus must still be rejected."""
+    schema = "doc_id int, text string"
+    corpus = spark.createDataFrame([(1, "known old text")], schema)
+    bloom = D.bloom_build(corpus, ["text"])
+    batch = spark.createDataFrame(
+        [(None, "definitely new text"), (None, "known old text"),
+         (7, "another new text")], schema
+    )
+    out = {
+        (r.doc_id, r.text)
+        for r in D.bloom_incremental_new(batch, bloom, ["text"], "doc_id").collect()
+    }
+    assert out == {(None, "definitely new text"), (7, "another new text")}
+
+
 def test_bloom_bitmap_is_bounded_and_fp_rate_in_envelope(spark):
     """The bitmap never exceeds n_bits/64 words however big the corpus,
     and the measured FP rate on disjoint content stays within 3x the

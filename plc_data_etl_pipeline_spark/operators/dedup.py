@@ -964,10 +964,24 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # The superseded round's label blocks are dead the moment the
+        # convergence count above has consumed them (new_labels is an
+        # EAGER checkpoint, already materialized) — release them here
+        # instead of letting every round's node-sized snapshot pile up
+        # until session end (the sf50 session-residency finding).
+        from .graph import _unpersist_ckpt
+
+        _unpersist_ckpt(labels)
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+    from .graph import _register_round_state
+
+    return _register_round_state(
+        labels.select(F.col("node"), F.col("label").alias("cluster_id")),
+        edges,
+        labels,
+    )
 
 
 def cluster_survivors(

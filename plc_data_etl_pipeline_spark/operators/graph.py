@@ -21,6 +21,47 @@ from pyspark.storagelevel import StorageLevel
 from ..catalog import shuffle_partitions
 
 
+def _register_round_state(result: DataFrame, *ckpts: DataFrame) -> DataFrame:
+    """Attach the localCheckpoint-ed intermediates an iterative operator
+    pins to its returned frame, so callers can release them with
+    :func:`release_round_state` once the result is consumed."""
+    result._round_state = tuple(ckpts)
+    return result
+
+
+def release_round_state(df: DataFrame) -> int:
+    """Unpersist the round-invariant checkpoint blocks behind an
+    iterative graph/dedup result (pagerank, triangle_count,
+    connected_components). Returns the number of RDDs released.
+
+    WHY this exists (sf50 session-residency finding, BASELINE.md): the
+    DISK_ONLY edge checkpoints stay resident until session end because
+    the returned frame's lineage references them, and
+    ``spark.catalog.clearCache()`` does NOT touch them — localCheckpoint
+    persistence is RDD-level, invisible to the SQL CacheManager
+    (verified: getPersistentRDDs() unchanged across clearCache()).
+    Call this AFTER the result has been consumed (collected / written):
+    local checkpoints truncate lineage, so a released frame cannot be
+    recomputed. No-op on frames without registered state."""
+    released = 0
+    for ckpt in getattr(df, "_round_state", ()):
+        released += _unpersist_ckpt(ckpt)
+    return released
+
+
+def _unpersist_ckpt(ckpt: DataFrame) -> int:
+    """Unpersist ONE localCheckpoint-ed frame's block state (1 if
+    released, 0 if the py4j surface did not cooperate). The LogicalRDD
+    behind the checkpoint holds the block-persisted RDD; the Python-side
+    ``.rdd`` accessor would wrap a NEW deserialization RDD whose
+    unpersist is a no-op, hence the queryExecution reach-through."""
+    try:
+        ckpt._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        return 1
+    except Exception:  # py4j surface varies across versions
+        return 0
+
+
 def pagerank(
     pairs: DataFrame,
     iterations: int = 3,
@@ -68,6 +109,7 @@ def pagerank(
         .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     ranks = deg.select("src", F.lit(1000000).cast("bigint").alias("pr"))
+    pinned = [edges_deg]
     for i in range(iterations):
         ranks = (
             edges_deg.join(ranks.hint("shuffle_hash"), "src")
@@ -85,7 +127,10 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks.select(F.col("src").alias("node"), "pr")
+            pinned.append(ranks)
+    return _register_round_state(
+        ranks.select(F.col("src").alias("node"), "pr"), *pinned
+    )
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
@@ -153,4 +198,6 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.col("src").alias("b"), F.col("dst").alias("c")
     )
     tri = wedges.join(closing, ["b", "c"], "left_semi")
-    return tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    return _register_round_state(
+        tri.agg(F.count("*").cast("bigint").alias("n_triangles")), oriented
+    )

@@ -56,3 +56,47 @@ def test_triangle_count_star_hub(spark):
     assert _tri(spark, [(0, i) for i in range(1, 30)]) == 0
     # Add one leaf-leaf edge -> exactly one triangle.
     assert _tri(spark, [(0, i) for i in range(1, 30)] + [(1, 2)]) == 1
+
+
+def test_release_round_state_frees_checkpoint_blocks(spark):
+    """The iterative operators pin DISK_ONLY localCheckpoint RDDs that
+    spark.catalog.clearCache() can NOT release (RDD-level persistence is
+    invisible to the SQL CacheManager — the sf50 session-residency
+    finding). release_round_state() must actually drop them from
+    getPersistentRDDs()."""
+    from plc_data_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from plc_data_etl_pipeline_spark.operators.graph import (
+        release_round_state,
+        triangle_count,
+    )
+
+    jsc = spark.sparkContext._jsc
+
+    def n_persistent():
+        return jsc.getPersistentRDDs().size()
+
+    base = n_persistent()
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (10, 11)], "a int, b int"
+    )
+    tri = triangle_count(edges)
+    assert tri.collect()[0].n_triangles == 1
+    assert n_persistent() > base  # the oriented-edge checkpoint is live
+    assert release_round_state(tri) >= 1
+    assert n_persistent() == base
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
+    )
+    cc = connected_components(pairs)
+    got = {(r.node, r.cluster_id) for r in cc.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    # in-loop release already dropped superseded label rounds; only the
+    # edge relation + final labels remain, and release drops those too
+    assert release_round_state(cc) >= 1
+    assert n_persistent() == base
+
+    # release on a frame without registered state is a harmless no-op
+    assert release_round_state(edges) == 0

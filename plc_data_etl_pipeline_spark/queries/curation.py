@@ -330,16 +330,20 @@ def sample_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- tiny negative mean to -0.0 vs 0.0 inconsistently);
              -- floor-quant instead of ROUND: same IEEE ops as Spark's
              -- quant(), immune to shortest-repr half-up ties
-             CAST(FLOOR((AVG(LN(CAST(v.c_t + 1 AS DOUBLE) / (t_tot + v_size))
-                     - LN(CAST(v.c_raw + 1 AS DOUBLE) / (r_tot + v_size))))
-                   * 10000.0 + 0.5) AS DOUBLE) / 10000.0 + 0.0 AS avg_log_ratio
+             {qratio} + 0.0 AS avg_log_ratio
       FROM w JOIN v USING (word), tot
       GROUP BY w.doc_id
     )
     SELECT doc_id, n_words, avg_log_ratio,
            avg_log_ratio > 0 AS selected
     FROM score
-    """,
+    """.format(
+        qratio=sql_quant(
+            "AVG(LN(CAST(v.c_t + 1 AS DOUBLE) / (t_tot + v_size))"
+            " - LN(CAST(v.c_raw + 1 AS DOUBLE) / (r_tot + v_size)))",
+            4,
+        )
+    ),
 )
 def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for

@@ -736,34 +736,48 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the orders primary key (partial-aggregated). The oracle states
     each as NOT EXISTS / HAVING SQL. All-zeros on healthy fixtures;
     the value is that regressions surface as nonzero rows, not silent
-    joins dropping data downstream."""
+    joins dropping data downstream.
+
+    Single lazy plan (round-4 verdict item 6): the four checks are
+    scalar aggregates UNIONed into one DataFrame, so the whole audit is
+    ONE job with all four scans scheduled together — not four eager
+    driver-side actions reading the warehouse serially (4x the I/O wall
+    at 100 TB, and no shared scan scheduling)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey")
 
-    def orphans(child, key, parent, pkey):
-        return child.join(
-            parent, F.col(key) == F.col(pkey), "left_anti"
-        ).count()
+    def orphans(name, child, key, parent, pkey):
+        return (
+            child.join(parent, F.col(key) == F.col(pkey), "left_anti")
+            .agg(F.count("*").cast("bigint").alias("n_violations"))
+            .select(F.lit(name).alias("check_name"), "n_violations")
+        )
 
     dup_surplus = (
         o.groupBy("o_orderkey")
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") > 1)
-        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("s"))
-        .collect()[0]["s"]
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_violations")
+        )
+        .select(
+            F.lit("orders.o_orderkey unique").alias("check_name"),
+            "n_violations",
+        )
     )
-    rows = [
-        ("lineitem.l_orderkey -> orders",
-         orphans(li, "l_orderkey", o.select("o_orderkey"), "o_orderkey")),
-        ("orders.o_custkey -> customer",
-         orphans(o, "o_custkey", c.select("c_custkey"), "c_custkey")),
-        ("customer.c_nationkey -> nation",
-         orphans(c, "c_nationkey", n, "n_nationkey")),
-        ("orders.o_orderkey unique", int(dup_surplus)),
-    ]
-    return spark.createDataFrame(rows, "check_name string, n_violations bigint")
+    return (
+        orphans("lineitem.l_orderkey -> orders",
+                li, "l_orderkey", o.select("o_orderkey"), "o_orderkey")
+        .unionAll(orphans("orders.o_custkey -> customer",
+                          o, "o_custkey", c.select("c_custkey"), "c_custkey"))
+        .unionAll(orphans("customer.c_nationkey -> nation",
+                          c, "c_nationkey", n, "n_nationkey"))
+        .unionAll(dup_surplus)
+    )
 
 
 @query(

@@ -19,7 +19,7 @@ from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
 from ..registry import query
-from ._conv import hash_u32, quant
+from ._conv import hash_u32, quant, sql_quant
 
 
 def _char_shingles(width: int = 5):
@@ -423,11 +423,10 @@ def dedup_common_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id,
            -- floor-quant, not ROUND: the engine twins share
            -- _fold_topk_core's quant convention (round-4 advice)
-           CAST(FLOOR(sim * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
-             AS cosine_sim,
+           {qsim} AS cosine_sim,
            rank
     FROM scored WHERE rank <= 5
-    """,
+    """.format(qsim=sql_quant("sim")),
 )
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 20 query vectors against the corpus.
@@ -473,10 +472,9 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dots
     )
     SELECT query_id, query_label, neighbor_id, neighbor_label,
-           CAST(FLOOR(sim * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
-             AS cosine_sim, rank
+           {qsim} AS cosine_sim, rank
     FROM scored WHERE rank <= 5
-    """,
+    """.format(qsim=sql_quant("sim")),
 )
 def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining: per query vector, the 5
@@ -1497,15 +1495,13 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            COUNT(*) AS n_vecs,
-           CAST(FLOOR(MIN(nrm) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
-             AS min_norm,
-           CAST(FLOOR(MAX(nrm) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
-             AS max_norm,
+           {qmin} AS min_norm,
+           {qmax} AS max_norm,
            CAST(SUM(CAST(FLOOR(nrm * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
              / 1000000.0 / COUNT(*) AS avg_norm
     FROM n
     GROUP BY label
-    """,
+    """.format(qmin=sql_quant("MIN(nrm)"), qmax=sql_quant("MAX(nrm)")),
 )
 def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label L2-norm distribution of the embedding corpus — the sanity
@@ -1855,16 +1851,17 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id, label,
-           CAST(FLOOR(SQRT(sq_full) * 1000000.0 + 0.5) AS DOUBLE)
-             / 1000000.0 AS norm_full,
-           CAST(FLOOR(SQRT(sq_16) * 1000000.0 + 0.5) AS DOUBLE)
-             / 1000000.0 AS norm_16,
+           {qfull} AS norm_full,
+           {q16} AS norm_16,
            CASE WHEN sq_full > 0 THEN
-             CAST(FLOOR(sq_16 / sq_full * 1000000.0 + 0.5) AS DOUBLE)
-               / 1000000.0
+             {qfrac}
            END AS energy_frac
     FROM e
-    """,
+    """.format(
+        qfull=sql_quant("SQRT(sq_full)"),
+        q16=sql_quant("SQRT(sq_16)"),
+        qfrac=sql_quant("sq_16 / sq_full"),
+    ),
 )
 def emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-truncation audit: how much of each vector's energy

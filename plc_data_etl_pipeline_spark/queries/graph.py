@@ -73,7 +73,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, so the fixpoint trajectory is bit-identical in both
     engines regardless of aggregation order. Every node has degree
     >= 1 (undirected edges), so no dangling-mass correction is needed.
-    Returns the top-20 nodes (node-id tiebreak)."""
+    Returns the top-20 nodes (node-id tiebreak), materialized eagerly so
+    the edge-checkpoint blocks are released before the wrapper returns
+    (operators/graph.py::finalize_round_result)."""
+    from ..operators.graph import finalize_round_result
+
+    result, state = _pagerank_lazy(spark, sf_dir)
+    return finalize_round_result(result, state)
+
+
+def _pagerank_lazy(spark: SparkSession, sf_dir: str):
+    """(lazy top-20 frame, state-carrying pagerank frame) — split out so
+    the plan-lock test can audit the iteration join shape without the
+    wrapper's eager materialize-and-release."""
     from ..operators.graph import pagerank
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -89,9 +101,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    pr = pagerank(pairs, iterations=3)
     top = (
-        pagerank(pairs, iterations=3)
-        .select("node", F.col("pr").alias("pr_micro"))
+        pr.select("node", F.col("pr").alias("pr_micro"))
         .orderBy(F.desc("pr_micro"), "node")
         .limit(20)
     )
@@ -99,7 +111,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
         (F.col("node") / 2).cast("bigint"),
     )
-    return top.select(label.alias("node"), "pr_micro")
+    return top.select(label.alias("node"), "pr_micro"), pr
 
 
 @query(
@@ -134,8 +146,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientations count each triangle exactly once, so the counts agree
     bit-for-bit. Edge building is a per-order self-join co-partitioned
     on l_orderkey (order baskets are small), then a partial-agg support
-    count on the pair key."""
-    from ..operators.graph import triangle_count
+    count on the pair key. The two-column result is materialized eagerly
+    so the oriented-edge checkpoint is released before the wrapper
+    returns (operators/graph.py::finalize_round_result)."""
+    from ..operators.graph import finalize_round_result, triangle_count
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     op = li.distinct()
@@ -151,4 +165,4 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
     tri = triangle_count(edges)
-    return n_edges.crossJoin(tri)
+    return finalize_round_result(n_edges.crossJoin(tri), tri)

@@ -58,12 +58,22 @@ def test_triangle_count_star_hub(spark):
     assert _tri(spark, [(0, i) for i in range(1, 30)] + [(1, 2)]) == 1
 
 
+def _persistent_ids(spark):
+    """Ids of currently block-persisted RDDs. Asserting on id SETS (not
+    the global count) keeps the test isolation-safe: earlier tests'
+    leaked checkpoint RDDs may be GC'd by the ContextCleaner at any
+    moment mid-test, so a count captured as 'base' can drift DOWN while
+    this test runs (the deterministic round-4 full-suite failure)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
 def test_release_round_state_frees_checkpoint_blocks(spark):
     """The iterative operators pin DISK_ONLY localCheckpoint RDDs that
     spark.catalog.clearCache() can NOT release (RDD-level persistence is
     invisible to the SQL CacheManager — the sf50 session-residency
-    finding). release_round_state() must actually drop them from
-    getPersistentRDDs()."""
+    finding). release_round_state() must actually drop the operator's
+    OWN checkpoint ids from getPersistentRDDs()."""
     from plc_data_etl_pipeline_spark.operators.dedup import (
         connected_components,
     )
@@ -72,20 +82,16 @@ def test_release_round_state_frees_checkpoint_blocks(spark):
         triangle_count,
     )
 
-    jsc = spark.sparkContext._jsc
-
-    def n_persistent():
-        return jsc.getPersistentRDDs().size()
-
-    base = n_persistent()
+    base = _persistent_ids(spark)
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (1, 3), (3, 4), (10, 11)], "a int, b int"
     )
     tri = triangle_count(edges)
     assert tri.collect()[0].n_triangles == 1
-    assert n_persistent() > base  # the oriented-edge checkpoint is live
+    mine = _persistent_ids(spark) - base
+    assert mine  # the oriented-edge checkpoint is live
     assert release_round_state(tri) >= 1
-    assert n_persistent() == base
+    assert not (_persistent_ids(spark) & mine)
 
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
@@ -95,8 +101,26 @@ def test_release_round_state_frees_checkpoint_blocks(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
     # in-loop release already dropped superseded label rounds; only the
     # edge relation + final labels remain, and release drops those too
+    mine = _persistent_ids(spark) - base
     assert release_round_state(cc) >= 1
-    assert n_persistent() == base
+    assert not (_persistent_ids(spark) & mine)
 
     # release on a frame without registered state is a harmless no-op
     assert release_round_state(edges) == 0
+
+
+def test_registered_graph_queries_leave_no_resident_state(spark):
+    """Round-4 verdict item 3: the REGISTERED graph queries must release
+    their checkpoint blocks before returning, so ordinary sequential
+    runs (driver sim, bench, sf50 probes) don't accumulate DISK_ONLY
+    blocks query after query. Runs both wrappers back-to-back at
+    sf0.001 and asserts no persisted RDD they created survives."""
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    base = _persistent_ids(spark)
+    q = all_queries()
+    for name in ("graph_pagerank", "graph_triangle_count"):
+        df = q[name].fn(spark, "/root/testdata/sf0.001")
+        assert df.count() > 0
+        leaked = _persistent_ids(spark) - base
+        assert not leaked, f"{name} left resident RDDs: {leaked}"

@@ -495,8 +495,16 @@ def test_pagerank_iterations_join_not_cartesian(spark):
     """Each PageRank round is an equi-join on the source key plus a
     partial-aggregated SUM per destination — never a cartesian, never a
     broadcast of the (arbitrarily large) rank relation at real scale is
-    required for correctness (small inputs may still broadcast here)."""
-    p = plan(spark, "graph_pagerank")
+    required for correctness (small inputs may still broadcast here).
+    Audits the LAZY builder: the registered wrapper materializes and
+    releases round state, so its returned frame is a local relation."""
+    from plc_data_etl_pipeline_spark.queries.graph import _pagerank_lazy
+
+    df = _pagerank_lazy(spark, SF_DIR)[0]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
     assert "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 2  # map-side partials per round
 
@@ -655,3 +663,14 @@ def test_web_ingest_single_shuffle_no_joins(spark):
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "Join" not in p
     assert "Expand" not in p
+
+
+def test_referential_integrity_is_one_lazy_union_plan(spark):
+    """The DQ audit must be ONE unioned aggregate plan (round-4 verdict
+    item 6) — four eager per-check actions would serialize four scans of
+    the warehouse. Locks: lazy frame (not a pre-collected local
+    relation), a Union of the four checks, three anti-joins inside."""
+    p = plan(spark, "dq_referential_integrity", mode="simple")
+    assert "Union" in p
+    assert p.count("LeftAnti") == 3
+    assert "LocalTableScan" not in p, "audit was collected driver-side"

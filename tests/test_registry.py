@@ -68,3 +68,64 @@ def test_no_hugeint_oracle_columns(oracle):
         "oracle columns with int128 type (driver hash will reject even "
         f"value-identical results) — CAST to BIGINT: {offenders}"
     )
+
+
+def test_driver_slot_ordering(monkeypatch, tmp_path):
+    """__spark_entry__._ordered rank semantics (round-4 verdict items
+    2+4, advice items 3+5): failed reds first, then never-checked
+    ORACLED names in family-priority order (family rank scoped to this
+    rank only), then already-green oracled names stalest-green-first,
+    then rows-only names last (a rows-only slot can only ever record
+    `no_oracle`)."""
+    import __spark_entry__ as E
+
+    oracled = {"o_new", "o_old_green", "o_fresh_green", "o_failed"}
+    monkeypatch.setattr(
+        E, "oracle_queries", lambda: {n: "SELECT 1" for n in oracled}
+    )
+    monkeypatch.setattr(
+        E,
+        "_driver_history",
+        lambda: (
+            {"o_old_green": 1, "o_fresh_green": 4, "r_checked": 2},
+            {"o_failed"},
+        ),
+    )
+    monkeypatch.setattr(E, "_family_rank", lambda n: 0)
+    mapping = {
+        n: None
+        for n in (
+            "r_checked",
+            "o_fresh_green",
+            "o_old_green",
+            "r_never",
+            "o_new",
+            "o_failed",
+        )
+    }
+    assert list(E._ordered(mapping)) == [
+        "o_failed",       # latest row red: re-check the fix first
+        "o_new",          # never checked + oracled
+        "o_old_green",    # green, stale (r1) before
+        "o_fresh_green",  # green, fresh (r4)
+        "r_never",        # rows-only, never checked
+        "r_checked",      # rows-only, already has its no_oracle row
+    ]
+
+
+def test_driver_history_replays_rounds_numerically(tmp_path):
+    """CORRECTNESS files must replay in PARSED round order: with the
+    lexicographic sort r10 lands between r1 and r2, so r2's newer green
+    would be overwritten by r10's older verdict — here the TRUE latest
+    row (r10) is red and must win over the r2 green (round-4 advice:
+    the real risk begins at r100 vs zero-padded r010)."""
+    import json
+
+    import __spark_entry__ as E
+
+    green = {"q": {"err": None, "rows_match": True, "hash_match": True}}
+    red = {"q": {"err": None, "rows_match": False}}
+    (tmp_path / "CORRECTNESS_r2.json").write_text(json.dumps(green))
+    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps(red))
+    done, failed = E._driver_history(here=str(tmp_path))
+    assert failed == {"q"} and "q" not in done

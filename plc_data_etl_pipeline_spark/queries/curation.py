@@ -653,3 +653,48 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(100)
     )
+
+
+@query(
+    "sample_domain_cap",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(text), doc_id) AS pick_rank
+      FROM documents
+      WHERE text IS NOT NULL
+    )
+    SELECT doc_id, source, CAST(pick_rank AS BIGINT) AS pick_rank
+    FROM r WHERE pick_rank <= 10
+    """,
+)
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep at most 10 documents per source,
+    picked by a deterministic content-hash order — the C4/Gopher-style
+    per-host cap that stops a single crawled domain from dominating the
+    training mixture. Ordering by (md5(text), doc_id) instead of
+    rand() makes the SAMPLE itself reproducible across runs, engines,
+    and partitionings (the property every other sampler in this module
+    shares), and uncorrelated with crawl order or document length.
+
+    Scale shape: the rank<=K predicate compiles to WindowGroupLimit
+    (plan-locked) — each map task keeps a K-row heap per source BEFORE
+    the shuffle, so the exchange moves at most K rows per (task,
+    domain), not the corpus; there is exactly one shuffle (on source)
+    and no global sort. At 100 TB with millions of domains this is the
+    difference between a bounded per-task state and sorting the crawl.
+
+    NULL texts are excluded on both engines up front: Spark sorts NULLs
+    FIRST ascending while DuckDB sorts them LAST, so any NULL reaching
+    the ORDER BY would silently skew which rows get capped."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("bigint").alias("pick_rank"),
+        )
+        .filter(F.col("pick_rank") <= 10)
+    )

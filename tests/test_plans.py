@@ -674,3 +674,16 @@ def test_referential_integrity_is_one_lazy_union_plan(spark):
     assert "Union" in p
     assert p.count("LeftAnti") == 3
     assert "LocalTableScan" not in p, "audit was collected driver-side"
+
+
+def test_domain_cap_group_limit_before_shuffle(spark):
+    """The per-domain cap must push a PARTIAL WindowGroupLimit below the
+    exchange (each map task holds a K-row heap per source before any
+    data moves) with exactly one shuffle and a pushed-down null filter —
+    the bounded-state shape that survives millions of domains at 100 TB."""
+    p = plan(spark, "sample_domain_cap", mode="simple")
+    assert "WindowGroupLimit" in p
+    head, _, tail = p.partition("Exchange")
+    assert "WindowGroupLimit" in tail, "no map-side (Partial) group limit"
+    assert p.count("Exchange") == 1
+    assert "IsNotNull(text)" in p

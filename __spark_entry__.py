@@ -52,11 +52,13 @@ def _driver_history(here: str | None = None) -> tuple[dict[str, int], set[str]]:
     failed: set[str] = set()
     if here is None:
         here = os.path.dirname(os.path.abspath(__file__))
-    paths = glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-    for path in sorted(
-        paths, key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
-    ):
-        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+    rounds: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if m:  # skip non-round files the glob can catch (CORRECTNESS_rerun…)
+            rounds[path] = int(m.group(1))
+    for path in sorted(rounds, key=rounds.get):
+        rnd = rounds[path]
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -79,9 +81,11 @@ def _driver_history(here: str | None = None) -> tuple[dict[str, int], set[str]]:
 
 # Round-5 verdict item 2: after r04 the never-driver-checked oracled set
 # is exactly timeseries (10), the txlog/parity sink family (9),
-# stream_batch (6), relational (2) and set_ops_all — prioritize those
-# families among never-checked names so all 213 oracled queries earn a
-# driver row this round.
+# stream_batch (6), relational (2) and set_ops_all, plus the 3
+# never-checked aggregates — prioritize those families among
+# never-checked names so all 214 oracled queries (213 + round-5's
+# sample_domain_cap, which needs no family boost: rank 1 already
+# precedes every green re-check) earn a driver row this round.
 _FAMILY_PRIORITY = {
     "timeseries": 0,
     "parity": 1,

@@ -993,9 +993,17 @@ def cluster_survivors(
 ) -> DataFrame:
     """Per-row cluster assignment + survivor flag: rows absent from any
     pair form singleton clusters; the survivor of each cluster is its
-    minimum id (== the cluster_id by construction)."""
+    minimum id (== the cluster_id by construction).
+
+    The returned frame re-registers connected_components' round state
+    (derived DataFrames don't inherit Python-side attributes), so a
+    caller with a BOUNDED result can release the DISK_ONLY checkpoint
+    blocks via operators/graph.py::release_round_state /
+    finalize_round_result after consuming it."""
+    from .graph import _register_round_state
+
     cc = connected_components(pairs, id_a, id_b)
-    return (
+    out = (
         df.join(cc, df[id_col] == cc.node, "left")
         .select(
             df[id_col],
@@ -1003,6 +1011,7 @@ def cluster_survivors(
         )
         .withColumn("is_survivor", F.col(id_col) == F.col("cluster_id"))
     )
+    return _register_round_state(out, *getattr(cc, "_round_state", ()))
 
 
 # ---------------------------------------------------------------------------

@@ -989,7 +989,21 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor per duplicate cluster (the min id). The oracle re-derives
     the same clusters with a recursive CTE (reachability closure +
     min-root per node), so the ITERATIVE Spark algorithm is value-checked
-    against a declarative fixpoint."""
+    against a declarative fixpoint. The result is bounded by the id
+    filter (< 150 rows), so the wrapper materializes it eagerly and
+    releases the label-propagation checkpoint blocks before returning
+    (round-5 review: this and phash_clusters were the two remaining
+    CC consumers leaving DISK_ONLY blocks resident)."""
+    from ..operators.graph import finalize_round_result
+
+    out = _cluster_survivors_lazy(spark, sf_dir)
+    return finalize_round_result(out, out)
+
+
+def _cluster_survivors_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy survivor frame (state still registered) — split out so
+    the plan-lock test can audit the join shape without the wrapper's
+    eager materialize-and-release."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     sh = d.select("doc_id", _char_shingles().alias("grams"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
@@ -2132,7 +2146,11 @@ def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary = spark.createDataFrame(
         [(-1, kept)], "sz int, n_clusters bigint"
     )  # sz=-1 row carries the kept-media total
-    return hist.unionByName(summary)
+    # The histogram is tiny: materialize it and release the CC
+    # label-propagation checkpoints before returning (round-5 review).
+    from ..operators.graph import finalize_round_result
+
+    return finalize_round_result(hist.unionByName(summary), cc)
 
 
 @query("text_bpe_encode", oracle=None)  # learned-merge application — closed-form pytest

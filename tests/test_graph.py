@@ -117,10 +117,17 @@ def test_registered_graph_queries_leave_no_resident_state(spark):
     sf0.001 and asserts no persisted RDD they created survives."""
     from plc_data_etl_pipeline_spark.registry import all_queries
 
+    from .conftest import SF_DIR
+
     base = _persistent_ids(spark)
     q = all_queries()
-    for name in ("graph_pagerank", "graph_triangle_count"):
-        df = q[name].fn(spark, "/root/testdata/sf0.001")
+    for name in (
+        "graph_pagerank",
+        "graph_triangle_count",
+        "multimodal_phash_clusters",
+        "dedup_cluster_survivors",
+    ):
+        df = q[name].fn(spark, SF_DIR)
         assert df.count() > 0
         leaked = _persistent_ids(spark) - base
         assert not leaked, f"{name} left resident RDDs: {leaked}"

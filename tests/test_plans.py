@@ -183,8 +183,17 @@ def test_chunk_windows_single_scan_no_shuffle(spark):
 def test_cluster_survivors_no_cartesian_on_cc(spark):
     """Label propagation joins stay equi-joins (no cartesian blowup);
     the pair generation's theta join is the only nested-loop site and is
-    bounded by the id filter."""
-    p = plan(spark, "dedup_cluster_survivors")
+    bounded by the id filter. Audits the LAZY builder — the registered
+    wrapper materializes-and-releases, returning a local relation."""
+    from plc_data_etl_pipeline_spark.queries.extensions import (
+        _cluster_survivors_lazy,
+    )
+
+    df = _cluster_survivors_lazy(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
     assert "CartesianProduct" not in p
 
 

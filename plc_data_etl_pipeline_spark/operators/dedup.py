@@ -582,7 +582,14 @@ def minhash_dedup_pairs(
             reps, id_col, text_col, shingle_n, num_hashes, bands,
             threshold, use_arrow, exact_first=False,
         )
-        return near.unionByName(exact_stars)
+        # Register the shared checkpoint as round state: GC release is
+        # asynchronous (the sf5 sequential probe shows the block still
+        # resident right after the consuming action), so long-lived
+        # callers that hold the pair frame can drop it deterministically
+        # with operators/graph.py::release_round_state once consumed.
+        from .graph import _register_round_state
+
+        return _register_round_state(near.unionByName(exact_stars), g)
     toks = F.split(F.col(text_col), " ")
     if use_arrow:
         sigs = minhash_signatures_arrow(df, id_col, text_col, shingle_n, num_hashes)

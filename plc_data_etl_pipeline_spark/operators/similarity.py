@@ -964,3 +964,198 @@ def ivf_ann_topk_indexed(
             "rank",
         )
     )
+
+
+def lexical_jaccard_topk(
+    docs: DataFrame,
+    query_max_id: int,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-set Jaccard lexical ranking: top-``n`` corpus documents per
+    bounded query document (``id < query_max_id``) by whitespace-token
+    Jaccard similarity — the sparse/lexical leg of hybrid retrieval
+    (the BM25 stand-in that is exactly oracle-checkable).
+
+    Scale posture: the query side is bounded by construction and
+    broadcast, so the corpus is scanned ONCE with no shuffle of texts;
+    token arrays are projected per side BEFORE the pair join (one
+    tokenize per document, not per pair). The per-query top-n is a
+    windowed rank — Spark >= 3.5 pushes a WindowGroupLimit below the
+    shuffle, so each map task forwards at most n rows per query.
+
+    Determinism (oracle parity): Jaccard = |A∩B| / (|A|+|B|-|A∩B|) over
+    DISTINCT token sets — one IEEE division of exact small integers,
+    bit-identical to DuckDB's len(list_intersect(...)) arithmetic; ties
+    break on neighbor_id.
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    base = docs.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    )
+    q = base.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"), toks.alias("q_toks")
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"), toks.alias("c_toks")
+    )
+    inter = F.size(F.array_intersect(F.col("q_toks"), F.col("c_toks")))
+    union = F.size(F.col("q_toks")) + F.size(F.col("c_toks")) - inter
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "lex_sim",
+            F.try_divide(inter.cast("double"), union.cast("double")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("lex_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("lex_rank", F.row_number().over(w))
+        .filter(F.col("lex_rank") <= n)
+        .select("query_id", "neighbor_id", "lex_rank")
+    )
+
+
+def rrf_hybrid_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_max_id: int,
+    n_candidates: int = 20,
+    k: int = 5,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid dense+lexical retrieval fused by Reciprocal Rank Fusion
+    (Cormack, Clarke & Buettcher 2009, SIGIR): per query id, take the
+    top-``n_candidates`` by exact embedding cosine (dense leg,
+    :func:`cosine_topk_fold`) and by token Jaccard (lexical leg,
+    :func:`lexical_jaccard_topk`), score every candidate in the UNION
+    of the two lists as sum over legs of 1/(rrf_k + rank) (a missing
+    leg contributes 0 — the standard convention), and keep the top-k
+    per query by fused score.
+
+    Scale posture: both legs broadcast the bounded query set and scan
+    the corpus once each; the fusion join is a full-outer join of two
+    Q x n candidate lists (tiny by construction), then one windowed
+    top-k. Nothing in the plan grows faster than the corpus.
+
+    Determinism (oracle parity): 1/(rrf_k + rank) is one IEEE division
+    of exact integers; the two-leg sum is a fixed-order addition of two
+    identical doubles — bit-identical across engines, floor-quantized
+    on output per _conv convention. Ties break on neighbor_id.
+    """
+    dense = cosine_topk_fold(emb, query_max_id, k=n_candidates).select(
+        "query_id", "neighbor_id", F.col("rank").alias("dense_rank")
+    )
+    lex = lexical_jaccard_topk(
+        docs, query_max_id, n_candidates
+    )
+    fused = dense.join(
+        lex, ["query_id", "neighbor_id"], "full_outer"
+    ).withColumn(
+        "rrf_score_raw",
+        F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            _conv.quant(F.col("rrf_score_raw"), 6).alias("rrf_score"),
+            "dense_rank",
+            "lex_rank",
+            "rank",
+        )
+    )
+
+
+def mmr_diversify_topk(
+    emb: DataFrame,
+    query_max_id: int,
+    n_candidates: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998, SIGIR): per query, fetch ``n_candidates`` by exact
+    cosine (:func:`cosine_topk_fold`), then greedily re-rank —
+    each step picks argmax of ``lam * relevance - (1-lam) *
+    max_cosine_to_already_selected`` — so near-duplicate candidates
+    cannot crowd the result list. The retrieval-time counterpart of
+    SemDeDup's corpus-time pruning.
+
+    Scale posture: the greedy step is inherently sequential but runs
+    per query over <= n_candidates rows — an ``applyInPandas`` group of
+    bounded size (the corpus-sized work is the candidate fetch, which
+    broadcasts the bounded query set and scans the corpus once). The
+    candidate->vector join broadcasts the Q x n candidate list, so the
+    corpus is probed, never shuffled.
+
+    Greedy selection is iterative/order-dependent -> rows-only check;
+    planted-geometry invariants in tests/test_extensions.py (first
+    pick == top-cosine, duplicate candidates deferred below diverse
+    ones).
+    """
+    import pandas as pd
+
+    cands = cosine_topk_fold(
+        emb, query_max_id, k=n_candidates, id_col=id_col, vec_col=vec_col
+    )
+    corpus = valid_vectors(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    with_vecs = F.broadcast(cands).join(corpus, "neighbor_id")
+
+    def greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("rank").reset_index(drop=True)
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["cvec"]]
+        )
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        unit = mat / norms[:, None]  # valid_vectors => norms > 0
+        sims = unit @ unit.T
+        rel = pdf["cosine_sim"].to_numpy()
+        ids = pdf["neighbor_id"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        remaining = list(range(n))
+        while remaining and len(selected) < k:
+            best = None
+            best_key = None
+            for i in remaining:
+                penalty = sims[i, selected].max() if selected else 0.0
+                score = lam * rel[i] - (1.0 - lam) * penalty
+                key = (score, -int(ids[i]))  # ties -> smallest id
+                if best_key is None or key > best_key:
+                    best, best_key = i, key
+            selected.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[:1].repeat(
+                    len(selected)
+                ).to_numpy(),
+                "neighbor_id": ids[selected],
+                "relevance": rel[selected],
+                "mmr_rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+            }
+        )
+
+    return with_vecs.groupBy("query_id").applyInPandas(
+        greedy,
+        "query_id long, neighbor_id long, relevance double, mmr_rank int",
+    )

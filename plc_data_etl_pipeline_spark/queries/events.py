@@ -941,3 +941,61 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup("first_touch", "first_touch").unionByName(
         rollup("last_touch", "last_touch")
     )
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH classes AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value / 50) AS BIGINT) AS vbin,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           COUNT(*) AS n_classes,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_classes,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(SUM(n) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 10000
+                // SUM(n) AS BIGINT) AS risk_bps
+    FROM classes GROUP BY event_type
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity privacy audit (Sweeney 2002) — the re-identification
+    gate a training-data pipeline runs beside PII scrubbing
+    (text_pii_scrub): rows whose quasi-identifier combination
+    (event type, event day, 50-unit value bucket) is shared by fewer
+    than k=5 records are individually re-identifiable even with the
+    direct identifier (user_id) removed. Per event type: equivalence-
+    class census, classes below k, rows at risk, and the risk share in
+    exact basis points.
+
+    One partial-aggregated groupBy over the quasi-identifier (the only
+    shuffle — class counts combine map-side), then a tiny re-aggregate
+    per event type. The value bucket is FLOOR of one IEEE division of
+    identical doubles — deterministic across engines; every output is
+    an exact integer.
+    """
+    ev = load(spark, sf_dir, "events")
+    classes = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") / 50).alias("vbin"),
+    ).agg(F.count("*").alias("n"))
+    small = F.when(F.col("n") < 5, F.col("n")).otherwise(F.lit(0))
+    return classes.groupBy("event_type").agg(
+        F.count("*").alias("n_classes"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0)).alias(
+            "n_small_classes"
+        ),
+        F.sum(small).alias("rows_at_risk"),
+        F.sum("n").alias("rows_total"),
+        F.expr(
+            "CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 10000"
+            " div sum(n) AS BIGINT)"
+        ).alias("risk_bps"),
+    )

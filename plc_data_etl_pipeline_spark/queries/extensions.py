@@ -486,6 +486,110 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.hard_negatives(e, query_max_id=20, k=5)
 
 
+@query(
+    "sim_rrf_fusion",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x <> 0)) > 0
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce([CAST(q.embedding[i] AS DOUBLE)
+                          * CAST(c.embedding[i] AS DOUBLE)
+                          FOR i IN range(1, len(q.embedding) + 1)],
+                         (a, b) -> a + b) AS dot,
+             list_reduce([CAST(q.embedding[i] AS DOUBLE)
+                          * CAST(q.embedding[i] AS DOUBLE)
+                          FOR i IN range(1, len(q.embedding) + 1)],
+                         (a, b) -> a + b) AS qq,
+             list_reduce([CAST(c.embedding[i] AS DOUBLE)
+                          * CAST(c.embedding[i] AS DOUBLE)
+                          FOR i IN range(1, len(c.embedding) + 1)],
+                         (a, b) -> a + b) AS cc
+      FROM v q JOIN v c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ),
+    dense AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot / (SQRT(qq) * SQRT(cc)) DESC,
+                                         neighbor_id) AS dense_rank
+      FROM dots
+      QUALIFY dense_rank <= 20
+    ),
+    toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    lexp AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+             CAST(len(list_intersect(q.t, c.t)) AS DOUBLE)
+               / CAST(len(q.t) + len(c.t)
+                      - len(list_intersect(q.t, c.t)) AS DOUBLE) AS lex_sim
+      FROM toks q JOIN toks c ON q.doc_id <> c.doc_id
+      WHERE q.doc_id < 10
+    ),
+    lex AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY lex_sim DESC,
+                                         neighbor_id) AS lex_rank
+      FROM lexp
+      QUALIFY lex_rank <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+             COALESCE(d.neighbor_id, l.neighbor_id) AS neighbor_id,
+             d.dense_rank, l.lex_rank,
+             COALESCE(1.0 / (60 + d.dense_rank), 0.0)
+               + COALESCE(1.0 / (60 + l.lex_rank), 0.0) AS rrf
+      FROM dense d FULL OUTER JOIN lex l
+        ON d.query_id = l.query_id AND d.neighbor_id = l.neighbor_id
+    )
+    SELECT query_id, neighbor_id, {qrrf} AS rrf_score,
+           dense_rank, lex_rank, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, neighbor_id) AS rank
+      FROM fused
+    ) WHERE rank <= 5
+    """.format(qrrf=sql_quant("rrf")),
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.
+    2009): per query id, the dense leg ranks the corpus by exact
+    embedding cosine and the lexical leg by whitespace-token Jaccard;
+    candidates in the union of the two top-20 lists score
+    sum(1/(60+rank)) and the fused top-5 is returned
+    (operators/similarity.py::rrf_hybrid_topk). Both legs broadcast
+    the bounded query set and scan the corpus once — the 100 TB hybrid
+    search shape."""
+    return S.rrf_hybrid_topk(
+        load(spark, sf_dir, "documents"),
+        load(spark, sf_dir, "embeddings"),
+        query_max_id=10,
+        n_candidates=20,
+        k=5,
+    )
+
+
+@query("sim_mmr_diversify", oracle=None)  # greedy/iterative re-rank
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (Carbonell & Goldstein 1998): exact
+    cosine top-20 candidates per query, greedily re-ranked so each pick
+    maximizes lam*relevance - (1-lam)*max-sim-to-selected — duplicate-
+    heavy corpora stop flooding the result list
+    (operators/similarity.py::mmr_diversify_topk). Greedy selection is
+    sequential by definition -> rows-only; planted-geometry pytests in
+    tests/test_extensions.py."""
+    return S.mmr_diversify_topk(
+        load(spark, sf_dir, "embeddings"), query_max_id=10,
+        n_candidates=20, k=5,
+    )
+
+
 @query("sim_topk_lsh", oracle=None)  # approximate by construction
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 (multi-probe Hamming-1). Pytest

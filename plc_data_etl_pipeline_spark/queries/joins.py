@@ -807,3 +807,110 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *_unpack_date_key("m", "o_orderkey", "next_orderdate"),
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(epoch_us(ts)) AS a_start, MAX(epoch_us(ts)) AS a_end
+      FROM events GROUP BY 1, 2
+    ), errs AS (
+      SELECT epoch_us(ts) - 1800000000 AS b_start,
+             epoch_us(ts) + 1800000000 AS b_end
+      FROM events WHERE event_type = 'error' AND value >= 450
+    )
+    SELECT s.user_id, s.day,
+           COUNT(*) AS n_error_windows,
+           CAST(SUM(LEAST(s.a_end, e.b_end)
+                    - GREATEST(s.a_start, e.b_start)) AS DOUBLE) / 1e6
+             AS overlap_sec_total
+    FROM spans s JOIN errs e
+      ON s.a_start < e.b_end AND e.b_start < s.a_end
+    GROUP BY 1, 2
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (both sides are INTERVALS — distinct from
+    join_band_time's point-vs-band shape): each user's per-day activity
+    span [first event, last event] against every +-30-minute window
+    around a CRITICAL error event (value >= 450); report, per user-day,
+    how many critical-error windows the user's activity overlapped and
+    the total overlap seconds.
+
+    Cardinality honesty: overlap-join output is data-determined — dense
+    interval sets overlap quadratically no matter the algorithm, so the
+    interesting window set must be selective (here the critical-error
+    filter, pushed to the scan). The grid join's candidate count,
+    sum over bins of |A_bin| x |B_bin|, is tight against the true pair
+    count for windows shorter than a bin (an activity span covering an
+    hour overlaps most windows inside it), so the plan does output-
+    proportional work — the optimum for this operator class.
+
+    Scale posture: a naive overlap theta-join is a cartesian. Instead
+    both interval sets are EXPLODED onto a fixed one-hour epoch grid
+    (``sequence`` over integer bin ids — an activity span covers <= 25
+    bins, an error window <= 2) and equi-joined ON BIN, so the shuffle
+    is hash-partitioned by time bucket and each task sees only the
+    intervals that share an hour — the standard grid-blocking scheme
+    for spatial/temporal overlap joins (cf. Spark's own range-join hint
+    binning). Bin-duplicate pairs are collapsed with dropDuplicates on
+    the pair key before aggregation. The plan lock asserts no
+    CartesianProduct/BroadcastNestedLoopJoin survives.
+
+    Determinism: overlap length is exact BIGINT microseconds summed as
+    BIGINT, divided once to seconds — bit-identical to the oracle.
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    half_window_us = 1_800_000_000  # +-30 min
+    bin_us = 3_600_000_000  # one-hour grid
+    ev = load(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.min(us).alias("a_start"), F.max(us).alias("a_end"))
+    errs = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") >= 450)
+    ).select(
+        F.col("event_id").alias("err_id"),
+        (us - half_window_us).alias("b_start"),
+        (us + half_window_us).alias("b_end"),
+    )
+    a = spans.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"a_start div {bin_us}"), F.expr(f"a_end div {bin_us}")
+            )
+        ),
+    )
+    b = errs.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"b_start div {bin_us}"), F.expr(f"b_end div {bin_us}")
+            )
+        ),
+    )
+    pairs = (
+        a.join(b, "bin")
+        .filter(
+            (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end"))
+        )
+        .select(
+            "user_id",
+            "day",
+            "err_id",
+            (
+                F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+            ).alias("overlap_us"),
+        )
+        .dropDuplicates(["user_id", "day", "err_id"])
+    )
+    return pairs.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_error_windows"),
+        (F.sum("overlap_us").cast("double") / F.lit(1e6)).alias(
+            "overlap_sec_total"
+        ),
+    )

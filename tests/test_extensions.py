@@ -1404,3 +1404,51 @@ def test_weighted_sample_dup_texts_draw_independent_keys(spark, tmp_path):
     assert len(set(keys)) > 1, "duplicate texts drew one shared ES key"
     n_heavy = sum(1 for r in out if r.doc_id < 1000)
     assert n_heavy >= 90, f"length weighting too weak: {n_heavy}/100 heavy"
+
+
+def test_mmr_first_pick_is_top_cosine_and_duplicates_defer(spark):
+    """Planted geometry for mmr_diversify_topk: the corpus holds the
+    query, an exact duplicate pair of the most-relevant direction, and
+    one diverse-but-relevant direction. MMR must (1) open with the top
+    cosine candidate, (2) rank the DIVERSE candidate above the
+    duplicate of the already-selected one, (3) emit exactly k rows per
+    query with mmr_rank 1..k."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # query
+        (10, [0.99, 0.14, 0.0, 0.0]),  # most relevant
+        (11, [0.99, 0.141, 0.0, 0.0]),  # near-duplicate of 10
+        (12, [0.7, 0.0, 0.7, 0.0]),   # diverse, still relevant
+        (13, [0.1, 0.0, 0.0, 0.99]),  # orthogonal-ish filler
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    got = (
+        S.mmr_diversify_topk(emb, query_max_id=1, n_candidates=4, k=3,
+                             lam=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    )
+    assert [r.mmr_rank for r in got] == [1, 2, 3]
+    assert got[0].neighbor_id == 10, "first MMR pick must be top cosine"
+    assert got[1].neighbor_id == 12, (
+        "diverse candidate must outrank the duplicate of the selection"
+    )
+    assert got[2].neighbor_id in (11, 13)
+
+
+def test_mmr_lambda_one_reduces_to_pure_relevance(spark):
+    """With lam=1.0 the diversity penalty vanishes: MMR order must equal
+    the exact cosine rank order for every query."""
+    emb = load(spark, SF_DIR, "embeddings")
+    base = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in S.cosine_topk_fold(emb, query_max_id=5, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.mmr_rank): r.neighbor_id
+        for r in S.mmr_diversify_topk(
+            emb, query_max_id=5, n_candidates=5, k=5, lam=1.0
+        ).collect()
+    }
+    assert got == base

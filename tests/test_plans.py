@@ -696,3 +696,32 @@ def test_domain_cap_group_limit_before_shuffle(spark):
     assert "WindowGroupLimit" in tail, "no map-side (Partial) group limit"
     assert p.count("Exchange") == 1
     assert "IsNotNull(text)" in p
+
+
+def test_interval_overlap_join_is_grid_blocked(spark):
+    """join_interval_overlap must equi-join on the hour-grid bin (after
+    exploding both interval sets onto it), never fall back to a
+    cartesian/nested-loop overlap theta-join — the difference between
+    O(pairs-sharing-an-hour) and O(|A| x |B|) at 100 TB."""
+    p = plan(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate" in p, "hour-grid explode missing from the plan"
+
+
+def test_rrf_fusion_broadcasts_bounded_queries(spark):
+    """Both retrieval legs of sim_rrf_fusion broadcast the bounded query
+    side (corpus scanned once per leg, no corpus-sized shuffle below the
+    candidate windows) and nothing degenerates to a cartesian."""
+    p = plan(spark, "sim_rrf_fusion")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p, "candidate top-n must group-limit"
+
+
+def test_k_anonymity_partial_aggregation(spark):
+    """The quasi-identifier class census must combine map-side (partial
+    + final HashAggregate) — the audit's only shuffle carries class
+    counts, not raw events."""
+    p = plan(spark, "dq_k_anonymity")
+    assert p.count("HashAggregate") >= 2

@@ -698,3 +698,140 @@ def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("pick_rank") <= 10)
     )
+
+
+@query(
+    "text_url_canonicalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'https://WWW.' || source || '.Example.COM:443'
+                 || '/articles/' || doc_id
+                 || '?utm_source=feed&id=' || doc_id
+                 || '&utm_campaign=x#section2'
+               WHEN 1 THEN 'http://' || source || '.example.com:80/post/'
+                 || doc_id
+               WHEN 2 THEN 'https://cdn.' || source
+                 || '.example.com/asset/' || doc_id
+                 || '?v=1&utm_medium=email'
+               ELSE 'http://' || source || '.Example.com:8080/p/'
+                 || doc_id || '?q=a+b&ref=2'
+             END AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, url,
+             LOWER(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+             regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1) AS hostport,
+             regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS path,
+             NULLIF(regexp_extract(url, '\\?([^#]*)', 1), '') AS query
+      FROM raw
+    ), norm AS (
+      SELECT doc_id, url, scheme, path, query,
+             regexp_replace(LOWER(regexp_replace(hostport, ':[0-9]+$', '')),
+                            '^www\\.', '') AS host,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+             CASE WHEN query IS NULL THEN NULL
+                  ELSE array_to_string(
+                    list_filter(string_split(query, '&'),
+                                p -> NOT starts_with(p, 'utm_')), '&')
+             END AS kept
+      FROM parts
+    )
+    SELECT doc_id, url,
+           scheme || '://' || host
+             || CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                       OR (scheme = 'http' AND port = '80')
+                     THEN '' ELSE ':' || port END
+             || path
+             || CASE WHEN kept IS NULL OR kept = '' THEN ''
+                     ELSE '?' || kept END AS canonical_url,
+           host,
+           CASE WHEN query IS NULL THEN 0
+                ELSE len(string_split(query, '&'))
+                     - len(list_filter(string_split(query, '&'),
+                                       p -> NOT starts_with(p, 'utm_')))
+           END AS n_params_dropped
+    FROM norm
+    """,
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the first dedup key of every web-crawl
+    pipeline (the same page is crawled as http/https, with/without
+    www., default ports, tracking params, and fragments): lowercase
+    scheme+host, strip a leading www., strip default ports (443/https,
+    80/http), drop utm_* tracking params (preserving the order of the
+    rest), drop the fragment. URLs are synthesized deterministically
+    from (doc_id, source) — four variants covering every rule — since
+    the fixture corpus carries no URL column; the CANONICALIZATION
+    chain is the operator under test, exercised through Spark's native
+    parse_url (PATH/QUERY parts) + JVM regex/HOF filters, all
+    whole-stage-codegen, zero shuffles, and value-checked against an
+    independent pure-regex DuckDB implementation."""
+    d = load(spark, sf_dir, "documents")
+    url = F.expr(
+        "CASE CAST(doc_id % 4 AS INT) "
+        "WHEN 0 THEN concat('https://WWW.', source, '.Example.COM:443',"
+        " '/articles/', doc_id, '?utm_source=feed&id=', doc_id,"
+        " '&utm_campaign=x#section2') "
+        "WHEN 1 THEN concat('http://', source, '.example.com:80/post/',"
+        " doc_id) "
+        "WHEN 2 THEN concat('https://cdn.', source, '.example.com/asset/',"
+        " doc_id, '?v=1&utm_medium=email') "
+        "ELSE concat('http://', source, '.Example.com:8080/p/', doc_id,"
+        " '?q=a+b&ref=2') END"
+    )
+    base = d.select("doc_id", url.alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([a-zA-Z]+)://", 1))
+    hostport = F.regexp_extract("url", r"^[a-zA-Z]+://([^/?#]+)", 1)
+    parts = base.select(
+        "doc_id",
+        "url",
+        scheme.alias("scheme"),
+        F.regexp_replace(
+            F.lower(F.regexp_replace(hostport, r":[0-9]+$", "")),
+            r"^www\.",
+            "",
+        ).alias("host"),
+        F.regexp_extract(hostport, r":([0-9]+)$", 1).alias("port"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+    )
+    kept = F.when(
+        F.col("query").isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.array_join(
+            F.filter(
+                F.split("query", "&"), lambda p: ~p.startswith("utm_")
+            ),
+            "&",
+        )
+    )
+    portpart = F.when(
+        (F.col("port") == "")
+        | ((F.col("scheme") == "https") & (F.col("port") == "443"))
+        | ((F.col("scheme") == "http") & (F.col("port") == "80")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), F.col("port")))
+    n_dropped = F.when(F.col("query").isNull(), F.lit(0)).otherwise(
+        F.size(F.split("query", "&"))
+        - F.size(
+            F.filter(F.split("query", "&"), lambda p: ~p.startswith("utm_"))
+        )
+    )
+    return parts.withColumn("kept", kept).select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.col("scheme"),
+            F.lit("://"),
+            F.col("host"),
+            portpart,
+            F.col("path"),
+            F.when(
+                F.col("kept").isNull() | (F.col("kept") == ""), F.lit("")
+            ).otherwise(F.concat(F.lit("?"), F.col("kept"))),
+        ).alias("canonical_url"),
+        "host",
+        n_dropped.alias("n_params_dropped"),
+    )

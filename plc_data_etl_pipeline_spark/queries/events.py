@@ -999,3 +999,76 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(n) AS BIGINT)"
         ).alias("risk_bps"),
     )
+
+
+@query(
+    "dq_benford",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM events WHERE value IS NOT NULL AND value > 0
+    ), g AS (
+      SELECT digit, COUNT(*) AS n FROM c GROUP BY digit
+    )
+    SELECT digit, n,
+           CAST(n * 10000 // SUM(n) OVER () AS BIGINT) AS share_bps,
+           CAST(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761
+                WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 792
+                WHEN 6 THEN 669 WHEN 7 THEN 580 WHEN 8 THEN 512
+                ELSE 458 END AS BIGINT) AS benford_bps,
+           CAST(n * 10000 // SUM(n) OVER ()
+                - CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761
+                  WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 792
+                  WHEN 6 THEN 669 WHEN 7 THEN 580 WHEN 8 THEN 512
+                  ELSE 458 END AS BIGINT) AS deviation_bps
+    FROM g
+    """,
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit (Newcomb 1881 / Benford
+    1938) — the classic forensic screen for fabricated or truncated
+    measure columns: the observed leading-digit distribution of the
+    sensor values in exact basis points, next to the Benford
+    expectation (10000*log10(1+1/d), precomputed integer constants so
+    no libm call can diverge between engines). Big deviations on a
+    naturally-spanning measure flag synthetic or clipped data — here
+    the fixture's uniform values SHOULD deviate (uniforms are not
+    Benford), which is exactly what the audit reports.
+
+    Leading digit is extracted in exact integer space: the 2-decimal
+    value scales to BIGINT cents (the _conv convention) and the first
+    character of the decimal rendering is the digit — no log10/power
+    boundary risk. One partial-aggregated groupBy on 9 keys; the
+    share window runs over the 9-row aggregate.
+    """
+    ev = load(spark, sf_dir, "events")
+    cents = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+    g = (
+        ev.filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        .groupBy(
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias(
+                "digit"
+            )
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    benford = (
+        "CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249"
+        " WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669 WHEN 7 THEN 580"
+        " WHEN 8 THEN 512 ELSE 458 END"
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    share_bps = ((F.col("n") * 10000) - ((F.col("n") * 10000) % total)) / total
+    # exact integer division: (a - a%b)/b on exact BIGINTs divides
+    # without remainder, so the one double division is exact (same
+    # convention as the oracle's // on the identical operands)
+    return g.select(
+        "digit",
+        "n",
+        share_bps.cast("long").alias("share_bps"),
+        F.expr(benford).cast("long").alias("benford_bps"),
+        (
+            share_bps.cast("long") - F.expr(benford).cast("long")
+        ).alias("deviation_bps"),
+    )

@@ -983,3 +983,50 @@ def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source").applyInArrow(
         per_group, "source string, n_docs bigint, n_above_mean bigint"
     )
+
+
+@query(
+    "sink_zorder_skipping",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+    FROM lineitem
+    WHERE l_partkey BETWEEN 1 AND 50 AND l_suppkey BETWEEN 1 AND 5
+    """,
+)
+def sink_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered sink + multi-dimensional band read-back: the
+    lineitem projection is written range-partitioned and sorted on the
+    Morton key of (l_partkey, l_suppkey) (operators/scale.py::
+    write_zordered — the layout behind Delta/Iceberg OPTIMIZE ZORDER),
+    then read back with a band predicate on BOTH clustered dimensions.
+    Because every output file covers a small hyper-rectangle of the
+    (partkey, suppkey) space, parquet min-max stats prune the band on
+    ANY clustered column — not just a leading sort key
+    (tests/test_scale.py::test_zorder_layout_shrinks_minmax_envelopes
+    proves the envelope shrinkage vs an unclustered layout). Key ranges
+    are one bounded 4-scalar aggregate here; at 100 TB they come from
+    catalog stats instead of a pass."""
+    import shutil
+
+    from ..operators.scale import write_zordered
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    stats = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    path = os.path.join(tempfile.gettempdir(), "plc_etl_zorder_skip")
+    shutil.rmtree(path, ignore_errors=True)
+    write_zordered(
+        li,
+        path,
+        ["l_partkey", "l_suppkey"],
+        mins=[stats[0], stats[2]],
+        maxs=[stats[1], stats[3]],
+    )
+    back = spark.read.parquet(path)
+    return back.filter(
+        F.col("l_partkey").between(1, 50) & F.col("l_suppkey").between(1, 5)
+    )

@@ -529,3 +529,98 @@ def dq_rolling_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+@query(
+    "ts_holt_trend",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    ), seeded AS (
+      SELECT user_id, CAST(len(vals) AS INT) AS n_events,
+             list_reduce(
+               list_concat(
+                 [[vals[2], vals[2] - vals[1], CAST(0.0 AS DOUBLE)]],
+                 [[CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), v]
+                  FOR v IN vals[3:]]
+               ),
+               (acc, e) -> [
+                 0.2 * e[3] + 0.8 * (acc[1] + acc[2]),
+                 0.1 * ((0.2 * e[3] + 0.8 * (acc[1] + acc[2]))
+                        - acc[1]) + 0.9 * acc[2],
+                 CAST(0.0 AS DOUBLE)]
+             ) AS st
+      FROM s WHERE len(vals) >= 2
+    )
+    SELECT user_id, n_events, st[1] AS level_final,
+           st[2] AS trend_final,
+           st[1] + 3 * st[2] AS forecast_3
+    FROM seeded
+    """,
+)
+def ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) per
+    sensor stream — the forecasting step up from ts_ewma when streams
+    drift: level = 0.2*x + 0.8*(level + trend), trend = 0.1*(Δlevel) +
+    0.9*trend, seeded l=x2, b=x2-x1, folded over x3.. in event order;
+    emits the final state and the 3-step-ahead forecast l + 3b.
+
+    Determinism: the coupled recursion is order-dependent by
+    definition, so both engines fold the SAME deterministic sequence
+    (values sorted by (ts, event_id)) with textually identical
+    expressions — Spark F.aggregate with a [level, trend, x] ARRAY
+    accumulator ≡ DuckDB list_reduce over a seed-first list-of-lists
+    (DuckDB 1.0 list_reduce has no init argument, so the seed state IS
+    the first element; and its STRUCT-typed accumulator mis-evaluates
+    coupled field updates — verified wrong on a planted sequence —
+    while the list form folds correctly). Bit-exact, no rounding.
+
+    Scale posture: identical to ts_ewma — one shuffle to group by key,
+    per-key history bounded by the same state-fits-in-memory assumption
+    the streaming stateful operator makes; unbounded keys belong to the
+    streaming path.
+    """
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("evs")
+    )
+    sv = s.select(
+        "user_id", F.transform("evs", lambda e: e["value"]).alias("vals")
+    ).filter(F.size("vals") >= 2)
+    init = F.array(
+        F.element_at("vals", 2),
+        F.element_at("vals", 2) - F.element_at("vals", 1),
+        F.lit(0.0),
+    )
+    rest = F.transform(
+        F.expr("slice(vals, 3, greatest(size(vals) - 2, 0))"),
+        lambda v: F.array(F.lit(0.0), F.lit(0.0), v),
+    )
+
+    def step(acc, e):
+        lvl, trd, x = (
+            F.element_at(acc, 1),
+            F.element_at(acc, 2),
+            F.element_at(e, 3),
+        )
+        return F.array(
+            F.lit(0.2) * x + F.lit(0.8) * (lvl + trd),
+            F.lit(0.1)
+            * ((F.lit(0.2) * x + F.lit(0.8) * (lvl + trd)) - lvl)
+            + F.lit(0.9) * trd,
+            F.lit(0.0),
+        )
+
+    st = F.aggregate(rest, init, step)
+    return sv.select(
+        "user_id",
+        F.size("vals").alias("n_events"),
+        F.element_at(st, 1).alias("level_final"),
+        F.element_at(st, 2).alias("trend_final"),
+        (F.element_at(st, 1) + F.lit(3) * F.element_at(st, 2)).alias(
+            "forecast_3"
+        ),
+    )

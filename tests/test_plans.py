@@ -725,3 +725,20 @@ def test_k_anonymity_partial_aggregation(spark):
     counts, not raw events."""
     p = plan(spark, "dq_k_anonymity")
     assert p.count("HashAggregate") >= 2
+
+
+def test_url_canonicalize_stays_jvm_and_shuffle_free(spark):
+    """URL canonicalization is pure per-row JVM work: no Python
+    evaluation and no Exchange anywhere in the plan."""
+    p = plan(spark, "text_url_canonicalize", mode="simple")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_zorder_readback_pushes_band_predicates(spark):
+    """The z-ordered read-back must push BOTH clustered-dimension band
+    predicates into the parquet scan (row-group min-max pruning works
+    only below the scan)."""
+    p = plan(spark, "sink_zorder_skipping")
+    pushed = p.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_partkey" in pushed and "l_suppkey" in pushed

@@ -1072,3 +1072,160 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             share_bps.cast("long") - F.expr(benford).cast("long")
         ).alias("deviation_bps"),
     )
+
+
+@query(
+    "event_paths_topk",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 2) OVER w AS p1,
+             LAG(event_type, 1) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p1 || '>' || p2 || '>' || event_type AS path,
+           COUNT(*) AS n
+    FROM seq WHERE p1 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+)
+def event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common 3-step event paths — the sequence-n-gram
+    mining behind every "common user journeys" report (the 3-gram
+    generalization of event_transitions' first-order pairs): two LAGs
+    over the per-user event order, one path aggregate, deterministic
+    top-10 (ties break on the path string).
+
+    Scale: one shuffle to the user window (the LAGs share it), one
+    partial-aggregated shuffle on the path key (cardinality <=
+    |event_type|^3), and the top-10 is a TakeOrderedAndProject — no
+    global sort ever materializes.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+    )
+    seq = ev.select(
+        F.lag("event_type", 2).over(w).alias("p1"),
+        F.lag("event_type", 1).over(w).alias("p2"),
+        "event_type",
+    ).filter(F.col("p1").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "p1", "p2", "event_type").alias("path")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
+
+
+@query(
+    "dq_schema_drift",
+    oracle="""
+    WITH a AS (
+      SELECT
+        COUNT(*) FILTER (CAST(ts AS DATE) <= DATE '2024-01-15') AS n_h1,
+        COUNT(*) FILTER (CAST(ts AS DATE) >  DATE '2024-01-15') AS n_h2,
+        COUNT(*) FILTER (CAST(ts AS DATE) <= DATE '2024-01-15'
+                         AND event_type IS NULL) AS nul_et_h1,
+        COUNT(*) FILTER (CAST(ts AS DATE) >  DATE '2024-01-15'
+                         AND event_type IS NULL) AS nul_et_h2,
+        COUNT(*) FILTER (CAST(ts AS DATE) <= DATE '2024-01-15'
+                         AND value IS NULL) AS nul_v_h1,
+        COUNT(*) FILTER (CAST(ts AS DATE) >  DATE '2024-01-15'
+                         AND value IS NULL) AS nul_v_h2,
+        COUNT(*) FILTER (CAST(ts AS DATE) <= DATE '2024-01-15'
+                         AND props IS NULL) AS nul_p_h1,
+        COUNT(*) FILTER (CAST(ts AS DATE) >  DATE '2024-01-15'
+                         AND props IS NULL) AS nul_p_h2,
+        COUNT(DISTINCT event_type)
+          FILTER (CAST(ts AS DATE) <= DATE '2024-01-15') AS d_et_h1,
+        COUNT(DISTINCT event_type)
+          FILTER (CAST(ts AS DATE) >  DATE '2024-01-15') AS d_et_h2,
+        COUNT(DISTINCT value)
+          FILTER (CAST(ts AS DATE) <= DATE '2024-01-15') AS d_v_h1,
+        COUNT(DISTINCT value)
+          FILTER (CAST(ts AS DATE) >  DATE '2024-01-15') AS d_v_h2,
+        COUNT(DISTINCT props)
+          FILTER (CAST(ts AS DATE) <= DATE '2024-01-15') AS d_p_h1,
+        COUNT(DISTINCT props)
+          FILTER (CAST(ts AS DATE) >  DATE '2024-01-15') AS d_p_h2
+      FROM events
+    )
+    SELECT col,
+           CAST(nuls_h1 * 10000 // n_h1 AS BIGINT) AS null_bps_h1,
+           CAST(nuls_h2 * 10000 // n_h2 AS BIGINT) AS null_bps_h2,
+           CAST(d_h1 AS BIGINT) AS n_distinct_h1,
+           CAST(d_h2 AS BIGINT) AS n_distinct_h2,
+           CAST(d_h2 - d_h1 AS BIGINT) AS distinct_delta
+    FROM (
+      SELECT 'event_type' AS col, nul_et_h1 AS nuls_h1, nul_et_h2 AS
+             nuls_h2, d_et_h1 AS d_h1, d_et_h2 AS d_h2, n_h1, n_h2 FROM a
+      UNION ALL
+      SELECT 'value', nul_v_h1, nul_v_h2, d_v_h1, d_v_h2, n_h1, n_h2 FROM a
+      UNION ALL
+      SELECT 'props', nul_p_h1, nul_p_h2, d_p_h1, d_p_h2, n_h1, n_h2 FROM a
+    )
+    """,
+)
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural column-drift gate between the first and second half of
+    the month — the companion to dq_drift_psi (which watches the VALUE
+    distribution): per column, null-rate basis points and distinct
+    cardinality per half, plus the cardinality delta. A column that
+    suddenly goes nullable, collapses to one value, or explodes in
+    cardinality fails the snapshot-admission gate even when its value
+    histogram looks stable.
+
+    One scan: every half x column metric is a FILTER aggregate in a
+    single aggregate row (the distinct counts expand map-side like
+    agg_distinct), then a 3-row stack unpivots it — no self-joins, no
+    second pass. Exact integers only.
+    """
+    ev = load(spark, sf_dir, "events")
+    h1 = F.to_date("ts") <= F.lit("2024-01-15").cast("date")
+    h2 = ~h1
+    aggs = [
+        F.count(F.when(h1, 1)).alias("n_h1"),
+        F.count(F.when(h2, 1)).alias("n_h2"),
+    ]
+    for short, c in (("et", "event_type"), ("v", "value"), ("p", "props")):
+        aggs += [
+            F.count(F.when(h1 & F.col(c).isNull(), 1)).alias(
+                f"nul_{short}_h1"
+            ),
+            F.count(F.when(h2 & F.col(c).isNull(), 1)).alias(
+                f"nul_{short}_h2"
+            ),
+            F.count_distinct(F.when(h1, F.col(c))).alias(f"d_{short}_h1"),
+            F.count_distinct(F.when(h2, F.col(c))).alias(f"d_{short}_h2"),
+        ]
+    a = ev.agg(*aggs)
+    stacked = a.select(
+        F.expr(
+            "stack(3,"
+            " 'event_type', nul_et_h1, nul_et_h2, d_et_h1, d_et_h2,"
+            " 'value', nul_v_h1, nul_v_h2, d_v_h1, d_v_h2,"
+            " 'props', nul_p_h1, nul_p_h2, d_p_h1, d_p_h2"
+            ") AS (col, nuls_h1, nuls_h2, d_h1, d_h2)"
+        ),
+        "n_h1",
+        "n_h2",
+    )
+    return stacked.select(
+        "col",
+        F.expr("CAST(nuls_h1 * 10000 div n_h1 AS BIGINT)").alias(
+            "null_bps_h1"
+        ),
+        F.expr("CAST(nuls_h2 * 10000 div n_h2 AS BIGINT)").alias(
+            "null_bps_h2"
+        ),
+        F.col("d_h1").cast("long").alias("n_distinct_h1"),
+        F.col("d_h2").cast("long").alias("n_distinct_h2"),
+        (F.col("d_h2") - F.col("d_h1")).cast("long").alias("distinct_delta"),
+    )

@@ -214,3 +214,110 @@ except ImportError:  # pragma: no cover - older Spark
         raise NotImplementedError(
             "transformWithStateInPandas requires Spark >= 4.0"
         )
+
+
+# ---------------------------------------------------------------------------
+# Holt level+trend forecaster (streaming twin of queries/timeseries.py::
+# ts_holt_trend)
+# ---------------------------------------------------------------------------
+
+HOLT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("forecast_3", DoubleType()),
+    ]
+)
+
+HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("x1", DoubleType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+# Literal constants, NOT computed (1 - 0.2 is not the double 0.8):
+# the batch twin folds with F.lit(0.8) etc., and bit-exact convergence
+# demands the identical operands.
+HOLT_ALPHA = 0.2
+HOLT_OM_ALPHA = 0.8
+HOLT_BETA = 0.1
+HOLT_OM_BETA = 0.9
+
+
+def holt_step(
+    values: Iterable[float],
+    state: tuple[float, float, float, int] | None,
+) -> tuple[float, float, float, int]:
+    """Pure Holt double-exponential update over a value sequence:
+    seeded l=x2, b=x2-x1, then l' = 0.2x + 0.8(l+b),
+    b' = 0.1(l'-l) + 0.9b — the exact expression order of the batch
+    fold in ts_holt_trend, so given the same value order the final
+    (level, trend) is BIT-IDENTICAL to the oracle-checked batch query
+    (pinned by tests/test_stateful.py). Engine-free for unit testing.
+    """
+    x1, level, trend, n = state if state is not None else (0.0, 0.0, 0.0, 0)
+    for x in values:
+        if n == 0:
+            x1 = x
+        elif n == 1:
+            level, trend = x, x - x1
+        else:
+            new_level = HOLT_ALPHA * x + HOLT_OM_ALPHA * (level + trend)
+            trend = (
+                HOLT_BETA
+                * ((HOLT_ALPHA * x + HOLT_OM_ALPHA * (level + trend)) - level)
+                + HOLT_OM_BETA * trend
+            )
+            level = new_level
+        n += 1
+    return (x1, level, trend, n)
+
+
+def _holt(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    prev = tuple(state.get) if state.exists else None
+    vals: list[float] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vals.extend(float(v) for v in pdf["value"])
+    new = holt_step(vals, prev)
+    state.update(new)
+    _x1, level, trend, n = new
+    if n >= 2:
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n_seen": n,
+                    "level": level,
+                    "trend": trend,
+                    "forecast_3": level + 3 * trend,
+                }
+            ]
+        )
+
+
+def holt_trend_stream(events_stream: DataFrame) -> DataFrame:
+    """Continuously-maintained Holt forecast per user over the events
+    stream shape (user_id, ts, event_id, value): each micro-batch folds
+    its rows (ordered by ts, event_id) into the per-key (level, trend)
+    state and emits the refreshed forecast — the streaming serving path
+    whose auditable batch oracle is ts_holt_trend. State is 3 doubles +
+    a counter per key: bounded by the device fleet, not event volume.
+    """
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _holt,
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

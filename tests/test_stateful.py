@@ -237,3 +237,96 @@ def test_streaming_funnel_matches_batch_counts(spark, tmp_path):
     assert reached[0] == batch["n_view"]
     assert reached[1] == batch["n_click"]
     assert reached[2] == batch["n_purchase"]
+
+
+def test_holt_step_state_carries_across_calls():
+    """Splitting the sequence at ANY batch boundary must reach the same
+    final state as the one-shot fold (exactly-once micro-batch replay)."""
+    vals = [10.0, 12.0, 11.0, 15.0, 13.0, 14.5, 12.25, 16.0]
+    one = ST.holt_step(vals, None)
+    for cut in range(len(vals) + 1):
+        mid = ST.holt_step(vals[:cut], None)
+        final = ST.holt_step(vals[cut:], mid)
+        assert final == one, f"cut at {cut}: {final} != {one}"
+
+
+def test_batch_holt_twin_matches_pure_step_function(spark):
+    """The oracle-checked ts_holt_trend batch query must reproduce,
+    bit-exactly, the final (level, trend) the streaming step function
+    (holt_step) reaches after folding each user's ordered values —
+    locking the streaming operator to the driver-checked batch twin."""
+    from plc_data_etl_pipeline_spark.catalog import load
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    batch = {
+        r["user_id"]: (r["n_events"], r["level_final"], r["trend_final"])
+        for r in all_queries()["ts_holt_trend"].fn(spark, SF_DIR).collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    by_user: dict[int, list[float]] = {}
+    for r in ev.select("user_id", "ts", "event_id", "value").orderBy(
+        "user_id", "ts", "event_id"
+    ).collect():
+        by_user.setdefault(r.user_id, []).append(r.value)
+    for uid, vals in by_user.items():
+        if len(vals) < 2:
+            assert uid not in batch
+            continue
+        _x1, level, trend, n = ST.holt_step(vals, None)
+        assert batch[uid] == (n, level, trend), f"user {uid}"
+
+
+def test_streaming_holt_forecast_end_to_end(spark, tmp_path):
+    """Two parquet files streamed as two micro-batches: the final
+    emitted forecast must equal the one-shot fold over the concatenated
+    sequence — state survived the batch boundary."""
+    import datetime as dt
+
+    import pandas as pd  # noqa: F401
+
+    src = str(tmp_path / "holt_src")
+    cols = "user_id long, ts timestamp, event_id long, value double"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(i0, n):
+        return [
+            (7, t0 + dt.timedelta(seconds=i), i, 50.0 + (i % 7) * 1.25)
+            for i in range(i0, i0 + n)
+        ]
+
+    spark.createDataFrame(rows(0, 5), cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        ST.holt_trend_stream(stream)
+        .writeStream.format("memory")
+        .queryName("holt_mem")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows(5, 4), cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got = (
+            spark.sql("SELECT * FROM holt_mem ORDER BY n_seen DESC")
+            .limit(1)
+            .collect()[0]
+        )
+    finally:
+        q.stop()
+    vals = [v for (_u, _t, _e, v) in rows(0, 9)]
+    _x1, level, trend, n = ST.holt_step(vals, None)
+    assert got.n_seen == n == 9
+    assert got.level == level and got.trend == trend
+    assert got.forecast_3 == level + 3 * trend

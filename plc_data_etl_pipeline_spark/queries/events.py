@@ -1004,10 +1004,12 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dq_benford",
     oracle="""
-    WITH c AS (
-      SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
-                                 AS VARCHAR), 1, 1) AS INT) AS digit
-      FROM events WHERE value IS NOT NULL AND value > 0
+    WITH c0 AS (
+      SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ), c AS (
+      SELECT CAST(SUBSTRING(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM c0 WHERE cents >= 1
     ), g AS (
       SELECT digit, COUNT(*) AS n FROM c GROUP BY digit
     )
@@ -1044,8 +1046,12 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     cents = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+    # gate on the SCALED value: 0 < value < 0.005 rounds to zero cents,
+    # whose leading '0' is not a significant digit and would both take
+    # digit 9's expected bps and inflate every share's denominator
+    # (review finding)
     g = (
-        ev.filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        ev.filter(F.col("value").isNotNull() & (cents >= 1))
         .groupBy(
             F.substring(cents.cast("string"), 1, 1).cast("int").alias(
                 "digit"
@@ -1088,7 +1094,7 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n
     FROM seq WHERE p1 IS NOT NULL
     GROUP BY 1
-    ORDER BY n DESC, path
+    ORDER BY n DESC, path NULLS LAST
     LIMIT 10
     """,
 )
@@ -1116,10 +1122,19 @@ def event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("p1").isNotNull())
     return (
         seq.groupBy(
-            F.concat_ws(">", "p1", "p2", "event_type").alias("path")
+            # F.concat, NOT concat_ws: || in the oracle PROPAGATES a
+            # NULL event_type (the whole path groups under NULL) while
+            # concat_ws silently skips the segment and fabricates a
+            # 2-step path — review finding, NULL-type divergence
+            F.concat(
+                "p1", F.lit(">"), "p2", F.lit(">"), "event_type"
+            ).alias("path")
         )
         .agg(F.count("*").alias("n"))
-        .orderBy(F.col("n").desc(), "path")
+        # explicit NULLS LAST: Spark's asc default is nulls-first,
+        # DuckDB's is nulls-last — a NULL-path group tying at the
+        # top-10 boundary would otherwise diverge
+        .orderBy(F.col("n").desc(), F.col("path").asc_nulls_last())
         .limit(10)
     )
 

@@ -1017,7 +1017,13 @@ def sink_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_partkey"), F.max("l_partkey"),
         F.min("l_suppkey"), F.max("l_suppkey"),
     ).first()
-    path = os.path.join(tempfile.gettempdir(), "plc_etl_zorder_skip")
+    # applicationId scope (same precedent as the persisted IVF index):
+    # a fixed path lets a concurrent session's rmtree race this one
+    # between write and read-back
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"plc_etl_zorder_skip_{spark.sparkContext.applicationId}",
+    )
     shutil.rmtree(path, ignore_errors=True)
     write_zordered(
         li,

@@ -95,10 +95,14 @@ def _detect(
 ) -> Iterator[pd.DataFrame]:
     machine_id, sensor = key
     prev = tuple(state.get) if state.exists else None
+    # Concatenate ALL Arrow chunks before the ONE sort: a group whose
+    # micro-batch spans several chunks (arrow.maxRecordsPerBatch rows
+    # each, arbitrary shuffle order) would otherwise fold per-chunk
+    # sorted runs in arrival order — out of global t_stamp order.
     rows: list[tuple[float, float]] = []
     for pdf in pdfs:
-        pdf = pdf.sort_values("t_stamp")
         rows.extend(zip(pdf["reading"], pdf["t_stamp"]))
+    rows.sort(key=lambda r: r[1])
     anomalies, new_state = ewma_step(rows, prev)
     state.update(new_state)
     if anomalies:
@@ -285,10 +289,20 @@ def _holt(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     prev = tuple(state.get) if state.exists else None
-    vals: list[float] = []
+    # Concatenate ALL Arrow chunks, then ONE sort over (ts, event_id):
+    # per-chunk sorting would interleave sorted runs in arrival order
+    # for groups spanning multiple chunks, breaking the documented
+    # bit-parity with the batch fold. NULL readings (NaN in pandas) are
+    # dropped: a monitoring stream must not poison its state forever,
+    # whereas the batch AUDIT deliberately propagates NULL to flag
+    # affected keys — divergence documented here and in the batch twin.
+    rows: list[tuple] = []
     for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        vals.extend(float(v) for v in pdf["value"])
+        rows.extend(
+            zip(pdf["ts"], pdf["event_id"], pdf["value"].astype(float))
+        )
+    rows.sort(key=lambda r: (r[0], r[1]))
+    vals = [v for (_t, _e, v) in rows if v == v]
     new = holt_step(vals, prev)
     state.update(new)
     _x1, level, trend, n = new

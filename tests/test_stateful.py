@@ -330,3 +330,51 @@ def test_streaming_holt_forecast_end_to_end(spark, tmp_path):
     assert got.n_seen == n == 9
     assert got.level == level and got.trend == trend
     assert got.forecast_3 == level + 3 * trend
+
+
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+        self.exists = True
+
+
+def test_holt_group_fn_orders_across_chunks_and_drops_nans():
+    """Review-finding regressions: (1) a group arriving as several
+    Arrow chunks must fold in GLOBAL (ts, event_id) order, not
+    per-chunk order; (2) NULL readings (NaN) must be dropped, not
+    poison the state forever."""
+    import math
+
+    import pandas as pd
+
+    vals = [10.0, 12.0, 11.0, 15.0, 13.0, 14.5]
+    rows = [
+        {"user_id": 7, "ts": i, "event_id": i, "value": v}
+        for i, v in enumerate(vals)
+    ]
+    # interleave: chunk A gets even rows, chunk B odd rows (each chunk
+    # is internally sorted — the old per-chunk sort would pass it
+    # through unchanged and fold A then B, out of order)
+    chunks = [pd.DataFrame(rows[0::2]), pd.DataFrame(rows[1::2])]
+    state = _FakeState()
+    out = list(ST._holt((7,), iter(chunks), state))
+    assert state._v == ST.holt_step(vals, None)
+    assert len(out) == 1 and out[0]["n_seen"].iloc[0] == 6
+
+    # NaN must be skipped: same final state as the NaN-free sequence,
+    # and nothing downstream sees a poisoned level/trend
+    rows_nan = rows[:3] + [
+        {"user_id": 7, "ts": 2.5, "event_id": 99, "value": float("nan")}
+    ] + rows[3:]
+    state2 = _FakeState()
+    list(ST._holt((7,), iter([pd.DataFrame(rows_nan)]), state2))
+    assert state2._v == ST.holt_step(vals, None)
+    assert not any(math.isnan(x) for x in state2._v[:3])

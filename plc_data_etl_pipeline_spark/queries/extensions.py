@@ -565,10 +565,13 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(1/(60+rank)) and the fused top-5 is returned
     (operators/similarity.py::rrf_hybrid_topk). Both legs broadcast
     the bounded query set and scan the corpus once — the 100 TB hybrid
-    search shape."""
+    search shape. Both corpus sides fan_out: a few-split local scan
+    would otherwise run each leg's whole pair join on ONE task (the
+    factor-50 probe measured 33 s single-core vs 31 idle; at real scale
+    the corpus has thousands of splits and fan_out is a no-op)."""
     return S.rrf_hybrid_topk(
-        load(spark, sf_dir, "documents"),
-        load(spark, sf_dir, "embeddings"),
+        fan_out(load(spark, sf_dir, "documents")),
+        fan_out(load(spark, sf_dir, "embeddings")),
         query_max_id=10,
         n_candidates=20,
         k=5,
@@ -583,9 +586,10 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy corpora stop flooding the result list
     (operators/similarity.py::mmr_diversify_topk). Greedy selection is
     sequential by definition -> rows-only; planted-geometry pytests in
-    tests/test_extensions.py."""
+    tests/test_extensions.py. fan_out for the same few-split reason as
+    sim_rrf_fusion (the candidate fetch is the corpus-linear stage)."""
     return S.mmr_diversify_topk(
-        load(spark, sf_dir, "embeddings"), query_max_id=10,
+        fan_out(load(spark, sf_dir, "embeddings")), query_max_id=10,
         n_candidates=20, k=5,
     )
 

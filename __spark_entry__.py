@@ -57,7 +57,10 @@ def _driver_history(here: str | None = None) -> tuple[dict[str, int], set[str]]:
         m = re.search(r"r(\d+)", os.path.basename(path))
         if m:  # skip non-round files the glob can catch (CORRECTNESS_rerun…)
             rounds[path] = int(m.group(1))
-    for path in sorted(rounds, key=rounds.get):
+    # tie-break equal round numbers by path: two artifacts parsing to
+    # the same round (e.g. a driver sidecar) must replay in a
+    # deterministic order, not filesystem-enumeration order
+    for path in sorted(rounds, key=lambda p: (rounds[p], p)):
         rnd = rounds[path]
         try:
             with open(path) as fh:

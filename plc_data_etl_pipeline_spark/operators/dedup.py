@@ -1018,7 +1018,15 @@ def cluster_survivors(
         )
         .withColumn("is_survivor", F.col(id_col) == F.col("cluster_id"))
     )
-    return _register_round_state(out, *getattr(cc, "_round_state", ()))
+    # chain the INPUT frame's round state too: minhash_dedup_pairs
+    # registers its shared groupBy checkpoint on the pair frame it
+    # returns, and re-registration below would otherwise drop it
+    # (review finding)
+    return _register_round_state(
+        out,
+        *getattr(cc, "_round_state", ()),
+        *getattr(pairs, "_round_state", ()),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1019,11 +1019,27 @@ def sink_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     # applicationId scope (same precedent as the persisted IVF index):
     # a fixed path lets a concurrent session's rmtree race this one
-    # between write and read-back
+    # between write and read-back. Prune OTHER applications' leftovers
+    # (each session writes a fresh path; without this /tmp accumulates
+    # one lineitem copy per session) — stale dirs can't be mid-use by a
+    # LIVE session only if they're old, so age-gate the sweep.
+    import glob as _glob
+    import time as _time
+
     path = os.path.join(
         tempfile.gettempdir(),
         f"plc_etl_zorder_skip_{spark.sparkContext.applicationId}",
     )
+    for stale in _glob.glob(
+        os.path.join(tempfile.gettempdir(), "plc_etl_zorder_skip_*")
+    ):
+        try:
+            if stale != path and (
+                _time.time() - os.path.getmtime(stale) > 3600
+            ):
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
     shutil.rmtree(path, ignore_errors=True)
     write_zordered(
         li,

@@ -21,12 +21,17 @@ from .conftest import SF_DIR
 _Q = all_queries()
 
 
-def plan(spark, name: str, mode: str = "formatted") -> str:
-    df = _Q[name].fn(spark, SF_DIR)
+def plan_of(df, mode: str = "formatted") -> str:
+    """Capture df.explain(mode) output — the one place the capture
+    mechanism lives (review finding: it was copy-pasted four times)."""
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(mode)
     return buf.getvalue()
+
+
+def plan(spark, name: str, mode: str = "formatted") -> str:
+    return plan_of(_Q[name].fn(spark, SF_DIR), mode)
 
 
 def test_filter_and_projection_pushdown(spark):
@@ -113,10 +118,7 @@ def test_similarity_arrow_scan_posture(spark):
     from plc_data_etl_pipeline_spark.operators import similarity as S
 
     emb = load(spark, SF_DIR, "embeddings")
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        S.cosine_topk_fold(emb, query_max_id=20, k=5).explain("formatted")
-    pf = buf.getvalue()
+    pf = plan_of(S.cosine_topk_fold(emb, query_max_id=20, k=5))
     assert "BroadcastNestedLoopJoin" in pf or "BroadcastHashJoin" in pf
 
 
@@ -189,11 +191,7 @@ def test_cluster_survivors_no_cartesian_on_cc(spark):
         _cluster_survivors_lazy,
     )
 
-    df = _cluster_survivors_lazy(spark, SF_DIR)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    p = buf.getvalue()
+    p = plan_of(_cluster_survivors_lazy(spark, SF_DIR))
     assert "CartesianProduct" not in p
 
 
@@ -509,11 +507,7 @@ def test_pagerank_iterations_join_not_cartesian(spark):
     releases round state, so its returned frame is a local relation."""
     from plc_data_etl_pipeline_spark.queries.graph import _pagerank_lazy
 
-    df = _pagerank_lazy(spark, SF_DIR)[0]
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    p = buf.getvalue()
+    p = plan_of(_pagerank_lazy(spark, SF_DIR)[0])
     assert "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 2  # map-side partials per round
 

@@ -1244,3 +1244,101 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_h2").cast("long").alias("n_distinct_h2"),
         (F.col("d_h2") - F.col("d_h1")).cast("long").alias("distinct_delta"),
     )
+
+
+@query(
+    "event_pattern_match",
+    oracle="""
+    WITH coded AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+             CASE WHEN event_type = 'view' THEN 'v'
+                  WHEN event_type = 'click' THEN 'c'
+                  WHEN event_type = 'purchase' THEN 'p'
+                  WHEN event_type = 'signup' THEN 's'
+                  WHEN event_type = 'error' THEN 'e'
+                  ELSE 'x' END AS ch
+      FROM events WHERE ts IS NOT NULL
+    ), seqs AS (
+      SELECT user_id, day,
+             string_agg(ch, '' ORDER BY ts, event_id) AS seq
+      FROM coded GROUP BY user_id, day
+    ), m AS (
+      SELECT user_id, day, seq,
+             regexp_extract_all(seq, 'e[vc]*p') AS hits
+      FROM seqs
+    )
+    SELECT user_id, day,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(hits) AS BIGINT) AS n_matches,
+           CAST(list_max(list_transform(hits, x -> length(x)))
+                AS BIGINT) AS max_match_len,
+           hits[1] AS first_match
+    FROM m WHERE len(hits) > 0
+    """,
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern mining — the MATCH_RECOGNIZE shape (SQL:2016
+    row-pattern recognition; neither Spark nor DuckDB implements the
+    clause) expressed as regex over per-partition event-code strings:
+    each (user, day) timeline becomes a character sequence (one code
+    per event type, time-ordered), and the pattern ``e[vc]*p`` — an
+    ERROR followed, possibly via views/clicks, by a PURCHASE — is the
+    "recovered after a failure" journey every checkout-funnel report
+    wants. Emits one row per (user, day) with >=1 match: sequence
+    length, match count, longest match, first matched subsequence.
+
+    Engine-parity design: the regex's character class ([vc]) is
+    DISJOINT from its terminator (p), so every possible match has
+    exactly ONE extent regardless of leftmost-first (Java regex) vs
+    leftmost-longest (POSIX/RE2) semantics, and non-overlapping
+    continuation after a match is identical in both engines — the
+    pattern is chosen to be semantics-invariant, not just convenient.
+    NULL event_type codes to 'x' on both sides (CASE falls through a
+    NULL comparison to ELSE in both engines).
+
+    Scale shape: ONE shuffle (groupBy user_id+day); state per group is
+    the day's event-code string — bounded by daily per-user activity,
+    the same boundedness argument as session windows (at 100 TB,
+    sessionize first if a user-day can exceed memory; the regex pass
+    is then per-session). The sort is inside each group
+    (array_sort on a collected struct — no global sort), and the
+    regex runs ONCE per group string, JVM-side, inside codegen.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ch = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "error", "e")
+        .otherwise("x")
+    )
+    coded = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.struct("ts", "event_id", ch.alias("ch")).alias("evt"),
+    )
+    seqs = coded.groupBy("user_id", "day").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list("evt")), lambda s: s["ch"]
+            ),
+        ).alias("seq")
+    )
+    m = seqs.select(
+        "user_id",
+        "day",
+        "seq",
+        F.expr("regexp_extract_all(seq, 'e[vc]*p', 0)").alias("hits"),
+    )
+    return m.filter(F.size("hits") > 0).select(
+        "user_id",
+        "day",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.size("hits").cast("long").alias("n_matches"),
+        F.array_max(F.transform("hits", F.length)).cast("long").alias(
+            "max_match_len"
+        ),
+        F.element_at("hits", 1).alias("first_match"),
+    )

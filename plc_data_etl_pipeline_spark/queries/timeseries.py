@@ -624,3 +624,172 @@ def ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_3"
         ),
     )
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, ts, event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ), base AS (
+      SELECT event_type, ts, event_id,
+             cents - ((SUM(cents) OVER p) // (COUNT(*) OVER p)) AS dev
+      FROM pts
+      WINDOW p AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+    ), calib AS (
+      SELECT event_type, ts, event_id, dev,
+             GREATEST((SUM(ABS(dev)) OVER p) // (COUNT(*) OVER p), 1) AS mad
+      FROM base
+      WINDOW p AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+    ), d AS (
+      SELECT event_type, ts, event_id, dev,
+             mad // 2 AS k, 20 * mad AS h
+      FROM calib
+    ), pre AS (
+      SELECT event_type, ts, event_id, h,
+             SUM(dev - k) OVER w AS p_up,
+             SUM(-dev - k) OVER w AS p_dn
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT event_type, ts, h,
+             p_up - LEAST(MIN(p_up) OVER w, 0) AS s_up,
+             p_dn - LEAST(MIN(p_dn) OVER w, 0) AS s_dn
+      FROM pre
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CASE WHEN s_up > h THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms_up,
+           CAST(SUM(CASE WHEN s_dn > h THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms_dn,
+           CAST(MAX(s_up) AS BIGINT) AS max_s_up,
+           CAST(MAX(s_dn) AS BIGINT) AS max_s_dn,
+           STRFTIME(MIN(CASE WHEN s_up > h OR s_dn > h THEN ts END),
+                    '%Y-%m-%d %H:%M:%S') AS first_alarm
+    FROM s GROUP BY event_type
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point detector (Page's test) per series —
+    the streaming-SPC primitive behind every "did this sensor drift?"
+    monitor. The textbook statistic is a sequential recurrence
+    ``S_t = max(0, S_{t-1} + x_t - k)`` that no window frame expresses
+    directly; this uses its closed form
+    ``S_t = P_t - min(0, min_{j<=t} P_j)`` where ``P`` is the prefix
+    sum of ``(x_t - k)`` — two stacked running windows (prefix SUM,
+    then prefix MIN of it) over ONE sort of each series.
+
+    Determinism: the entire pipeline is INTEGER arithmetic — values as
+    exact cents, reference level ``mu = SUM DIV n``, slack
+    ``k = (mean |dev|) DIV 2`` and threshold ``h = 20 x mean |dev|``
+    all integer-derived — so prefix sums are order-exact BIGINTs and
+    both engines agree bitwise, with no float-summation treatment
+    needed anywhere (SURVEY §7.3: the strongest convention is to never
+    leave the integers).
+
+    Scale shape: ONE scan, ONE exchange. The calibration stats (mu,
+    mean |dev|) are UNORDERED full-partition windows over the same
+    key the ordered CUSUM windows use, so all four window passes stack
+    on a single hash exchange (the unordered ones need no sort; the
+    ordered ones share one sort) — no second read of the fact table,
+    no calibration join. At 100 TB the partition key generalizes to
+    (machine_id, sensor) — millions of bounded series, no global sort;
+    the alarm scan is one pass.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    # full-partition frames carry the SAME (ts, event_id) ordering as
+    # the CUSUM prefix windows below, so all four window passes share
+    # one Exchange AND one Sort (plan-verified: a bare unordered
+    # PARTITION BY costs a second key-only Sort pass)
+    full = (
+        "(PARTITION BY event_type ORDER BY ts, event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    )
+    base = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            F.col("cents")
+            - F.expr(
+                f"(SUM(cents) OVER {full}) DIV (COUNT(*) OVER {full})"
+            )
+        ).alias("dev"),
+    )
+    d = base.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "dev",
+        F.greatest(
+            F.expr(
+                f"(SUM(ABS(dev)) OVER {full}) DIV (COUNT(*) OVER {full})"
+            ),
+            F.lit(1).cast("long"),
+        ).alias("_m"),
+    ).select(
+        "event_type",
+        "ts",
+        "event_id",
+        "dev",
+        F.expr("_m DIV 2").alias("k"),
+        (F.col("_m") * 20).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = d.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "h",
+        F.sum(F.col("dev") - F.col("k")).over(w).alias("p_up"),
+        F.sum(-F.col("dev") - F.col("k")).over(w).alias("p_dn"),
+    )
+    s = pre.select(
+        "event_type",
+        "ts",
+        "h",
+        (F.col("p_up") - F.least(F.min("p_up").over(w), F.lit(0))).alias(
+            "s_up"
+        ),
+        (F.col("p_dn") - F.least(F.min("p_dn").over(w), F.lit(0))).alias(
+            "s_dn"
+        ),
+    )
+    alarm = (F.col("s_up") > F.col("h")) | (F.col("s_dn") > F.col("h"))
+    return s.groupBy("event_type").agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.when(F.col("s_up") > F.col("h"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarms_up"),
+        F.sum(F.when(F.col("s_dn") > F.col("h"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarms_dn"),
+        F.max("s_up").cast("long").alias("max_s_up"),
+        F.max("s_dn").cast("long").alias("max_s_dn"),
+        F.date_format(
+            F.min(F.when(alarm, F.col("ts"))), "yyyy-MM-dd HH:mm:ss"
+        ).alias("first_alarm"),
+    )

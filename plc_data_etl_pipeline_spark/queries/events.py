@@ -1342,3 +1342,65 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.element_at("hits", 1).alias("first_match"),
     )
+
+
+@query(
+    "dq_l_diversity",
+    oracle="""
+    WITH classes AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value / 50) AS BIGINT) AS vbin,
+             COUNT(*) AS n,
+             COUNT(DISTINCT user_id) AS l
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           COUNT(*) AS n_classes,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_diversity,
+           CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_exposed,
+           CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) * 10000
+                // SUM(n) AS BIGINT) AS exposure_bps
+    FROM classes GROUP BY event_type
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity privacy audit (Machanavalhala 2007) — the attribute-
+    disclosure gate k-anonymity misses: an equivalence class can hold
+    k>=5 rows and STILL leak if they all belong to the same few
+    subjects. Over the same quasi-identifier classes as
+    dq_k_anonymity (event type, day, 50-unit value bucket), counts the
+    distinct sensitive values (user_id) per class and reports, per
+    event type, the classes with l < 3, the rows they expose, and the
+    exposure share in exact basis points.
+
+    Same shuffle shape as the k-anonymity twin plus the distinct:
+    Spark plans COUNT(DISTINCT user_id) per class as two-phase partial
+    aggregation on the one class-key exchange (no extra shuffle vs the
+    plain count — the distinct key is appended to the grouping in the
+    expand phase), then a tiny per-type re-aggregate. Every output is
+    an exact integer; the only float op is one IEEE division inside
+    FLOOR, identical in both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    classes = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") / 50).alias("vbin"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("l"),
+    )
+    low = F.col("l") < 3
+    return classes.groupBy("event_type").agg(
+        F.count("*").alias("n_classes"),
+        F.min("l").alias("min_l"),
+        F.sum(F.when(low, 1).otherwise(0)).alias("n_low_diversity"),
+        F.sum(F.when(low, F.col("n")).otherwise(0)).alias("rows_exposed"),
+        F.expr(
+            "CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) * 10000"
+            " div sum(n) AS BIGINT)"
+        ).alias("exposure_bps"),
+    )

@@ -2281,3 +2281,115 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_bpe_tokens").alias("min_tokens"),
         F.max("n_bpe_tokens").alias("max_tokens"),
     )
+
+
+@query(
+    "text_collocations_lift",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+    ), pairs AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 2
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY w1, w2
+    ), lc AS (
+      SELECT w1, COUNT(*) AS cl FROM pairs GROUP BY w1
+    ), rc AS (
+      SELECT w2, COUNT(*) AS cr FROM pairs GROUP BY w2
+    ), tot AS (
+      SELECT COUNT(*) AS nb FROM pairs
+    ), scored AS (
+      SELECT b.w1, b.w2, b.cb AS pair_n,
+             CAST(FLOOR((CAST(b.cb AS DOUBLE) * nb)
+                        / (CAST(cl AS DOUBLE) * cr)
+                        * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS lift
+      FROM bc b
+      JOIN lc USING (w1) JOIN rc USING (w2) CROSS JOIN tot
+      WHERE b.cb >= 5
+    )
+    SELECT w1, w2, CAST(pair_n AS BIGINT) AS pair_n, lift
+    FROM scored
+    ORDER BY lift DESC, w1, w2 LIMIT 100
+    """,
+)
+def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 bigram collocations by lift — exp(PMI) under the bigram-
+    position universe: lift(x,y) = P(x,y) / (P(x as left) * P(y as
+    right)) = cb * N / (cl * cr). The corpus-statistics pass behind
+    multi-word-expression mining and tokenizer-merge candidates (the
+    counting half of BPE generalized to whole words); high-lift pairs
+    are phrases, lift ~1 pairs are chance co-occurrences.
+
+    Kept in ratio space (lift = exp(PMI)) rather than log space so the
+    score is ONE fixed-shape double expression over exact BIGINT
+    counts — no ln(), whose last-ulp differs between libm builds.
+    Quantized to 6 digits; the top-100 cut orders by (quantized lift,
+    w1, w2) so the boundary is a total order both engines resolve
+    identically. Overflow: cb * N < 2^53 holds to ~1e8-pair corpora per
+    (cb<=1e5) — beyond that, move to log-space with a documented
+    quant.
+
+    Scale shape: the corpus is exploded and pair-counted ONCE (fan_out
+    before the explode — same posture as text_bigram_coherence); the
+    left/right/total counts are MARGINALS of that pair-count table
+    (cl = SUM(cb) over w1, etc.), computed as two stacked windows over
+    the vocab-sized counts rather than re-scanning the corpus or
+    joining count tables — shuffle-partitioned because a web-scale
+    vocabulary outgrows a broadcast. A lazy localCheckpoint keeps the
+    window chain and the total from re-running the explode (released
+    via release_round_state). The cb >= 5 filter lands after the
+    marginals (they must see all pairs) but before the scalar
+    cross-join. Top-k is a TakeOrdered, not a global sort."""
+    d = fan_out(load(spark, sf_dir, "documents")).select(
+        F.split("text", " ").alias("w")
+    )
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN transform("
+                "sequence(1, size(w) - 1), i -> "
+                "struct(w[i-1] AS w1, w[i] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    # The left/right/total counts are all marginals of the pair-count
+    # table (cl = sum of cb over w1, etc.), so the corpus is exploded
+    # and counted ONCE; the lazy localCheckpoint keeps the three
+    # downstream consumers (two marginal windows + the total) from
+    # re-running the explode. Released via release_round_state.
+    from pyspark.sql.window import Window as _W
+
+    bc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+        .localCheckpoint(eager=False)
+    )
+    tot = bc.agg(F.sum("cb").alias("nb"))
+    scored = (
+        bc.withColumn("cl", F.sum("cb").over(_W.partitionBy("w1")))
+        .withColumn("cr", F.sum("cb").over(_W.partitionBy("w2")))
+        .filter(F.col("cb") >= 5)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").alias("pair_n"),
+            (
+                F.floor(
+                    (F.col("cb").cast("double") * F.col("nb"))
+                    / (F.col("cl").cast("double") * F.col("cr"))
+                    * 1000000.0
+                    + 0.5
+                ).cast("double")
+                / 1000000.0
+            ).alias("lift"),
+        )
+    )
+    from ..operators.graph import _register_round_state
+
+    return _register_round_state(
+        scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(100), bc
+    )

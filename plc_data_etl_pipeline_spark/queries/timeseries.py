@@ -793,3 +793,129 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(alarm, F.col("ts"))), "yyyy-MM-dd HH:mm:ss"
         ).alias("first_alarm"),
     )
+
+
+def _acf_formula(k: int) -> str:
+    """Shared Spark/DuckDB expression for the lag-k autocorrelation from
+    exact integer moments: r_k = sum((x_t-m)(x_{t-k}-m)) / sum((x_t-m)^2)
+    expanded so every aggregate is an order-free BIGINT and the float
+    work is one fixed-shape expression over identical operands."""
+    m = f"(CAST(s1 AS DOUBLE) / n)"
+    num = (
+        f"(CAST(sxy{k} AS DOUBLE) - {m} * sx{k} - {m} * sy{k}"
+        f" + n{k} * {m} * {m})"
+    )
+    den = f"(CAST(s2 AS DOUBLE) - n * {m} * {m})"
+    from ._conv import sql_quant as _sq
+
+    return (
+        f"CASE WHEN {den} = 0.0 OR n < 4 THEN CAST(NULL AS DOUBLE)"
+        f" ELSE {_sq(f'{num} / {den}')} END"
+    )
+
+
+@query(
+    "ts_autocorr",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type, ts, event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ), lagged AS (
+      SELECT event_type, y,
+             LAG(y, 1) OVER w AS y1,
+             LAG(y, 2) OVER w AS y2,
+             LAG(y, 3) OVER w AS y3
+      FROM pts
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(y) AS BIGINT) AS s1,
+             CAST(SUM(y * y) AS BIGINT) AS s2,
+             COUNT(y1) AS n1,
+             CAST(SUM(y * y1) AS BIGINT) AS sxy1,
+             CAST(SUM(CASE WHEN y1 IS NOT NULL THEN y END) AS BIGINT) AS sx1,
+             CAST(SUM(y1) AS BIGINT) AS sy1,
+             COUNT(y2) AS n2,
+             CAST(SUM(y * y2) AS BIGINT) AS sxy2,
+             CAST(SUM(CASE WHEN y2 IS NOT NULL THEN y END) AS BIGINT) AS sx2,
+             CAST(SUM(y2) AS BIGINT) AS sy2,
+             COUNT(y3) AS n3,
+             CAST(SUM(y * y3) AS BIGINT) AS sxy3,
+             CAST(SUM(CASE WHEN y3 IS NOT NULL THEN y END) AS BIGINT) AS sx3,
+             CAST(SUM(y3) AS BIGINT) AS sy3
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_points,
+           {_acf_formula(1)} AS r1,
+           {_acf_formula(2)} AS r2,
+           {_acf_formula(3)} AS r3
+    FROM g
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function (lags 1-3) per series — the
+    diagnostic behind "is this sensor white noise, a slow drift, or a
+    copy-paste of the last reading?" and the standard first look before
+    fitting any forecaster (Box-Jenkins identification step).
+
+    Determinism: the classical estimator sums float cross-products in
+    data order, which two engines would do differently. This expands
+    r_k around exact integer moments instead — per-series BIGINT sums
+    of y, y^2, y_t*y_{t-k} and the matched-edge sums (all order-free) —
+    then evaluates ONE fixed-shape double expression over those exact
+    operands in both engines (``_acf_formula``, interpolated verbatim
+    into the Spark selectExpr AND the DuckDB oracle), quantized to 6
+    digits. Overflow envelope: |y| <= ~5.6e4 on this domain, so the
+    y*y sums hold exactly to ~3e9 rows PER SERIES in BIGINT.
+
+    Scale shape: ONE exchange on the series key; the three LAG windows
+    share one sort; everything after is a partial-aggregable groupBy on
+    the same key (no second shuffle — verified in the plan test). At
+    100 TB the series key generalizes to (machine, sensor): millions of
+    bounded series, no global sort, one pass."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type",
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 2).over(w).alias("y2"),
+        F.lag("y", 3).over(w).alias("y3"),
+    )
+
+    def _lag_aggs(k: int) -> list:
+        yk = F.col(f"y{k}")
+        return [
+            F.count(yk).alias(f"n{k}"),
+            F.sum(F.col("y") * yk).alias(f"sxy{k}"),
+            F.sum(F.when(yk.isNotNull(), F.col("y"))).alias(f"sx{k}"),
+            F.sum(yk).alias(f"sy{k}"),
+        ]
+
+    g = lagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+        *_lag_aggs(1),
+        *_lag_aggs(2),
+        *_lag_aggs(3),
+    )
+    return g.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_points",
+        f"{_acf_formula(1)} AS r1",
+        f"{_acf_formula(2)} AS r2",
+        f"{_acf_formula(3)} AS r3",
+    )

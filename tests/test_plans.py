@@ -144,6 +144,13 @@ def test_shuffle_budgets(spark):
         "join_multiway": 1,      # all joins broadcast (orders: semi on
                                  # pruned PK) -> only the final agg shuffles
         "sim_topk": 1,           # Arrow corpus scan + window topk
+        "ts_autocorr": 1,        # lag windows + moment agg share one
+                                 # series-key exchange
+        "dq_l_diversity": 3,     # class key + distinct expand + re-agg
+        "text_collocations_lift": 4,  # fan_out + pair count + two
+                                      # marginal windows (total is a
+                                      # broadcast scalar off the
+                                      # checkpointed counts)
     }
     over = {}
     for name, budget in budgets.items():

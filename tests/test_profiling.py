@@ -1,0 +1,116 @@
+"""Planted-semantics tests for the statistical-profiling operators
+added late in round 5 (ts_autocorr, dq_l_diversity,
+text_collocations_lift): tiny hand-built fixtures where the correct
+answer is known in closed form, independent of the DuckDB oracle
+(which shares any misreading of the spec the engine might make)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+
+import pytest
+
+from plc_data_etl_pipeline_spark.registry import all_queries
+
+_DIR = "/tmp/plc_etl_planted_profiling"
+
+
+def _flatten(path: str) -> None:
+    part = next(
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and f.startswith("part-")
+    )
+    tmp = path + ".file"
+    shutil.move(os.path.join(path, part), tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark):
+    """events + documents tables with closed-form-checkable content."""
+    shutil.rmtree(_DIR, ignore_errors=True)
+    os.makedirs(_DIR)
+    base = datetime.datetime(2024, 3, 1, 8, 0, 0)
+
+    def ev(i, etype, user, value):
+        return (i, base + datetime.timedelta(minutes=i), user, etype,
+                value, None)
+
+    rows = []
+    # 'alt': 12,8,12,8,... x100 (even n => mean exactly 10.0).
+    # Closed-form ACF with the full-series denominator:
+    # r_k = (-1)^k * (n-k)/n  ->  r1=-0.99, r2=0.98, r3=-0.97.
+    rows += [ev(i, "alt", 1, 12.0 if i % 2 == 0 else 8.0)
+             for i in range(100)]
+    # 'const': zero variance -> ACF undefined -> NULLs.
+    rows += [ev(200 + i, "const", 2, 7.0) for i in range(10)]
+    # 'short': n=3 < 4 -> NULLs by the min-length rule.
+    rows += [ev(300 + i, "short", 3, float(i)) for i in range(3)]
+    # 'click', one day, two value bins (50-unit buckets):
+    #   bin 0 (value 10): 6 rows, ALL user 42      -> l=1 (exposed)
+    #   bin 1 (value 60): 6 rows, users 1,2,3,4,1,2 -> l=4 (fine)
+    rows += [ev(400 + i, "click", 42, 10.0) for i in range(6)]
+    rows += [ev(500 + i, "click", [1, 2, 3, 4, 1, 2][i], 60.0)
+             for i in range(6)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{_DIR}/events.parquet")
+    _flatten(f"{_DIR}/events.parquet")
+
+    # Collocation corpus (pairs universe N=19):
+    #   (a,b) x5  cl(a)=10 cr(b)=5  -> lift = 5*19/(10*5)  = 1.9
+    #   (c,d) x5  cl(c)=5  cr(d)=10 -> lift = 5*19/(5*10)  = 1.9
+    #   (a,d) x5  cl(a)=10 cr(d)=10 -> lift = 5*19/(10*10) = 0.95
+    #   (d,a) x4  -> dropped by the min-count >= 5 cut
+    docs = [(i, "a b", "en", "s", 3) for i in range(5)]
+    docs += [(100 + i, "c d", "en", "s", 3) for i in range(5)]
+    docs += [(200, "a d a d a d a d a d", "en", "s", 19)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{_DIR}/documents.parquet"
+    )
+    _flatten(f"{_DIR}/documents.parquet")
+    yield _DIR
+
+
+def test_ts_autocorr_planted(spark, planted_dir):
+    fn = all_queries()["ts_autocorr"].fn
+    got = {
+        r["event_type"]: (r["n_points"], r["r1"], r["r2"], r["r3"])
+        for r in fn(spark, planted_dir).collect()
+    }
+    assert got["alt"] == (100, -0.99, 0.98, -0.97)
+    assert got["const"] == (10, None, None, None)  # zero variance
+    assert got["short"] == (3, None, None, None)   # n < 4
+
+
+def test_dq_l_diversity_planted(spark, planted_dir):
+    fn = all_queries()["dq_l_diversity"].fn
+    row = next(
+        r for r in fn(spark, planted_dir).collect()
+        if r["event_type"] == "click"
+    )
+    assert (
+        row["n_classes"], row["min_l"], row["n_low_diversity"],
+        row["rows_exposed"], row["exposure_bps"],
+    ) == (2, 1, 1, 6, 5000)
+
+
+def test_text_collocations_lift_planted(spark, planted_dir):
+    fn = all_queries()["text_collocations_lift"].fn
+    got = {
+        (r["w1"], r["w2"]): (r["pair_n"], r["lift"])
+        for r in fn(spark, planted_dir).collect()
+    }
+    assert got == {
+        ("a", "b"): (5, 1.9),
+        ("c", "d"): (5, 1.9),
+        ("a", "d"): (5, 0.95),
+    }

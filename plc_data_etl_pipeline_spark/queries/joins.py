@@ -914,3 +914,77 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_sec_total"
         ),
     )
+
+
+@query(
+    "join_bloom_runtime",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000 AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join: urgent-order revenue by return flag,
+    planned so Catalyst injects a bloom filter built from the filtered
+    orders side into the lineitem scan
+    (``might_contain(xxhash64(l_orderkey))`` ahead of the shuffle) —
+    the Spark-native runtime-filter pattern that replaces a hand-built
+    semi-join reduction when BOTH join sides are fact-sized: at 100 TB
+    the filtered dimension of this join is tens of GB (no broadcast),
+    and without the bloom the full lineitem table shuffles only to
+    drop ~80% of it at the merge join.
+
+    InjectRuntimeFilter declines when the creation side is small
+    enough to broadcast (the bloom would be redundant with the
+    broadcast-hash probe), which at bench SFs is always — so the confs
+    that make the plan scale-representative (no auto-broadcast, no
+    application-side size floor) are applied ONLY around an eager
+    materialization of the small aggregated result inside this
+    function and restored in a finally block; the session the driver
+    shares sees no conf drift. The bloom is a pure pruner — false
+    positives just pass through to the exact join condition — so the
+    result is bit-identical to the plain join the oracle states.
+    The checkpointed result is registered for release_round_state.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    plan = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                scale=4,
+            ),
+        )
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        out = plan.localCheckpoint()  # eager: runs under the bloom plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    from ..operators.graph import _register_round_state
+
+    return _register_round_state(out, out)

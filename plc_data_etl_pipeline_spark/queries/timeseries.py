@@ -919,3 +919,152 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_acf_formula(2)} AS r2",
         f"{_acf_formula(3)} AS r3",
     )
+
+
+def _harmonic_consts() -> dict:
+    """Quantized cos/sin lattice constants for the 24-point diurnal
+    DFT, floor(trig(2*pi*k*h/24) * 1e6 + 0.5) for k=1..3, h=0..23.
+    Generated ONCE here and inlined as literals into BOTH the Spark
+    plan and the DuckDB oracle, so no engine ever evaluates cos/sin —
+    libm trig is not correctly-rounded and its last ulp differs across
+    builds (sqrt, by contrast, is IEEE-mandated correctly-rounded and
+    safe to run on identical operands in both engines)."""
+    import math
+
+    out = {}
+    for k in (1, 2, 3):
+        out[f"c{k}"] = [
+            int(math.floor(math.cos(2 * math.pi * k * h / 24) * 1e6 + 0.5))
+            for h in range(24)
+        ]
+        out[f"s{k}"] = [
+            int(math.floor(math.sin(2 * math.pi * k * h / 24) * 1e6 + 0.5))
+            for h in range(24)
+        ]
+    return out
+
+
+def _amp_formula(k: int) -> str:
+    """Shared Spark/DuckDB amplitude of diurnal harmonic k from the
+    exact integer lattice sums: 2/N * |DFT_k| rescaled out of the
+    centi-cent x 1e-6-trig integer units."""
+    from ._conv import sql_quant as _sq
+
+    t = (
+        f"(2e0 / 24 * SQRT(CAST(sc{k} AS DOUBLE) * sc{k}"
+        f" + CAST(ss{k} AS DOUBLE) * ss{k}) / 1e10)"
+    )
+    return _sq(t)
+
+
+_HC = _harmonic_consts()
+
+
+@query(
+    "ts_periodogram",
+    oracle=f"""
+    WITH cell AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+             COUNT(value) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s1
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, hod
+    ), m AS (
+      SELECT event_type, hod,
+             CAST(FLOOR(CAST(s1 AS DOUBLE) / n * 100 + 0.5) AS BIGINT) AS mv
+      FROM cell
+    ), g AS (
+      SELECT event_type,
+             COUNT(*) AS n_hours,
+             CAST(SUM(mv * list_extract({_HC['c1']}, hod + 1)) AS BIGINT) AS sc1,
+             CAST(SUM(mv * list_extract({_HC['s1']}, hod + 1)) AS BIGINT) AS ss1,
+             CAST(SUM(mv * list_extract({_HC['c2']}, hod + 1)) AS BIGINT) AS sc2,
+             CAST(SUM(mv * list_extract({_HC['s2']}, hod + 1)) AS BIGINT) AS ss2,
+             CAST(SUM(mv * list_extract({_HC['c3']}, hod + 1)) AS BIGINT) AS sc3,
+             CAST(SUM(mv * list_extract({_HC['s3']}, hod + 1)) AS BIGINT) AS ss3
+      FROM m GROUP BY event_type
+    ), amps AS (
+      SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+             {_amp_formula(1)} AS amp_24h,
+             {_amp_formula(2)} AS amp_12h,
+             {_amp_formula(3)} AS amp_8h
+      FROM g
+    )
+    SELECT event_type, n_hours, amp_24h, amp_12h, amp_8h,
+           CASE WHEN amp_24h >= amp_12h AND amp_24h >= amp_8h THEN 1
+                WHEN amp_12h >= amp_8h THEN 2 ELSE 3 END AS dominant_k
+    FROM amps
+    """,
+)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal periodogram per series: amplitude of the 24 h / 12 h /
+    8 h harmonics of the hour-of-day profile plus the dominant
+    harmonic — "does this sensor breathe with the day shift, the
+    half-day, or neither?", the spectral sibling of
+    ts_seasonal_profile and the feature a forecaster keys its season
+    length from.
+
+    Determinism: a DFT is float trig times float means — doubly
+    non-portable. This stays integer until the last step: hour-of-day
+    means quantized to exact centi-cent BIGINTs, multiplied by a
+    PRE-QUANTIZED trig lattice (``_harmonic_consts`` — Python
+    generates the 24x6 constants once and inlines the SAME literals
+    into the Spark plan and the oracle; neither engine calls cos/sin),
+    summed exactly, and only then folded through SQRT — which IEEE
+    mandates correctly-rounded, so identical BIGINT operands give
+    bit-identical amplitudes. Dominant-harmonic argmax compares the
+    QUANTIZED amplitudes (ties to the longer period).
+
+    Scale shape: two stacked partial-aggregable groupBys — (series,
+    hod) cells, then a 24-rows-per-series fold; nothing downstream of
+    the first aggregate is bigger than 24 rows per series. Missing
+    hours contribute nothing to the lattice sum in either engine (the
+    profile is treated as zero-filled after centering is ignored —
+    adequate for a strength DIAGNOSTIC, documented, and identical on
+    both sides)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.hour("ts").alias("hod"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    cell = ev.groupBy("event_type", "hod").agg(
+        F.count("cents").alias("n"), F.sum("cents").alias("s1")
+    )
+    m = cell.select(
+        "event_type",
+        "hod",
+        F.floor(F.col("s1").cast("double") / F.col("n") * 100 + 0.5)
+        .cast("long")
+        .alias("mv"),
+    )
+
+    def lattice(name: str) -> F.Column:
+        arr = F.array(*[F.lit(v) for v in _HC[name]])
+        return F.element_at(arr, F.col("hod") + 1)
+
+    aggs = [F.count("*").alias("n_hours")]
+    for k in (1, 2, 3):
+        aggs.append(F.sum(F.col("mv") * lattice(f"c{k}")).alias(f"sc{k}"))
+        aggs.append(F.sum(F.col("mv") * lattice(f"s{k}")).alias(f"ss{k}"))
+    g = m.groupBy("event_type").agg(*aggs)
+    amps = g.selectExpr(
+        "event_type",
+        "CAST(n_hours AS BIGINT) AS n_hours",
+        f"{_amp_formula(1)} AS amp_24h",
+        f"{_amp_formula(2)} AS amp_12h",
+        f"{_amp_formula(3)} AS amp_8h",
+    )
+    return amps.selectExpr(
+        "event_type",
+        "n_hours",
+        "amp_24h",
+        "amp_12h",
+        "amp_8h",
+        "CASE WHEN amp_24h >= amp_12h AND amp_24h >= amp_8h THEN 1"
+        " WHEN amp_12h >= amp_8h THEN 2 ELSE 3 END AS dominant_k",
+    )

@@ -151,6 +151,7 @@ def test_shuffle_budgets(spark):
                                       # marginal windows (total is a
                                       # broadcast scalar off the
                                       # checkpointed counts)
+        "ts_periodogram": 2,     # (series, hod) cells + per-series fold
     }
     over = {}
     for name, budget in budgets.items():
@@ -743,3 +744,52 @@ def test_zorder_readback_pushes_band_predicates(spark):
     p = plan(spark, "sink_zorder_skipping")
     pushed = p.split("PushedFilters:")[1].split("\n")[0]
     assert "l_partkey" in pushed and "l_suppkey" in pushed
+
+
+def test_bloom_runtime_filter_injected(spark):
+    """Under the scale-representative confs (creation side too big to
+    broadcast, no application-side size floor) Catalyst must inject the
+    runtime bloom filter into the lineitem side ahead of the shuffle —
+    and the query wrapper must leave the session confs untouched."""
+    from plc_data_etl_pipeline_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    li = load(spark, "/root/testdata/sf0.001", "lineitem")
+    o = load(spark, "/root/testdata/sf0.001", "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .count()
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in opt, "runtime bloom filter not injected"
+
+    # The registered query must restore session confs after its eager run.
+    from plc_data_etl_pipeline_spark.operators.graph import (
+        release_round_state,
+    )
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    df = all_queries()["join_bloom_runtime"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    assert df.count() > 0
+    release_round_state(df)
+    assert (
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    )

@@ -55,6 +55,21 @@ def planted_dir(spark):
     rows += [ev(400 + i, "click", 42, 10.0) for i in range(6)]
     rows += [ev(500 + i, "click", [1, 2, 3, 4, 1, 2][i], 60.0)
              for i in range(6)]
+    # 'diurnal': value = 10 + 4*cos(2*pi*h/24) at every hour, two days
+    # -> amp_24h ~= 4, higher harmonics ~= 0, dominant k=1.
+    # 'flat': same value every hour -> the quantized trig lattice sums
+    # to EXACTLY zero by symmetry -> all amplitudes exactly 0.0.
+    import math
+
+    i = 600
+    for day in (2, 3):
+        for h in range(24):
+            t = datetime.datetime(2024, 3, day, h, 5)
+            rows.append((i, t, 9, "diurnal",
+                         round(10 + 4 * math.cos(2 * math.pi * h / 24), 2),
+                         None))
+            rows.append((i + 1, t, 9, "flat", 7.0, None))
+            i += 2
     spark.createDataFrame(
         rows,
         "event_id long, ts timestamp, user_id long, event_type string,"
@@ -101,6 +116,21 @@ def test_dq_l_diversity_planted(spark, planted_dir):
         row["n_classes"], row["min_l"], row["n_low_diversity"],
         row["rows_exposed"], row["exposure_bps"],
     ) == (2, 1, 1, 6, 5000)
+
+
+def test_ts_periodogram_planted(spark, planted_dir):
+    fn = all_queries()["ts_periodogram"].fn
+    got = {
+        r["event_type"]: r for r in fn(spark, planted_dir).collect()
+    }
+    d = got["diurnal"]
+    assert d["n_hours"] == 24
+    assert abs(d["amp_24h"] - 4.0) < 0.01   # planted first harmonic
+    assert d["amp_12h"] < 0.01 and d["amp_8h"] < 0.01
+    assert d["dominant_k"] == 1
+    f = got["flat"]
+    # constant profile: the quantized lattice cancels EXACTLY
+    assert (f["amp_24h"], f["amp_12h"], f["amp_8h"]) == (0.0, 0.0, 0.0)
 
 
 def test_text_collocations_lift_planted(spark, planted_dir):

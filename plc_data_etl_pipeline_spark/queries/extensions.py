@@ -2283,6 +2283,55 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _collocations_plan(spark: SparkSession, sf_dir: str):
+    """Lazy plan for text_collocations_lift: returns (top100, bc) so the
+    plan-shape tests can lock the pre-finalize shuffle shape (the
+    registered query finalizes to a LocalRelation, which has no plan
+    left to audit)."""
+    d = fan_out(load(spark, sf_dir, "documents")).select(
+        F.split("text", " ").alias("w")
+    )
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN transform("
+                "sequence(1, size(w) - 1), i -> "
+                "struct(w[i-1] AS w1, w[i] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    from pyspark.sql.window import Window as _W
+
+    bc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+        .localCheckpoint(eager=False)
+    )
+    tot = bc.agg(F.sum("cb").alias("nb"))
+    scored = (
+        bc.withColumn("cl", F.sum("cb").over(_W.partitionBy("w1")))
+        .withColumn("cr", F.sum("cb").over(_W.partitionBy("w2")))
+        .filter(F.col("cb") >= 5)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").alias("pair_n"),
+            (
+                F.floor(
+                    (F.col("cb").cast("double") * F.col("nb"))
+                    / (F.col("cl").cast("double") * F.col("cr"))
+                    * 1000000.0
+                    + 0.5
+                ).cast("double")
+                / 1000000.0
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(100), bc
+
+
 @query(
     "text_collocations_lift",
     oracle="""
@@ -2341,55 +2390,11 @@ def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     window chain and the total from re-running the explode (released
     via release_round_state). The cb >= 5 filter lands after the
     marginals (they must see all pairs) but before the scalar
-    cross-join. Top-k is a TakeOrdered, not a global sort."""
-    d = fan_out(load(spark, sf_dir, "documents")).select(
-        F.split("text", " ").alias("w")
-    )
-    pairs = d.select(
-        F.explode(
-            F.expr(
-                "CASE WHEN size(w) >= 2 THEN transform("
-                "sequence(1, size(w) - 1), i -> "
-                "struct(w[i-1] AS w1, w[i] AS w2)) "
-                "ELSE array() END"
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
-    # The left/right/total counts are all marginals of the pair-count
-    # table (cl = sum of cb over w1, etc.), so the corpus is exploded
-    # and counted ONCE; the lazy localCheckpoint keeps the three
-    # downstream consumers (two marginal windows + the total) from
-    # re-running the explode. Released via release_round_state.
-    from pyspark.sql.window import Window as _W
+    cross-join. Top-k is a TakeOrdered, not a global sort. The
+    top-100 result is FINALIZED (materialize + release) so the
+    vocab-sized checkpoint blocks never outlive the call."""
+    from ..operators.graph import _register_round_state, finalize_round_result
 
-    bc = (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count("*").alias("cb"))
-        .localCheckpoint(eager=False)
-    )
-    tot = bc.agg(F.sum("cb").alias("nb"))
-    scored = (
-        bc.withColumn("cl", F.sum("cb").over(_W.partitionBy("w1")))
-        .withColumn("cr", F.sum("cb").over(_W.partitionBy("w2")))
-        .filter(F.col("cb") >= 5)
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "w1",
-            "w2",
-            F.col("cb").alias("pair_n"),
-            (
-                F.floor(
-                    (F.col("cb").cast("double") * F.col("nb"))
-                    / (F.col("cl").cast("double") * F.col("cr"))
-                    * 1000000.0
-                    + 0.5
-                ).cast("double")
-                / 1000000.0
-            ).alias("lift"),
-        )
-    )
-    from ..operators.graph import _register_round_state
-
-    return _register_round_state(
-        scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(100), bc
-    )
+    top, bc = _collocations_plan(spark, sf_dir)
+    st = _register_round_state(top, bc)
+    return finalize_round_result(st, st)

@@ -918,12 +918,11 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_bloom_runtime",
-    oracle="""
+    oracle=f"""
     SELECT l.l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
-                               * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
-             / 10000 AS revenue
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue",
+                     scale=4)}
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderpriority = '1-URGENT'
     GROUP BY l.l_returnflag
@@ -950,7 +949,8 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares sees no conf drift. The bloom is a pure pruner — false
     positives just pass through to the exact join condition — so the
     result is bit-identical to the plain join the oracle states.
-    The checkpointed result is registered for release_round_state.
+    The tiny grouped result is finalized (materialize + release) so no
+    checkpoint blocks outlive the call.
     """
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
@@ -976,6 +976,13 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.optimizer.runtime.bloomFilter"
         ".applicationSideScanSizeThreshold": "0",
+        # InjectRuntimeFilter also DECLINES when the creation side
+        # exceeds creationSideThreshold (default 10 MB) — exactly the
+        # tens-of-GB regime this query targets. Raise it so the demo
+        # keeps injecting at probe SFs; real deployments budget this
+        # against executor memory (the bloom broadcasts to every task).
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".creationSideThreshold": "8GB",
     }
     old = {k: spark.conf.get(k) for k in confs}
     for k, v in confs.items():
@@ -985,6 +992,9 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
-    from ..operators.graph import _register_round_state
+    from ..operators.graph import _register_round_state, finalize_round_result
 
-    return _register_round_state(out, out)
+    # 3-grouping-key result: materialize and free the checkpoint blocks
+    # immediately — nothing stays resident after the call.
+    st = _register_round_state(out, out)
+    return finalize_round_result(st, st)

@@ -34,3 +34,20 @@ def oracle():
         )
     yield con
     con.close()
+
+
+def flatten_parquet_dir(path: str) -> None:
+    """Spark writes a directory; the planted fixtures (and DuckDB's view
+    glob) use single files — promote the lone part file. Shared by the
+    planted-fixture suites (review finding: it was copy-pasted three
+    times)."""
+    import shutil
+
+    part = next(
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and f.startswith("part-")
+    )
+    tmp = path + ".file"
+    shutil.move(os.path.join(path, part), tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)

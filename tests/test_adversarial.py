@@ -26,6 +26,7 @@ import pytest
 
 from plc_data_etl_pipeline_spark.catalog import TABLES
 from plc_data_etl_pipeline_spark.registry import all_queries
+from .conftest import flatten_parquet_dir as _flatten
 
 from .conftest import SF_DIR
 from .oracle_compare import compare
@@ -35,19 +36,6 @@ ADV_DIR = "/tmp/plc_etl_adversarial_sf_v3"
 _STAR = (
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem"
 )
-
-
-def _flatten(path: str) -> None:
-    """Spark writes a directory; the fixtures (and DuckDB's view glob)
-    use single files — promote the lone part file."""
-    part = next(
-        f for f in os.listdir(path)
-        if f.endswith(".parquet") and f.startswith("part-")
-    )
-    tmp = path + ".file"
-    shutil.move(os.path.join(path, part), tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
 
 
 def _build(spark) -> str:

@@ -12,19 +12,9 @@ import shutil
 import pytest
 
 from plc_data_etl_pipeline_spark.registry import all_queries
+from .conftest import flatten_parquet_dir as _flatten
 
 _DIR = "/tmp/plc_etl_planted_patterns"
-
-
-def _flatten(path: str) -> None:
-    part = next(
-        f for f in os.listdir(path)
-        if f.endswith(".parquet") and f.startswith("part-")
-    )
-    tmp = path + ".file"
-    shutil.move(os.path.join(path, part), tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
 
 
 @pytest.fixture(scope="module")

@@ -147,10 +147,6 @@ def test_shuffle_budgets(spark):
         "ts_autocorr": 1,        # lag windows + moment agg share one
                                  # series-key exchange
         "dq_l_diversity": 3,     # class key + distinct expand + re-agg
-        "text_collocations_lift": 4,  # fan_out + pair count + two
-                                      # marginal windows (total is a
-                                      # broadcast scalar off the
-                                      # checkpointed counts)
         "ts_periodogram": 2,     # (series, hod) cells + per-series fold
     }
     over = {}
@@ -779,17 +775,36 @@ def test_bloom_runtime_filter_injected(spark):
             spark.conf.set(k, v)
     assert "might_contain" in opt, "runtime bloom filter not injected"
 
-    # The registered query must restore session confs after its eager run.
-    from plc_data_etl_pipeline_spark.operators.graph import (
-        release_round_state,
+    # The registered query must restore session confs after its eager
+    # run, and finalize (materialize + release) so nothing stays
+    # resident: the persistent-RDD census must be unchanged.
+    base_rdds = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
     )
-    from plc_data_etl_pipeline_spark.registry import all_queries
-
     df = all_queries()["join_bloom_runtime"].fn(
         spark, "/root/testdata/sf0.001"
     )
     assert df.count() > 0
-    release_round_state(df)
+    after_rdds = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    assert after_rdds <= base_rdds, "bloom query left resident RDD state"
     assert (
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
     )
+
+
+def test_collocations_pre_finalize_shuffle_budget(spark):
+    """The registered query finalizes to a LocalRelation (materialize +
+    release), so the shape lock runs against the lazy plan helper:
+    fan_out + pair count + two marginal windows = at most 4 shuffles,
+    and the corpus total rides a broadcast, not a join."""
+    from plc_data_etl_pipeline_spark.queries.extensions import (
+        _collocations_plan,
+    )
+
+    top, _bc = _collocations_plan(spark, SF_DIR)
+    p = plan_of(top, mode="simple")
+    n = p.count("Exchange") - p.count("BroadcastExchange")
+    assert n <= 4, f"collocations shuffle budget exceeded: {n}"
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p

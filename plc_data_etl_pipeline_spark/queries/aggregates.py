@@ -486,3 +486,60 @@ def agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority_o_orderstatus",
         *[F.col(c).alias(c) for c in sorted(ct.columns[1:])],
     )
+
+
+@query("agg_count_min_sketch", oracle=None)  # sketch binary — engine-specific
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    2005) — the mergeable point-frequency sibling of the HLL/bitmap
+    cardinality sketches: per-group CMS binaries built map-side
+    (``count_min_sketch`` aggregate, eps=0.001, conf=0.99, fixed seed),
+    merged driver-side through the JVM sketch library (counter
+    matrices ADD, so merge order is irrelevant), then probed for the
+    exact top-10 heaviest users. Output pairs every estimate with the
+    exact count so the CMS one-sided-error contract (est >= exact,
+    est - exact <= eps * N w.p. conf) is directly visible — the pytest
+    locks both bounds.
+
+    Scale shape: the shuffled state is one ~12 KB sketch per group
+    instead of every distinct key; sketches OR into stored ones for
+    incremental refresh exactly like the bitmap path. The driver
+    collects ONLY |groups| sketch binaries and 10 probe keys — both
+    bounded. The exact side is a TakeOrdered top-10, not a global
+    sort. Rows-only: the sketch layout is engine-specific (Spark's
+    CountMinSketch wire format), so there is no cross-engine oracle;
+    correctness is pinned by the error-contract pytest instead."""
+    ev = load(spark, sf_dir, "events")
+    per_group = ev.groupBy("event_type").agg(
+        F.count_min_sketch(
+            "user_id", F.lit(0.001), F.lit(0.99), F.lit(42)
+        ).alias("cms")
+    )
+    jvm = spark.sparkContext._jvm
+    merged = None
+    for row in sorted(per_group.collect(), key=lambda r: r["event_type"]):
+        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytes(row["cms"])
+        )
+        if merged is None:
+            merged = sk
+        else:
+            merged.mergeInPlace(sk)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(10)
+        .collect()
+    )
+    rows = [
+        (
+            r["user_id"],
+            r["exact_n"],
+            int(merged.estimateCount(jvm.java.lang.Long(int(r["user_id"])))),
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, exact_n long, est_n long"
+    )

@@ -835,3 +835,90 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host",
         n_dropped.alias("n_params_dropped"),
     )
+
+
+@query(
+    "curation_pareto_frontier",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             n_chars AS len_score,
+             CAST(len(list_distinct(string_split(text, ' '))) * 1000000
+                  // GREATEST(len(string_split(text, ' ')), 1)
+                  AS BIGINT) AS diversity_ppm
+      FROM documents
+    ), flagged AS (
+      SELECT doc_id, lang, len_score, diversity_ppm,
+             COALESCE(MAX(diversity_ppm) OVER (
+               PARTITION BY lang ORDER BY len_score DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), -1) AS best_above,
+             MAX(diversity_ppm) OVER (PARTITION BY lang, len_score)
+               AS best_same
+      FROM scored
+    )
+    SELECT lang, doc_id, len_score, diversity_ppm
+    FROM flagged
+    WHERE best_above < diversity_ppm AND best_same <= diversity_ppm
+    """,
+)
+def curation_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (2-D skyline) of the corpus per language:
+    documents not dominated in (length, lexical diversity) — the
+    multi-objective curation cut ("as long as possible AND as diverse
+    as possible") where any scalar mix of the two scores loses the
+    trade-off information. A doc is dominated iff another doc of the
+    same language is >= on both objectives and > on one.
+
+    Skyline via the sorted-running-max trick, not an O(n^2) self-join:
+    within each language, order by length DESC; a doc survives iff no
+    strictly-longer doc reaches its diversity (running MAX over the
+    RANGE frame ending 1 PRECEDING — integer scores make 'strictly
+    longer' exactly '>= len+1') and no same-length doc strictly beats
+    it (MAX over the (lang, len) partition). Both passes are windows
+    over ONE language-keyed exchange; all scores are exact integers
+    (diversity in ppm via integer division), so both engines agree
+    bitwise. The skyline operator is DISTRIBUTIVE — skyline(A u B) =
+    skyline(skyline(A) u skyline(B)) — so at 100 TB the same two
+    windows run per partition first and once more over the (tiny)
+    per-partition frontiers; here language partitions already bound
+    the window, no global sort anywhere."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").alias("len_score"),
+        (
+            F.size(F.array_distinct(F.split("text", " ")))
+            .cast("long")
+            * 1000000
+        ).alias("_dw"),
+        F.greatest(
+            F.size(F.split("text", " ")).cast("long"), F.lit(1).cast("long")
+        ).alias("_nw"),
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "len_score",
+        F.expr("_dw DIV _nw").alias("diversity_ppm"),
+    )
+    w_above = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("len_score").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("lang", "len_score")
+    flagged = scored.select(
+        "lang",
+        "doc_id",
+        "len_score",
+        "diversity_ppm",
+        F.coalesce(
+            F.max("diversity_ppm").over(w_above), F.lit(-1).cast("long")
+        ).alias("best_above"),
+        F.max("diversity_ppm").over(w_same).alias("best_same"),
+    )
+    return flagged.filter(
+        (F.col("best_above") < F.col("diversity_ppm"))
+        & (F.col("best_same") <= F.col("diversity_ppm"))
+    ).select("lang", "doc_id", "len_score", "diversity_ppm")

@@ -148,6 +148,7 @@ def test_shuffle_budgets(spark):
                                  # series-key exchange
         "dq_l_diversity": 3,     # class key + distinct expand + re-agg
         "ts_periodogram": 2,     # (series, hod) cells + per-series fold
+        "curation_pareto_frontier": 2,  # lang window + (lang, len) peer max
     }
     over = {}
     for name, budget in budgets.items():

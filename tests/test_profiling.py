@@ -134,3 +134,95 @@ def test_text_collocations_lift_planted(spark, planted_dir):
         ("c", "d"): (5, 1.9),
         ("a", "d"): (5, 0.95),
     }
+
+
+_PARETO_DIR = "/tmp/plc_etl_planted_pareto"
+
+
+@pytest.fixture(scope="module")
+def pareto_dir(spark):
+    """documents table with a hand-built dominance structure:
+    (len, diversity_ppm) = A(100, 1/2) B(90, 3/5) C(90, 1/2)
+    D(100, 1/2) E(80, 3/5) F(120, 1/10). C is dominated by A
+    (longer, equal diversity), E by B (longer, equal diversity);
+    A and D tie on both objectives so BOTH survive (incomparable)."""
+    shutil.rmtree(_PARETO_DIR, ignore_errors=True)
+    os.makedirs(_PARETO_DIR)
+    docs = [
+        (1, "a a", "x", "s", 100),                  # div 500000 - frontier
+        (2, "a b c a a", "x", "s", 90),             # div 600000 - frontier
+        (3, "b b", "x", "s", 90),                   # dominated by A/D
+        (4, "c c", "x", "s", 100),                  # tie with A - frontier
+        (5, "d e f d d", "x", "s", 80),             # dominated by B
+        (6, "a a a a a a a a a a", "x", "s", 120),  # div 100000 - frontier
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{_PARETO_DIR}/documents.parquet"
+    )
+    _flatten(f"{_PARETO_DIR}/documents.parquet")
+    yield _PARETO_DIR
+
+
+def test_curation_pareto_frontier_planted(spark, pareto_dir):
+    fn = all_queries()["curation_pareto_frontier"].fn
+    got = {r["doc_id"]: (r["len_score"], r["diversity_ppm"])
+           for r in fn(spark, pareto_dir).collect()}
+    assert got == {
+        1: (100, 500000),
+        2: (90, 600000),
+        4: (100, 500000),
+        6: (120, 100000),
+    }
+
+
+_CMS_DIR = "/tmp/plc_etl_planted_cms"
+
+
+@pytest.fixture(scope="module")
+def cms_dir(spark):
+    """events table with 50k distinct users (forcing real CMS counter
+    collisions at eps=0.001 ~ 2718 counters) plus one planted heavy
+    user (id 7, 500 extra rows) that must surface exactly."""
+    shutil.rmtree(_CMS_DIR, ignore_errors=True)
+    os.makedirs(_CMS_DIR)
+    from pyspark.sql import functions as F
+
+    base = spark.range(60000).select(
+        F.col("id").alias("event_id"),
+        F.lit("2024-03-01 08:00:00").cast("timestamp").alias("ts"),
+        (F.col("id") % 50021).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    heavy = spark.range(60000, 60500).select(
+        F.col("id").alias("event_id"),
+        F.lit("2024-03-01 08:00:00").cast("timestamp").alias("ts"),
+        F.lit(7).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    base.unionByName(heavy).coalesce(1).write.mode("overwrite").parquet(
+        f"{_CMS_DIR}/events.parquet"
+    )
+    _flatten(f"{_CMS_DIR}/events.parquet")
+    yield _CMS_DIR
+
+
+def test_count_min_sketch_contract(spark, cms_dir):
+    """The CMS contract on a collision-forcing corpus: every estimate
+    is one-sided (est >= exact) and within eps*N of exact; the planted
+    heavy hitter ranks first with its exact count recovered."""
+    fn = all_queries()["agg_count_min_sketch"].fn
+    rows = fn(spark, cms_dir).collect()
+    assert rows[0]["user_id"] == 7 and rows[0]["exact_n"] == 502
+    n_total = 60500
+    for r in rows:
+        assert r["est_n"] >= r["exact_n"], "CMS must never underestimate"
+        assert r["est_n"] - r["exact_n"] <= 0.001 * n_total, (
+            f"estimate error beyond eps*N for user {r['user_id']}"
+        )

@@ -335,3 +335,135 @@ def holt_trend_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM change-point monitor — the stateful serving twin of the
+# oracle-checked ts_changepoint_cusum batch query. The batch form computes
+# Page's statistic through its prefix-sum/prefix-min CLOSED FORM
+# (S_t = P_t - min(0, min_{j<=t} P_j)); this twin runs the textbook
+# sequential recurrence (S_t = max(0, S_{t-1} + dev_t - k)) — the equality
+# of the two is exactly what tests/test_stateful.py pins per key on the
+# fixture data, so the window rewrite in the batch query is PROVEN against
+# the recurrence it claims to express, not just oracle-mirrored.
+#
+# Calibration (mu, k, h) is an explicit parameter: a monitor calibrates on
+# a reference window and then watches the live stream (SPC practice); the
+# batch AUDIT instead self-calibrates on the full series, so the twin test
+# feeds it the batch-identical integers. All state is 7 BIGINTs per key.
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("s_up", LongType()),
+        StructField("s_dn", LongType()),
+        StructField("n", LongType()),
+        StructField("alarms_up", LongType()),
+        StructField("alarms_dn", LongType()),
+        StructField("max_s_up", LongType()),
+        StructField("max_s_dn", LongType()),
+    ]
+)
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("n_alarms_up", LongType()),
+        StructField("n_alarms_dn", LongType()),
+        StructField("max_s_up", LongType()),
+        StructField("max_s_dn", LongType()),
+    ]
+)
+
+
+def cusum_step(
+    devs: Iterable[int],
+    prev: tuple | None,
+    k: int,
+    h: int,
+) -> tuple:
+    """Fold integer deviations (cents - mu) through Page's two-sided
+    recurrence. Pure and associative-by-chaining: feeding a prefix and
+    then the suffix with the returned state equals one fold over the
+    whole sequence (split-anywhere test-locked)."""
+    s_up, s_dn, n, a_up, a_dn, m_up, m_dn = prev or (0, 0, 0, 0, 0, 0, 0)
+    for d in devs:
+        s_up = max(0, s_up + d - k)
+        s_dn = max(0, s_dn - d - k)
+        n += 1
+        if s_up > h:
+            a_up += 1
+        if s_dn > h:
+            a_dn += 1
+        if s_up > m_up:
+            m_up = s_up
+        if s_dn > m_dn:
+            m_dn = s_dn
+    return (s_up, s_dn, n, a_up, a_dn, m_up, m_dn)
+
+
+def make_cusum_group_fn(calibration: dict):
+    """Build the applyInPandasWithState group function for a given
+    per-key calibration {event_type: (mu, k, h)} in integer cents.
+    Keys without calibration are passed through silently (a monitor
+    must not crash on a new sensor; it has no reference yet)."""
+
+    def _cusum(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        cal = calibration.get(event_type)
+        if cal is None:
+            return
+        mu, k, h = cal
+        prev = tuple(state.get) if state.exists else None
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(pdf["ts"], pdf["event_id"], pdf["value"].astype(float))
+            )
+        # ONE global sort across Arrow chunks (same posture as _holt);
+        # NaN readings are dropped — the batch twin filters NULLs too.
+        rows.sort(key=lambda r: (r[0], r[1]))
+        devs = [
+            int(__import__("math").floor(v * 100 + 0.5)) - mu
+            for (_t, _e, v) in rows
+            if v == v
+        ]
+        new = cusum_step(devs, prev, k, h)
+        state.update(new)
+        s_up, s_dn, n, a_up, a_dn, m_up, m_dn = new
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": event_type,
+                    "n_seen": n,
+                    "n_alarms_up": a_up,
+                    "n_alarms_dn": a_dn,
+                    "max_s_up": m_up,
+                    "max_s_dn": m_dn,
+                }
+            ]
+        )
+
+    return _cusum
+
+
+def cusum_stream(events_stream: DataFrame, calibration: dict) -> DataFrame:
+    """Continuously-maintained two-sided CUSUM per sensor over the
+    events stream shape (event_type, ts, event_id, value): each
+    micro-batch folds its rows (ordered by ts, event_id) into the
+    per-key statistic and emits the refreshed alarm census. State is 7
+    BIGINTs per key — bounded by the sensor fleet, not event volume;
+    the calibration dict rides the task closure (KBs for realistic
+    fleets; at millions of sensors it becomes a state-initialized
+    column, same recurrence)."""
+    return events_stream.groupBy("event_type").applyInPandasWithState(
+        make_cusum_group_fn(calibration),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -378,3 +378,142 @@ def test_holt_group_fn_orders_across_chunks_and_drops_nans():
     list(ST._holt((7,), iter([pd.DataFrame(rows_nan)]), state2))
     assert state2._v == ST.holt_step(vals, None)
     assert not any(math.isnan(x) for x in state2._v[:3])
+
+
+def _batch_cusum_calibration(rows):
+    """Re-derive the batch query's self-calibration in plain Python:
+    mu = SUM(cents) DIV n, m = GREATEST(mean |dev|, 1), k = m DIV 2,
+    h = 20 * m — all truncating integer division on non-negative
+    operands, so Python // matches Spark DIV exactly."""
+    cents = [c for (_t, _e, c) in rows]
+    n = len(cents)
+    mu = sum(cents) // n
+    devs = [c - mu for c in cents]
+    m = max(sum(abs(d) for d in devs) // n, 1)
+    return mu, m // 2, 20 * m, devs
+
+
+def test_cusum_closed_form_equals_recurrence(spark):
+    """The batch query computes Page's statistic through its
+    prefix-sum/prefix-min closed form; the pure recurrence must land on
+    the identical alarm census per key — this PROVES the window rewrite
+    against the textbook definition, independent of the DuckDB oracle
+    (which mirrors the same closed form)."""
+    import math
+
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    batch = {
+        r["event_type"]: r
+        for r in all_queries()["ts_changepoint_cusum"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where("value IS NOT NULL")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict = {}
+    for r in ev:
+        series.setdefault(r["event_type"], []).append(
+            (r["ts"], r["event_id"], int(math.floor(r["value"] * 100 + 0.5)))
+        )
+    assert set(series) == set(batch)
+    for etype, rows in series.items():
+        rows.sort(key=lambda r: (r[0], r[1]))
+        _mu, k, h, devs = _batch_cusum_calibration(rows)
+        s_up, s_dn, n, a_up, a_dn, m_up, m_dn = ST.cusum_step(
+            devs, None, k, h
+        )
+        b = batch[etype]
+        assert (n, a_up, a_dn, m_up, m_dn) == (
+            b["n_points"],
+            b["n_alarms_up"],
+            b["n_alarms_dn"],
+            b["max_s_up"],
+            b["max_s_dn"],
+        ), etype
+
+
+def test_cusum_step_state_chaining():
+    """Split-anywhere: folding a prefix then the suffix with the carried
+    state equals one fold over the whole deviation sequence."""
+    devs = [5, -40, 300, 2, -2, 500, -600, 0, 7, 90, -90, 12]
+    one = ST.cusum_step(devs, None, 3, 100)
+    for cut in range(len(devs) + 1):
+        mid = ST.cusum_step(devs[:cut], None, 3, 100)
+        final = ST.cusum_step(devs[cut:], mid, 3, 100)
+        assert final == one, cut
+
+
+def test_streaming_cusum_end_to_end(spark, tmp_path):
+    """Two parquet micro-batches with a planted level shift in the
+    second: the final emitted alarm census must equal the one-shot
+    recurrence over the concatenated series — state survived the batch
+    boundary, and the shift (not the calm prefix) raised the alarms."""
+    import datetime as dt
+
+    src = str(tmp_path / "cusum_src")
+    cols = "event_type string, ts timestamp, event_id long, value double"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(i0, n, base):
+        return [
+            ("m1", t0 + dt.timedelta(seconds=i), i, base + (i % 3) * 0.5)
+            for i in range(i0, i0 + n)
+        ]
+
+    calm, shifted = rows(0, 20, 10.0), rows(20, 20, 50.0)
+    cal = {"m1": (1000, 25, 1000)}  # mu=10.00, k=0.25, h=10.00 in cents
+    spark.createDataFrame(calm, cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        ST.cusum_stream(stream, cal)
+        .writeStream.format("memory")
+        .queryName("cusum_mem")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        calm_row = (
+            spark.sql("SELECT * FROM cusum_mem ORDER BY n_seen DESC")
+            .limit(1)
+            .collect()[0]
+        )
+        assert calm_row.n_alarms_up == 0, "calm prefix must not alarm"
+        spark.createDataFrame(shifted, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got = (
+            spark.sql("SELECT * FROM cusum_mem ORDER BY n_seen DESC")
+            .limit(1)
+            .collect()[0]
+        )
+    finally:
+        q.stop()
+    import math
+
+    devs = [
+        int(math.floor(v * 100 + 0.5)) - 1000
+        for (_m, _t, _e, v) in calm + shifted
+    ]
+    s_up, s_dn, n, a_up, a_dn, m_up, m_dn = ST.cusum_step(
+        devs, None, 25, 1000
+    )
+    assert got.n_seen == n == 40
+    assert (got.n_alarms_up, got.n_alarms_dn) == (a_up, a_dn)
+    assert (got.max_s_up, got.max_s_dn) == (m_up, m_dn)
+    assert got.n_alarms_up >= 15, "the planted shift must alarm"

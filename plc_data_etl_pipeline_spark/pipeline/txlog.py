@@ -547,6 +547,35 @@ class TransactionalParquetTable:
 
         return self._snapshot_retrying(compute, txn, "merge")
 
+    def merge_apply_changes(self, changes: DataFrame, keys: list[str],
+                            sign_col: str = "_sign",
+                            txn: tuple[str, int] | None = None) -> int:
+        """CDC apply: ONE snapshot commit for a SIGNED keyed change set.
+        Rows with ``sign_col`` > 0 are the new version of their key
+        (upsert); keys whose change rows are all negative are deleted;
+        every untouched target row is carried. This is the Delta
+        ``MERGE WHEN MATCHED UPDATE/DELETE WHEN NOT MATCHED INSERT``
+        dataflow driven by a change feed — the write-side complement of
+        :meth:`read_changes` (together: a full CDC round trip), and the
+        apply step of incremental view maintenance (the change set is
+        the VIEW delta a maintenance plan computed; see
+        sink_incremental_join). Snapshot-isolated like every commit
+        here: on conflict the merge recomputes against the new base."""
+
+        def compute(base: int):
+            ups = changes.filter(F.col(sign_col) > 0).drop(sign_col)
+            touched = changes.select(*keys).distinct()
+            if base:
+                target = self.read(base)
+                keep = target.join(touched, keys, "left_anti")
+                merged = keep.unionByName(ups)
+            else:
+                merged = ups
+            files = self._write_data_files(merged)
+            return files, merged._jdf.schema().toDDL(), True
+
+        return self._snapshot_retrying(compute, txn, "merge")
+
     # ------------------------------------------------------------ compact
     def compact(self, target_file_bytes: int = 128 << 20) -> int:
         """OPTIMIZE: bin-pack the current snapshot's files into

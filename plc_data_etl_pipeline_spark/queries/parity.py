@@ -1052,3 +1052,102 @@ def sink_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.filter(
         F.col("l_partkey").between(1, 50) & F.col("l_suppkey").between(1, 5)
     )
+
+
+@query(
+    "sink_incremental_join",
+    oracle=f"""
+    WITH cust1 AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_custkey % 101 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    ), o1 AS (
+      SELECT * FROM orders WHERE o_orderkey % 97 <> 0
+    )
+    SELECT c.c_nationkey, c.seg,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o.o_totalprice", "revenue")}
+    FROM o1 o JOIN cust1 c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey, c.seg
+    """,
+)
+def sink_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view — the
+    delta-join algebra (Blakeley 1986) sink_incremental_rollup's
+    additive aggregates can't express: for M = A |x| B,
+    delta(M) = dA |x| B  +  A |x| dB  (signs multiply), applied through
+    the txlog's signed CDC MERGE (merge_apply_changes). Three delta
+    commits against a seeded orders|x|customer view:
+
+    1. INSERTS: late orders join ONLY the customer dim (work ~ |dA|,
+       broadcast dim — the view is never rescanned);
+    2. DELETES: cancelled order keys retract their view rows (-1);
+    3. DIM UPDATE: moved customers re-emit only THEIR view rows with
+       the new segment (work ~ |A semi dB|, never the whole view).
+
+    The oracle is the FULL RECOMPUTE over the mutated base tables, so
+    incremental-equals-recompute is value-checked end-to-end;
+    tests/test_txlog.py additionally pins the maintained VIEW rows
+    (not just this aggregate) equal to the recomputed join, and that
+    each commit's read_changes delta matches the intended mutation.
+    At 100 TB every step is delta-proportional: the expensive side
+    (the view) is only ever touched by keyed MERGE, and the recompute
+    this replaces — a full fact|x|dim join — never runs."""
+    import shutil
+
+    from ..pipeline.txlog import TransactionalParquetTable
+    from ._conv import cents
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+
+    def view(o: DataFrame, c: DataFrame) -> DataFrame:
+        return o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+            "o_orderkey",
+            "o_custkey",
+            cents("o_totalprice").alias("price_cents"),
+            "c_nationkey",
+            F.col("c_mktsegment").alias("seg"),
+        )
+
+    path = os.path.join(tempfile.gettempdir(), "plc_etl_incr_join")
+    shutil.rmtree(path, ignore_errors=True)
+    t = TransactionalParquetTable(spark, path)
+
+    # seed: three quarters of the orders, original dim
+    seed = orders.filter(F.col("o_orderkey") % 4 != 3)
+    t.overwrite(view(seed, cust))
+
+    # 1) fact INSERTS: dA |x| B, sign +1
+    ins = orders.filter(F.col("o_orderkey") % 4 == 3)
+    t.merge_apply_changes(
+        view(ins, cust).withColumn("_sign", F.lit(1)),
+        keys=["o_orderkey"],
+    )
+
+    # 2) fact DELETES: retract by key, sign -1 (rows built from the
+    #    view itself — delta-proportional via key lookup, not a rescan)
+    dels = t.read().filter(F.col("o_orderkey") % 97 == 0)
+    t.merge_apply_changes(
+        dels.withColumn("_sign", F.lit(-1)), keys=["o_orderkey"]
+    )
+
+    # 3) dim UPDATE: A |x| dB — only the moved customers' view rows
+    #    re-emit with the new attribute (upsert replaces old versions)
+    moved = t.read().filter(F.col("o_custkey") % 101 == 0)
+    t.merge_apply_changes(
+        moved.withColumn("seg", F.lit("MOVED")).withColumn(
+            "_sign", F.lit(1)
+        ),
+        keys=["o_orderkey"],
+    )
+
+    return (
+        t.read()
+        .groupBy("c_nationkey", "seg")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum("price_cents").cast("double") / 100).alias("revenue"),
+        )
+    )

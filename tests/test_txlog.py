@@ -393,3 +393,88 @@ def test_truly_concurrent_writers_no_lost_updates(spark, tmp_path):
     assert versions == list(range(1, n_writers + 2))  # seed + one per writer
     markers = {(m["txn"]["app"], m["txn"]["id"]) for m in hist if m.get("txn")}
     assert len(markers) == n_writers  # every writer committed exactly once
+
+
+def test_merge_apply_changes_cdc_semantics(spark, tmp_path):
+    """The signed CDC apply: +1 rows upsert their key, keys with only
+    -1 rows delete, untouched rows carry; a key receiving BOTH (-1 old,
+    +1 new — the standard update encoding) lands on the new version."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "cdc"))
+    t.overwrite(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    changes = spark.createDataFrame(
+        [
+            (2, "b", -1),            # pure delete
+            (3, "c", -1), (3, "C", 1),  # update encoded as -old +new
+            (4, "d", 1),             # insert
+        ],
+        "k int, v string, _sign int",
+    )
+    t.merge_apply_changes(changes, keys=["k"])
+    got = sorted((r.k, r.v) for r in t.read().collect())
+    assert got == [(1, "a"), (3, "C"), (4, "d")]
+
+
+def test_incremental_join_view_equals_recompute(spark):
+    """The maintained JOIN view itself (not just the registered
+    query's aggregate) must equal the full recompute over the mutated
+    base tables, and each maintenance commit's change feed must be
+    delta-sized — the two invariants incremental view maintenance has
+    to keep."""
+    import os as _os
+    import tempfile
+
+    from plc_data_etl_pipeline_spark.catalog import load
+    from plc_data_etl_pipeline_spark.queries._conv import cents
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    # run the registered query (it builds + maintains the view)
+    all_queries()["sink_incremental_join"].fn(spark, SF_DIR).collect()
+    t = TransactionalParquetTable(
+        spark, _os.path.join(tempfile.gettempdir(), "plc_etl_incr_join")
+    )
+
+    orders = load(spark, SF_DIR, "orders").filter(
+        F.col("o_orderkey") % 97 != 0
+    )
+    cust = load(spark, SF_DIR, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 101 == 0, "MOVED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    recomputed = orders.join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        cents("o_totalprice").alias("price_cents"),
+        "c_nationkey",
+        "seg",
+    )
+    view = t.read().select(*recomputed.columns)
+    assert view.exceptAll(recomputed).count() == 0
+    assert recomputed.exceptAll(view).count() == 0
+
+    # Change feed for the dim-move commit (v3 -> v4). This log's CDF
+    # is a FILE diff, and merges rewrite the snapshot, so consumers
+    # net the two sides: the NET insert side must be exactly the moved
+    # customers' rows re-tagged MOVED, the NET removed side the same
+    # keys under their old segment.
+    feed = t.read_changes(3, 4).select("o_orderkey", "o_custkey", "seg",
+                                       "_change_type")
+    ins4 = feed.filter("_change_type = 'inserted'").drop("_change_type")
+    rem4 = feed.filter("_change_type = 'removed'").drop("_change_type")
+    net_in, net_out = ins4.exceptAll(rem4), rem4.exceptAll(ins4)
+    expected_moved = view.filter(F.col("o_custkey") % 101 == 0).count()
+    assert expected_moved > 0, "fixture must exercise the dim move"
+    assert net_in.count() == expected_moved
+    assert net_out.count() == expected_moved
+    assert {r.seg for r in net_in.select("seg").distinct().collect()} == {
+        "MOVED"
+    }
+    assert "MOVED" not in {
+        r.seg for r in net_out.select("seg").distinct().collect()
+    }

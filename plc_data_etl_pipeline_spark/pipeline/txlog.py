@@ -533,19 +533,9 @@ class TransactionalParquetTable:
         isolation (the merge recomputes against the current snapshot on
         every commit-conflict retry)."""
 
-        def compute(base: int):
-            if base:
-                target = self.read(base)
-                keep = target.join(
-                    updates.select(*keys).distinct(), keys, "left_anti"
-                )
-                merged = keep.unionByName(updates)
-            else:
-                merged = updates
-            files = self._write_data_files(merged)
-            return files, merged._jdf.schema().toDDL(), True
-
-        return self._snapshot_retrying(compute, txn, "merge")
+        return self.merge_apply_changes(
+            updates.withColumn("_sign", F.lit(1)), keys, txn=txn
+        )
 
     def merge_apply_changes(self, changes: DataFrame, keys: list[str],
                             sign_col: str = "_sign",
@@ -559,16 +549,43 @@ class TransactionalParquetTable:
         :meth:`read_changes` (together: a full CDC round trip), and the
         apply step of incremental view maintenance (the change set is
         the VIEW delta a maintenance plan computed; see
-        sink_incremental_join). Snapshot-isolated like every commit
-        here: on conflict the merge recomputes against the new base."""
+        sink_incremental_join). Positive rows must carry the full
+        target schema and at most ONE version per key (validated —
+        Delta's MERGE raises on multi-match too); a delete-only feed
+        may carry just (keys, sign). Snapshot-isolated like every
+        commit here: on conflict the merge recomputes against the new
+        base."""
+
+        ups = changes.filter(F.col(sign_col) > 0).drop(sign_col)
+        # Delta's MERGE raises on multiple source rows per key; so does
+        # this apply — two positive versions of one key in a single
+        # change set have no defined winner and would both be written.
+        # One delta-sized aggregation up front (bounded: the feed, not
+        # the table).
+        dup = (
+            ups.groupBy(*keys)
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "merge_apply_changes: multiple positive-sign rows for key "
+                f"{tuple(dup[0][k] for k in keys)}; net the change set to "
+                "one version per key first"
+            )
+        has_ups = ups.limit(1).count() > 0
 
         def compute(base: int):
-            ups = changes.filter(F.col(sign_col) > 0).drop(sign_col)
             touched = changes.select(*keys).distinct()
             if base:
                 target = self.read(base)
                 keep = target.join(touched, keys, "left_anti")
-                merged = keep.unionByName(ups)
+                # A delete-only feed may carry just (keys, sign): only
+                # union the positive side when it exists, so retraction
+                # feeds need not fabricate full target rows.
+                merged = keep.unionByName(ups) if has_ups else keep
             else:
                 merged = ups
             files = self._write_data_files(merged)

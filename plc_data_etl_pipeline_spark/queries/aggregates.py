@@ -496,12 +496,13 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``count_min_sketch`` aggregate, eps=0.001, conf=0.99, fixed seed),
     merged driver-side through the JVM sketch library (counter
     matrices ADD, so merge order is irrelevant), then probed for the
-    exact top-10 heaviest users. Output pairs every estimate with the
+    exact top-10 heaviest users. Measured geometry at these params:
+    depth 7 x width 2000 counters, ~112 KB serialized per group. Output pairs every estimate with the
     exact count so the CMS one-sided-error contract (est >= exact,
     est - exact <= eps * N w.p. conf) is directly visible — the pytest
     locks both bounds.
 
-    Scale shape: the shuffled state is one ~12 KB sketch per group
+    Scale shape: the shuffled state is one ~112 KB sketch per group
     instead of every distinct key; sketches OR into stored ones for
     incremental refresh exactly like the bitmap path. The driver
     collects ONLY |groups| sketch binaries and 10 probe keys — both

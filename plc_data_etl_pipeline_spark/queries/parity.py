@@ -1126,8 +1126,12 @@ def sink_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["o_orderkey"],
     )
 
-    # 2) fact DELETES: retract by key, sign -1 (rows built from the
-    #    view itself — delta-proportional via key lookup, not a rescan)
+    # 2) fact DELETES: retract by key, sign -1. Building the
+    #    retraction rows from the view is a VIEW SCAN at this log's
+    #    file granularity (txlog.read has no predicate pruning hook
+    #    here); a production table range-clustered on the key would
+    #    serve this via read_where envelope pruning. The APPLY is
+    #    keyed either way.
     dels = t.read().filter(F.col("o_orderkey") % 97 == 0)
     t.merge_apply_changes(
         dels.withColumn("_sign", F.lit(-1)), keys=["o_orderkey"]

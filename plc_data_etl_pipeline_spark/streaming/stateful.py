@@ -18,6 +18,7 @@ state)).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
@@ -424,11 +425,17 @@ def make_cusum_group_fn(calibration: dict):
             rows.extend(
                 zip(pdf["ts"], pdf["event_id"], pdf["value"].astype(float))
             )
-        # ONE global sort across Arrow chunks (same posture as _holt);
-        # NaN readings are dropped — the batch twin filters NULLs too.
+        # ONE global sort across Arrow chunks (same posture as _holt).
+        # The v == v guard drops pandas NaN — which is how SQL NULL
+        # arrives in the Arrow path, matching the batch twin's
+        # IS NOT NULL filter. A LITERAL NaN reading is therefore also
+        # dropped here, while the batch audit cannot accept one at all
+        # (ANSI cast of NaN to BIGINT errors): NaN input is undefined
+        # for the pair, and the equality proof holds on NULL-or-valid
+        # data.
         rows.sort(key=lambda r: (r[0], r[1]))
         devs = [
-            int(__import__("math").floor(v * 100 + 0.5)) - mu
+            int(math.floor(v * 100 + 0.5)) - mu
             for (_t, _e, v) in rows
             if v == v
         ]

@@ -183,9 +183,10 @@ _CMS_DIR = "/tmp/plc_etl_planted_cms"
 
 @pytest.fixture(scope="module")
 def cms_dir(spark):
-    """events table with 50k distinct users (forcing real CMS counter
-    collisions at eps=0.001 ~ 2718 counters) plus one planted heavy
-    user (id 7, 500 extra rows) that must surface exactly."""
+    """events table with 50k distinct users — far above the sketch's
+    2000-counter row width (Spark allocates depth 7 x width 2/eps at
+    eps=0.001), forcing real collisions — plus one planted heavy user
+    (id 7, 500 extra rows) that must surface exactly."""
     shutil.rmtree(_CMS_DIR, ignore_errors=True)
     os.makedirs(_CMS_DIR)
     from pyspark.sql import functions as F

@@ -478,3 +478,23 @@ def test_incremental_join_view_equals_recompute(spark):
     assert "MOVED" not in {
         r.seg for r in net_out.select("seg").distinct().collect()
     }
+
+
+def test_merge_apply_changes_contract(spark, tmp_path):
+    """Review-finding regressions: (1) two positive versions of one key
+    in a single change set must raise (Delta MERGE multi-match rule) —
+    not silently write duplicate key rows; (2) a delete-only feed may
+    carry just (keys, sign) without fabricating full target rows."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "cdc2"))
+    t.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    dup = spark.createDataFrame(
+        [(3, "x", 1), (3, "y", 1)], "k int, v string, _sign int"
+    )
+    with pytest.raises(ValueError, match="multiple positive-sign rows"):
+        t.merge_apply_changes(dup, keys=["k"])
+    assert t.version() == 1, "failed apply must not commit"
+
+    t.merge_apply_changes(
+        spark.createDataFrame([(1, -1)], "k int, _sign int"), keys=["k"]
+    )
+    assert [(r.k, r.v) for r in t.read().collect()] == [(2, "b")]

@@ -637,14 +637,14 @@ def ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, ts, event_id,
              cents - ((SUM(cents) OVER p) // (COUNT(*) OVER p)) AS dev
       FROM pts
-      WINDOW p AS (PARTITION BY event_type ORDER BY ts, event_id
+      WINDOW p AS (PARTITION BY event_type ORDER BY ts NULLS FIRST, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING
                             AND UNBOUNDED FOLLOWING)
     ), calib AS (
       SELECT event_type, ts, event_id, dev,
              GREATEST((SUM(ABS(dev)) OVER p) // (COUNT(*) OVER p), 1) AS mad
       FROM base
-      WINDOW p AS (PARTITION BY event_type ORDER BY ts, event_id
+      WINDOW p AS (PARTITION BY event_type ORDER BY ts NULLS FIRST, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING
                             AND UNBOUNDED FOLLOWING)
     ), d AS (
@@ -656,14 +656,14 @@ def ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(dev - k) OVER w AS p_up,
              SUM(-dev - k) OVER w AS p_dn
       FROM d
-      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts NULLS FIRST, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ), s AS (
       SELECT event_type, ts, h,
              p_up - LEAST(MIN(p_up) OVER w, 0) AS s_up,
              p_dn - LEAST(MIN(p_dn) OVER w, 0) AS s_dn
       FROM pre
-      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts NULLS FIRST, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT event_type,
@@ -827,7 +827,7 @@ def _acf_formula(k: int) -> str:
              LAG(y, 2) OVER w AS y2,
              LAG(y, 3) OVER w AS y3
       FROM pts
-      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts NULLS FIRST, event_id)
     ), g AS (
       SELECT event_type,
              COUNT(*) AS n,
@@ -968,7 +968,7 @@ _HC = _harmonic_consts()
              COUNT(value) AS n,
              CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS s1
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
       GROUP BY event_type, hod
     ), m AS (
       SELECT event_type, hod,
@@ -1025,7 +1025,14 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides)."""
     ev = (
         load(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        # ts IS NOT NULL is semantic (an hour-of-day profile is
+        # undefined for a timestamp-less reading) AND load-bearing:
+        # Spark 4.1.2's element_at(<literal array>, <null column
+        # expr>) returns the LAST element instead of NULL (verified;
+        # a literal NULL index returns NULL correctly), so a NULL hod
+        # reaching the lattice lookup would corrupt the sums silently.
+        # The hypothesis property test caught this.
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .select(
             "event_type",
             F.hour("ts").alias("hod"),

@@ -611,3 +611,94 @@ def test_salted_hot_join_multiplicity_property(spark, rows, rows2, buckets, shar
         key=key,
     )
     assert salted == plain
+
+
+# --- round-5 closing profiling operators over random events: NULL ts
+# (explicit NULLS FIRST in the order-dependent oracles), NULL values,
+# negative readings, tiny/degenerate series all land here.
+
+
+@given(rows=EVENT_ROWS)
+@_SETTINGS
+def test_autocorr_property(spark, tmp_path_factory, rows):
+    _check_events_query(spark, tmp_path_factory, rows, "ts_autocorr")
+
+
+@given(rows=EVENT_ROWS)
+@_SETTINGS
+def test_periodogram_property(spark, tmp_path_factory, rows):
+    _check_events_query(spark, tmp_path_factory, rows, "ts_periodogram")
+
+
+@given(rows=EVENT_ROWS)
+@_SETTINGS
+def test_l_diversity_property(spark, tmp_path_factory, rows):
+    _check_events_query(spark, tmp_path_factory, rows, "dq_l_diversity")
+
+
+@given(rows=EVENT_ROWS)
+@_SETTINGS
+def test_changepoint_cusum_property(spark, tmp_path_factory, rows):
+    _check_events_query(spark, tmp_path_factory, rows, "ts_changepoint_cusum")
+
+
+# --- Pareto frontier vs brute-force dominance: the oracle shares the
+# running-max formulation, so this is the INDEPENDENT check (O(n^2)
+# dominance in plain Python), tie-heavy by construction.
+
+PARETO_DOCS = st.lists(
+    st.tuples(
+        st.text(alphabet="ab ", min_size=0, max_size=12),  # text
+        st.integers(min_value=0, max_value=6),             # n_chars (ties!)
+        st.sampled_from(["en", "de"]),                     # lang
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(docs=PARETO_DOCS)
+@_SETTINGS
+def test_pareto_frontier_matches_bruteforce(spark, tmp_path_factory, docs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    tmpdir = tmp_path_factory.mktemp("prop_pareto")
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array([t for (t, _n, _l) in docs], pa.string()),
+            "lang": pa.array([l for (_t, _n, l) in docs], pa.string()),
+            "source": pa.array(["s"] * len(docs), pa.string()),
+            "n_chars": pa.array([n for (_t, n, _l) in docs], pa.int64()),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/documents.parquet")
+
+    got = {
+        (r["lang"], r["doc_id"])
+        for r in all_queries()["curation_pareto_frontier"]
+        .fn(spark, str(tmpdir))
+        .collect()
+    }
+
+    def scores(t, n):
+        words = t.split(" ")
+        return n, (len(set(words)) * 1000000) // max(len(words), 1)
+
+    expected = set()
+    for i, (t, n, lang) in enumerate(docs):
+        q1, q2 = scores(t, n)
+        dominated = any(
+            l2 == lang
+            and (p1 >= q1 and p2 >= q2)
+            and (p1 > q1 or p2 > q2)
+            for j, (t2, n2, l2) in enumerate(docs)
+            if j != i
+            for (p1, p2) in [scores(t2, n2)]
+        )
+        if not dominated:
+            expected.add((lang, i))
+    assert got == expected

@@ -702,3 +702,70 @@ def test_pareto_frontier_matches_bruteforce(spark, tmp_path_factory, docs):
         if not dominated:
             expected.add((lang, i))
     assert got == expected
+
+
+# --- collocation lift vs brute-force counting: the oracle shares the
+# marginals-of-pair-counts formulation, so this recounts every bigram
+# in plain Python and recomputes lift from scratch.
+
+COLLOC_DOCS = st.lists(
+    st.text(alphabet="abc ", min_size=0, max_size=30),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(texts=COLLOC_DOCS)
+@_SETTINGS
+def test_collocations_lift_matches_bruteforce(spark, tmp_path_factory, texts):
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    tmpdir = tmp_path_factory.mktemp("prop_colloc")
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/documents.parquet")
+
+    got = {
+        (r["w1"], r["w2"]): (r["pair_n"], r["lift"])
+        for r in all_queries()["text_collocations_lift"]
+        .fn(spark, str(tmpdir))
+        .collect()
+    }
+
+    pairs = Counter()
+    for t in texts:
+        w = t.split(" ")
+        for i in range(len(w) - 1):
+            pairs[(w[i], w[i + 1])] += 1
+    nb = sum(pairs.values())
+    left, right = Counter(), Counter()
+    for (w1, w2), c in pairs.items():
+        left[w1] += c
+        right[w2] += c
+    import math
+
+    expected = {}
+    for (w1, w2), cb in pairs.items():
+        if cb < 5:
+            continue
+        lift = math.floor(
+            (float(cb) * nb) / (float(left[w1]) * right[w2]) * 1000000.0
+            + 0.5
+        ) / 1000000.0
+        expected[(w1, w2)] = (cb, lift)
+    # the query cuts to top-100; the generator can't produce >100
+    # qualifying pairs (alphabet of 4 chars), so sets compare directly
+    assert len(expected) <= 100
+    assert got == expected

@@ -769,3 +769,64 @@ def test_collocations_lift_matches_bruteforce(spark, tmp_path_factory, texts):
     # qualifying pairs (alphabet of 4 chars), so sets compare directly
     assert len(expected) <= 100
     assert got == expected
+
+
+# --- sequence-pattern matching vs a plain-Python regex reference:
+# exercises the non-overlapping leftmost scan, ties in ts (broken by
+# event_id), NULL timestamps (excluded), and unknown event codes.
+
+PATTERN_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),             # user_id
+        st.integers(min_value=0, max_value=1),             # day offset
+        st.integers(min_value=0, max_value=3),             # hour
+        st.sampled_from(
+            ["view", "click", "purchase", "signup", "error", "other"]
+        ),
+        st.just(0),                                        # value cents
+        st.booleans(),                                     # ts present?
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=PATTERN_ROWS)
+@_SETTINGS
+def test_pattern_match_matches_python_re(spark, tmp_path_factory, rows):
+    import datetime
+    import re
+
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    sf_dir = _write_events(tmp_path_factory.mktemp("prop_pattern"), rows)
+    got = {
+        (r["user_id"], str(r["day"])): (
+            r["seq_len"], r["n_matches"], r["max_match_len"],
+            r["first_match"],
+        )
+        for r in all_queries()["event_pattern_match"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+
+    code = {"view": "v", "click": "c", "purchase": "p",
+            "signup": "s", "error": "e"}
+    series: dict = {}
+    for i, (u, d, h, e, _c, has_ts) in enumerate(rows):
+        if not has_ts:
+            continue  # the query excludes timestamp-less rows
+        ts = datetime.datetime(2024, 1, 1 + d, h, i % 60)
+        series.setdefault((u, str(ts.date())), []).append(
+            (ts, i, code.get(e, "x"))
+        )
+    expected = {}
+    for key, evs in series.items():
+        evs.sort(key=lambda r: (r[0], r[1]))
+        seq = "".join(ch for (_t, _i, ch) in evs)
+        hits = re.findall("e[vc]*p", seq)
+        if hits:
+            expected[key] = (
+                len(seq), len(hits), max(len(x) for x in hits), hits[0]
+            )
+    assert got == expected

@@ -533,6 +533,12 @@ class TransactionalParquetTable:
         isolation (the merge recomputes against the current snapshot on
         every commit-conflict retry)."""
 
+        if "_sign" in updates.columns:
+            raise ValueError(
+                "merge_upsert: updates carry a '_sign' column, which is "
+                "the CDC apply's reserved marker — rename it or call "
+                "merge_apply_changes directly"
+            )
         return self.merge_apply_changes(
             updates.withColumn("_sign", F.lit(1)), keys, txn=txn
         )
@@ -557,27 +563,31 @@ class TransactionalParquetTable:
         base."""
 
         ups = changes.filter(F.col(sign_col) > 0).drop(sign_col)
-        # Delta's MERGE raises on multiple source rows per key; so does
-        # this apply — two positive versions of one key in a single
-        # change set have no defined winner and would both be written.
-        # One delta-sized aggregation up front (bounded: the feed, not
-        # the table).
-        dup = (
-            ups.groupBy(*keys)
-            .agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                "merge_apply_changes: multiple positive-sign rows for key "
-                f"{tuple(dup[0][k] for k in keys)}; net the change set to "
-                "one version per key first"
-            )
-        has_ups = ups.limit(1).count() > 0
 
         def compute(base: int):
+            # Delta's MERGE raises on multiple source rows per key; so
+            # does this apply — two positive versions of one key in a
+            # change set have no defined winner and would both be
+            # written. Validated INSIDE compute so an already-committed
+            # txn marker short-circuits in _snapshot_retrying BEFORE the
+            # feed's lineage ever re-executes (exactly-once replay stays
+            # a no-op). One delta-sized aggregation yields both the
+            # per-key max multiplicity and the positive-row count.
+            stats = ups.groupBy(*keys).agg(
+                F.count("*").alias("__n")
+            ).agg(
+                F.coalesce(F.max("__n"), F.lit(0)).alias("mx"),
+                F.count("*").alias("nkeys"),
+            ).collect()[0]
+            if stats["mx"] > 1:
+                raise ValueError(
+                    "merge_apply_changes: multiple positive-sign rows for "
+                    "one key; net the change set to one version per key "
+                    "first"
+                )
+            has_ups = stats["nkeys"] > 0
+            if base == 0 and not has_ups:
+                return None  # delete-only feed on a non-existent table
             touched = changes.select(*keys).distinct()
             if base:
                 target = self.read(base)

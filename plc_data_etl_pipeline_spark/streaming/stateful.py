@@ -236,6 +236,17 @@ HOLT_OUTPUT_SCHEMA = StructType(
     ]
 )
 
+def _null_ts_first_key(r):
+    """Deterministic (ts, event_id) sort key with NULL/NaT timestamps
+    FIRST — Spark's ascending default. A bare tuple sort would leave
+    NaT rows wherever timsort found them (NaT compares False both
+    ways), making the fold order — and thus any stateful twin's pinned
+    equality with its batch form — nondeterministic."""
+    t = r[0]
+    missing = t is None or t != t
+    return (0 if missing else 1, r[1]) if missing else (1, t, r[1])
+
+
 HOLT_STATE_SCHEMA = StructType(
     [
         StructField("x1", DoubleType()),
@@ -302,7 +313,7 @@ def _holt(
         rows.extend(
             zip(pdf["ts"], pdf["event_id"], pdf["value"].astype(float))
         )
-    rows.sort(key=lambda r: (r[0], r[1]))
+    rows.sort(key=_null_ts_first_key)
     vals = [v for (_t, _e, v) in rows if v == v]
     new = holt_step(vals, prev)
     state.update(new)
@@ -433,7 +444,7 @@ def make_cusum_group_fn(calibration: dict):
         # (ANSI cast of NaN to BIGINT errors): NaN input is undefined
         # for the pair, and the equality proof holds on NULL-or-valid
         # data.
-        rows.sort(key=lambda r: (r[0], r[1]))
+        rows.sort(key=_null_ts_first_key)
         devs = [
             int(math.floor(v * 100 + 0.5)) - mu
             for (_t, _e, v) in rows

@@ -338,7 +338,7 @@ EVENT_ROWS = st.lists(
 )
 
 
-def _write_events(tmpdir, rows):
+def _write_events(tmpdir, rows, minute_mod=60):
     import datetime
 
     import pyarrow as pa
@@ -347,7 +347,9 @@ def _write_events(tmpdir, rows):
     ts, uid, etype, val = [], [], [], []
     for i, (u, d, h, e, cents, has_ts) in enumerate(rows):
         ts.append(
-            datetime.datetime(2024, 1, 1 + d, h, i % 60) if has_ts else None
+            datetime.datetime(2024, 1, 1 + d, h, i % minute_mod)
+            if has_ts
+            else None
         )
         uid.append(u)
         etype.append(e)
@@ -799,7 +801,12 @@ def test_pattern_match_matches_python_re(spark, tmp_path_factory, rows):
 
     from plc_data_etl_pipeline_spark.registry import all_queries
 
-    sf_dir = _write_events(tmp_path_factory.mktemp("prop_pattern"), rows)
+    # minute_mod=2 forces REAL timestamp ties so the (ts, event_id)
+    # tie-break is actually exercised (review finding: i %% 60 with
+    # <=40 unique i never collides)
+    sf_dir = _write_events(
+        tmp_path_factory.mktemp("prop_pattern"), rows, minute_mod=2
+    )
     got = {
         (r["user_id"], str(r["day"])): (
             r["seq_len"], r["n_matches"], r["max_match_len"],
@@ -816,7 +823,7 @@ def test_pattern_match_matches_python_re(spark, tmp_path_factory, rows):
     for i, (u, d, h, e, _c, has_ts) in enumerate(rows):
         if not has_ts:
             continue  # the query excludes timestamp-less rows
-        ts = datetime.datetime(2024, 1, 1 + d, h, i % 60)
+        ts = datetime.datetime(2024, 1, 1 + d, h, i % 2)
         series.setdefault((u, str(ts.date())), []).append(
             (ts, i, code.get(e, "x"))
         )

@@ -381,13 +381,15 @@ def test_holt_group_fn_orders_across_chunks_and_drops_nans():
 
 
 def _batch_cusum_calibration(rows):
-    """Re-derive the batch query's self-calibration in plain Python:
-    mu = SUM(cents) DIV n, m = GREATEST(mean |dev|, 1), k = m DIV 2,
-    h = 20 * m — all truncating integer division on non-negative
-    operands, so Python // matches Spark DIV exactly."""
+    """Re-derive the batch query's self-calibration in plain Python.
+    Spark's DIV truncates toward zero while Python // floors, so mu —
+    whose numerator CAN be negative on negative-reading series — uses
+    explicit truncating division; the other divisions are over
+    non-negative operands where the two agree."""
     cents = [c for (_t, _e, c) in rows]
     n = len(cents)
-    mu = sum(cents) // n
+    s_ = sum(cents)
+    mu = s_ // n if s_ >= 0 else -((-s_) // n)
     devs = [c - mu for c in cents]
     m = max(sum(abs(d) for d in devs) // n, 1)
     return mu, m // 2, 20 * m, devs

@@ -498,3 +498,41 @@ def test_merge_apply_changes_contract(spark, tmp_path):
         spark.createDataFrame([(1, -1)], "k int, _sign int"), keys=["k"]
     )
     assert [(r.k, r.v) for r in t.read().collect()] == [(2, "b")]
+
+
+def test_merge_apply_changes_edge_contracts(spark, tmp_path):
+    """Follow-on review findings: a delete-only feed against a table
+    with NO committed version is a logical no-op (must not commit a
+    keys-only schema); merge_upsert rejects updates that carry the
+    reserved '_sign' column instead of silently clobbering it."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "cdc3"))
+    t.merge_apply_changes(
+        spark.createDataFrame([(1, -1)], "k int, _sign int"), keys=["k"]
+    )
+    assert t.version() == 0
+    with pytest.raises(FileNotFoundError):
+        t.read()
+
+    t.overwrite(_df(spark, [(1, "a")]))
+    signed = spark.createDataFrame([(2, 1)], "k int, _sign int")
+    with pytest.raises(ValueError, match="reserved"):
+        t.merge_upsert(signed, keys=["k"])
+
+
+def test_merge_apply_changes_txn_replay_skips_validation(spark, tmp_path):
+    """Exactly-once contract: replaying a committed txn marker must
+    no-op WITHOUT re-executing the change feed's lineage — even if the
+    re-derived feed would now fail validation."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "cdc4"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    good = spark.createDataFrame([(2, "b", 1)], "k int, v string, _sign int")
+    v = t.merge_apply_changes(good, keys=["k"], txn=("app", 7))
+    # replay the SAME txn with a feed that would fail the dup check:
+    # the marker short-circuit must win and return without raising
+    bad = spark.createDataFrame(
+        [(3, "x", 1), (3, "y", 1)], "k int, v string, _sign int"
+    )
+    assert t.merge_apply_changes(bad, keys=["k"], txn=("app", 7)) == v
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (1, "a"), (2, "b"),
+    ]

@@ -222,3 +222,48 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return _register_round_state(
         tri.agg(F.count("*").cast("bigint").alias("n_triangles")), oriented
     )
+
+
+def min_label_propagation(pairs: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous min-label propagation over an UNDIRECTED pair list:
+    ``label_{t+1}(v) = min(label_t(v), min_{u in N(v)} label_t(u))``
+    from ``label_0(v) = v``. After k rounds a node's label is exactly
+    the minimum node id within k hops — a DETERMINISTIC, bounded-round
+    community assignment (the k-round prefix of connected components;
+    classic LPA's random tie-breaking is replaced by MIN so two engines
+    can agree bitwise).
+
+    Scale posture (same as :func:`pagerank`): the undirected edge
+    relation is hash-partitioned on ``src`` and localCheckpoint-ed ONCE
+    (DISK_ONLY — the big side never re-shuffles and stays off-heap);
+    each round is one shuffle-hash edge⋈label join, a union with the
+    carried self-labels, and a map-side-combinable MIN. No driver
+    state; lineage is bounded by the round count (bounded here; at
+    real depth re-checkpoint labels every ~5 rounds like pagerank).
+    Returns (node, lbl); round state registered for release."""
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    n_shuffle = shuffle_partitions(pairs.sparkSession)
+    edges_p = (
+        edges.repartition(n_shuffle, "src")
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    labels = (
+        edges_p.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    for _ in range(rounds):
+        cands = edges_p.join(
+            labels.hint("shuffle_hash"),
+            edges_p["src"] == labels["node"],
+        ).select(F.col("dst").alias("node"), "lbl")
+        labels = (
+            cands.unionByName(labels.select("node", "lbl"))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    return _register_round_state(labels, edges_p)

@@ -166,3 +166,113 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
     tri = triangle_count(edges)
     return finalize_round_result(n_edges.crossJoin(tri), tri)
+
+
+_LPA_ITER = """
+    SELECT node, CAST(MIN(lbl) AS BIGINT) AS lbl FROM (
+      SELECT e.dst AS node, r.lbl
+      FROM edges e JOIN {prev} r ON e.src = r.node
+      UNION ALL
+      SELECT node, lbl FROM {prev}
+    ) GROUP BY node
+"""
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY a, b HAVING COUNT(DISTINCT l_orderkey) >= 3
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS lbl FROM edges
+    ), l1 AS ({_LPA_ITER.format(prev="l0")}
+    ), l2 AS ({_LPA_ITER.format(prev="l1")}
+    ), l3 AS ({_LPA_ITER.format(prev="l2")}
+    ), comm AS (
+      SELECT lbl,
+             COUNT(*) AS n_nodes,
+             CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_customers,
+             CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_suppliers
+      FROM l3 GROUP BY lbl
+      ORDER BY n_nodes DESC, lbl LIMIT 20
+    )
+    SELECT CASE WHEN lbl % 2 = 0 THEN 'c' || (lbl // 2)
+                ELSE 's' || (lbl // 2) END AS community,
+           n_nodes, n_customers, n_suppliers
+    FROM comm
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round community detection: 3 rounds of synchronous
+    MIN-label propagation over the repeat-trade customer—supplier
+    graph (edges with >= 3 distinct orders — sparse enough for bounded
+    propagation to yield real structure) —
+    each node's label becomes the smallest node id within 3 hops, i.e.
+    the deterministic, oracle-checkable prefix of connected components
+    (classic LPA's random tie-break is replaced by MIN; see
+    operators/graph.py::min_label_propagation). Completes the iterative
+    family: pagerank (weighted sums), triangle_count (wedge joins),
+    connected components (full convergence, dedup side), and this
+    (bounded label spreading). Returns the top-20 communities by size
+    with their customer/supplier composition; materialized eagerly so
+    the edge-checkpoint blocks are released before the wrapper returns."""
+    from ..operators.graph import finalize_round_result
+
+    result, state = _lpa_lazy(spark, sf_dir)
+    return finalize_round_result(result, state)
+
+
+def _lpa_lazy(spark: SparkSession, sf_dir: str):
+    """(lazy top-20 communities, state-carrying labels frame) — split
+    out so plan tests can audit the round shape pre-finalize."""
+    from ..operators.graph import min_label_propagation
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # REPEAT-trade edges (>= 3 distinct orders): the raw trade graph is
+    # so dense that 3 hops reach everything (one giant community); the
+    # support filter keeps the relationship graph sparse enough that
+    # bounded propagation yields real structure.
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("a", "b")
+    )
+    labels = min_label_propagation(pairs, rounds=3)
+    comm = (
+        labels.groupBy("lbl")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0)).alias(
+                "n_customers"
+            ),
+            F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0)).alias(
+                "n_suppliers"
+            ),
+        )
+        .orderBy(F.desc("n_nodes"), "lbl")
+        .limit(20)
+    )
+    label = F.concat(
+        F.when(F.col("lbl") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        (F.col("lbl") / 2).cast("bigint"),
+    )
+    return (
+        comm.select(
+            label.alias("community"), "n_nodes", "n_customers", "n_suppliers"
+        ),
+        labels,
+    )

@@ -124,6 +124,7 @@ def test_registered_graph_queries_leave_no_resident_state(spark):
     for name in (
         "graph_pagerank",
         "graph_triangle_count",
+        "graph_label_propagation",
         "multimodal_phash_clusters",
         "dedup_cluster_survivors",
     ):
@@ -131,3 +132,26 @@ def test_registered_graph_queries_leave_no_resident_state(spark):
         assert df.count() > 0
         leaked = _persistent_ids(spark) - base
         assert not leaked, f"{name} left resident RDDs: {leaked}"
+
+
+def test_min_label_propagation_path_graph(spark):
+    """Planted semantics: on the path 10-11-12-13-14-15, k rounds of
+    synchronous min-propagation give each node the MIN node id within
+    k hops — checked exactly for k=1 and k=3 (k=3 also shows node 15
+    NOT yet reaching 10: bounded, not full CC)."""
+    from plc_data_etl_pipeline_spark.operators.graph import (
+        min_label_propagation,
+        release_round_state,
+    )
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15)], "a long, b long"
+    )
+    for rounds, expected in [
+        (1, {10: 10, 11: 10, 12: 11, 13: 12, 14: 13, 15: 14}),
+        (3, {10: 10, 11: 10, 12: 10, 13: 10, 14: 11, 15: 12}),
+    ]:
+        out = min_label_propagation(pairs, rounds=rounds)
+        got = {r["node"]: r["lbl"] for r in out.collect()}
+        release_round_state(out)
+        assert got == expected, rounds

@@ -536,3 +536,75 @@ def test_merge_apply_changes_txn_replay_skips_validation(spark, tmp_path):
     assert sorted((r.k, r.v) for r in t.read().collect()) == [
         (1, "a"), (2, "b"),
     ]
+
+
+def test_ivm_random_mutations_equal_recompute(spark, tmp_path):
+    """Randomized (seeded) incremental-view-maintenance property: for a
+    keyed fact A(k, fk, v) and dim B(fk, attr), maintain M = A |x| B
+    through a random sequence of fact inserts, fact deletes, and dim
+    updates using the delta-join algebra + merge_apply_changes, and
+    assert the maintained view row-equals the recompute after EVERY
+    commit — the invariant that makes the algebra trustworthy beyond
+    the registered query's one fixed scenario."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260816)
+    a_rows = {k: (k, rng.randint(0, 5), k * 10) for k in range(30)}
+    b_rows = {f: (f, f"seg{f}") for f in range(6)}
+
+    def a_df(rows):
+        return spark.createDataFrame(
+            list(rows), "k int, fk int, v int"
+        )
+
+    def b_df(rows):
+        return spark.createDataFrame(list(rows), "fk int, attr string")
+
+    def view(a, b):
+        return a.join(b, "fk").select("k", "fk", "v", "attr")
+
+    t = TransactionalParquetTable(spark, str(tmp_path / "ivm"))
+    t.overwrite(view(a_df(a_rows.values()), b_df(b_rows.values())))
+
+    def check():
+        cur = t.read().select("k", "fk", "v", "attr")
+        rec = view(a_df(a_rows.values()), b_df(b_rows.values()))
+        assert cur.exceptAll(rec).count() == 0
+        assert rec.exceptAll(cur).count() == 0
+
+    next_k = 100
+    for _step in range(6):
+        op = rng.choice(["insert", "delete", "dim_update"])
+        if op == "insert":
+            new = {
+                next_k + i: (next_k + i, rng.randint(0, 5), rng.randint(0, 99))
+                for i in range(rng.randint(1, 4))
+            }
+            next_k += 10
+            a_rows.update(new)
+            delta = view(a_df(new.values()), b_df(b_rows.values()))
+            t.merge_apply_changes(
+                delta.withColumn("_sign", F.lit(1)), keys=["k"]
+            )
+        elif op == "delete" and a_rows:
+            ks = rng.sample(sorted(a_rows), min(3, len(a_rows)))
+            for k in ks:
+                del a_rows[k]
+            dels = spark.createDataFrame(
+                [(k, -1) for k in ks], "k int, _sign int"
+            )
+            t.merge_apply_changes(dels, keys=["k"])
+        else:
+            f = rng.randrange(6)
+            b_rows[f] = (f, f"seg{f}x{_step}")
+            # A |x| dB: only the touched dim key's fact rows re-emit
+            touched = a_df(
+                [r for r in a_rows.values() if r[1] == f]
+            )
+            delta = view(touched, b_df([b_rows[f]]))
+            t.merge_apply_changes(
+                delta.withColumn("_sign", F.lit(1)), keys=["k"]
+            )
+        check()

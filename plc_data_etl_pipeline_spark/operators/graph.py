@@ -83,6 +83,16 @@ def _unpersist_ckpt(ckpt: DataFrame) -> int:
         return 0
 
 
+def undirected_edges(pairs: DataFrame) -> DataFrame:
+    """(a, b) pair list -> (src, dst) with both directions — the shared
+    first step of every undirected iterative operator here."""
+    return pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+
+
 def pagerank(
     pairs: DataFrame,
     iterations: int = 3,
@@ -111,11 +121,7 @@ def pagerank(
     large) edge side and OOM; hinted merge it would re-sort the edges
     every round. Ranks are re-checkpointed every ``checkpoint_every``
     rounds to bound lineage depth (the GraphX/ALS pattern)."""
-    edges = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    edges = undirected_edges(pairs)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     n_shuffle = shuffle_partitions(pairs.sparkSession)
     edges_deg = (
@@ -236,33 +242,39 @@ def min_label_propagation(pairs: DataFrame, rounds: int = 3) -> DataFrame:
     Scale posture (same as :func:`pagerank`): the undirected edge
     relation is hash-partitioned on ``src`` and localCheckpoint-ed ONCE
     (DISK_ONLY — the big side never re-shuffles and stays off-heap);
-    each round is one shuffle-hash edge⋈label join, a union with the
-    carried self-labels, and a map-side-combinable MIN. No driver
+    with SELF-LOOPS appended so the carried self-label rides the same
+    join (one reference to the label frame per round — a join+union
+    form would double the compiled plan every round); each round is
+    one shuffle-hash edge⋈label join + a map-side-combinable MIN. No
+    driver
     state; lineage is bounded by the round count (bounded here; at
     real depth re-checkpoint labels every ~5 rounds like pagerank).
     Returns (node, lbl); round state registered for release."""
-    edges = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    edges = undirected_edges(pairs)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # Self-loop edges carry each node's OWN label through the join, so
+    # every round references `labels` exactly ONCE — a join + union
+    # formulation would reference it twice and the compiled plan would
+    # double every round (2^rounds subtrees; verified 7 joins instead
+    # of 3 at rounds=3 before this form, with only fragile AQE
+    # stage-reuse collapsing the duplicates).
+    selfloops = nodes.select(
+        F.col("node").alias("src"), F.col("node").alias("dst")
     )
     n_shuffle = shuffle_partitions(pairs.sparkSession)
     edges_p = (
-        edges.repartition(n_shuffle, "src")
+        edges.unionByName(selfloops)
+        .repartition(n_shuffle, "src")
         .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
-    labels = (
-        edges_p.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-    )
+    labels = nodes.select("node", F.col("node").alias("lbl"))
     for _ in range(rounds):
-        cands = edges_p.join(
-            labels.hint("shuffle_hash"),
-            edges_p["src"] == labels["node"],
-        ).select(F.col("dst").alias("node"), "lbl")
         labels = (
-            cands.unionByName(labels.select("node", "lbl"))
+            edges_p.join(
+                labels.hint("shuffle_hash"),
+                edges_p["src"] == labels["node"],
+            )
+            .select(F.col("dst").alias("node"), "lbl")
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
         )

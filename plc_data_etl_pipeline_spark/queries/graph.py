@@ -28,6 +28,35 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..registry import query
 
+def _trade_pairs(spark, sf_dir, min_support: int | None = None):
+    """Shared (a, b) customer—supplier pair builder with the even/odd
+    node encoding (even = customer*2, odd = supplier*2+1): BIGINT keys
+    hash/sort several times per round, so they beat string labels by
+    ~2x end-to-end. min_support keeps only pairs with that many
+    distinct orders (the sparse repeat-trade graph)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    a = (F.col("o_custkey") * 2).alias("a")
+    b = (F.col("l_suppkey") * 2 + 1).alias("b")
+    if min_support is None:
+        return j.select(a, b).distinct()
+    return (
+        j.groupBy(a, b)
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .filter(F.col("n") >= min_support)
+        .select("a", "b")
+    )
+
+
+def _node_label(col: str):
+    """Decode the even/odd node id back to a 'c<k>' / 's<k>' label."""
+    return F.concat(
+        F.when(F.col(col) % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        (F.col(col) / 2).cast("bigint"),
+    )
+
+
 _PR_ITER = """
     SELECT e.dst AS node,
            CAST(150000 + (85 * SUM(r.pr // g.d)) // 100 AS BIGINT) AS pr
@@ -88,30 +117,14 @@ def _pagerank_lazy(spark: SparkSession, sf_dir: str):
     wrapper's eager materialize-and-release."""
     from ..operators.graph import pagerank
 
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # Integer node encoding (even=customer, odd=supplier): BIGINT keys
-    # hash/sort several times per round, so they beat string labels by
-    # ~2x end-to-end; labels are reconstructed only for the final 20.
-    pairs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("a"),
-            (F.col("l_suppkey") * 2 + 1).alias("b"),
-        )
-        .distinct()
-    )
+    pairs = _trade_pairs(spark, sf_dir)
     pr = pagerank(pairs, iterations=3)
     top = (
         pr.select("node", F.col("pr").alias("pr_micro"))
         .orderBy(F.desc("pr_micro"), "node")
         .limit(20)
     )
-    label = F.concat(
-        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
-        (F.col("node") / 2).cast("bigint"),
-    )
-    return top.select(label.alias("node"), "pr_micro"), pr
+    return top.select(_node_label("node").alias("node"), "pr_micro"), pr
 
 
 @query(
@@ -235,22 +248,11 @@ def _lpa_lazy(spark: SparkSession, sf_dir: str):
     out so plan tests can audit the round shape pre-finalize."""
     from ..operators.graph import min_label_propagation
 
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     # REPEAT-trade edges (>= 3 distinct orders): the raw trade graph is
     # so dense that 3 hops reach everything (one giant community); the
     # support filter keeps the relationship graph sparse enough that
     # bounded propagation yields real structure.
-    pairs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(
-            (F.col("o_custkey") * 2).alias("a"),
-            (F.col("l_suppkey") * 2 + 1).alias("b"),
-        )
-        .agg(F.countDistinct("l_orderkey").alias("n"))
-        .filter(F.col("n") >= 3)
-        .select("a", "b")
-    )
+    pairs = _trade_pairs(spark, sf_dir, min_support=3)
     labels = min_label_propagation(pairs, rounds=3)
     comm = (
         labels.groupBy("lbl")
@@ -266,13 +268,12 @@ def _lpa_lazy(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("n_nodes"), "lbl")
         .limit(20)
     )
-    label = F.concat(
-        F.when(F.col("lbl") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
-        (F.col("lbl") / 2).cast("bigint"),
-    )
     return (
         comm.select(
-            label.alias("community"), "n_nodes", "n_customers", "n_suppliers"
+            _node_label("lbl").alias("community"),
+            "n_nodes",
+            "n_customers",
+            "n_suppliers",
         ),
         labels,
     )

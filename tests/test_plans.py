@@ -809,3 +809,22 @@ def test_collocations_pre_finalize_shuffle_budget(spark):
     n = p.count("Exchange") - p.count("BroadcastExchange")
     assert n <= 4, f"collocations shuffle budget exceeded: {n}"
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_lpa_round_shape_is_linear(spark):
+    """min_label_propagation must compile to exactly `rounds` label
+    joins (the self-loop formulation references the label frame once
+    per round) — a join+union form would double the plan every round
+    (2^rounds subtrees, verified 7 joins at rounds=3 before the fix)
+    and only fragile AQE stage-reuse would save it."""
+    from plc_data_etl_pipeline_spark.queries.graph import _lpa_lazy
+
+    top, labels = _lpa_lazy(spark, SF_DIR)
+    p = plan_of(labels, mode="simple")
+    assert p.count("ShuffledHashJoin") == 3, p.count("ShuffledHashJoin")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    from plc_data_etl_pipeline_spark.operators.graph import (
+        release_round_state,
+    )
+
+    release_round_state(labels)

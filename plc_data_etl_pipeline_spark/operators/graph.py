@@ -251,15 +251,14 @@ def min_label_propagation(pairs: DataFrame, rounds: int = 3) -> DataFrame:
     real depth re-checkpoint labels every ~5 rounds like pagerank).
     Returns (node, lbl); round state registered for release."""
     edges = undirected_edges(pairs)
-    nodes = edges.select(F.col("src").alias("node")).distinct()
     # Self-loop edges carry each node's OWN label through the join, so
     # every round references `labels` exactly ONCE — a join + union
     # formulation would reference it twice and the compiled plan would
     # double every round (2^rounds subtrees; verified 7 joins instead
     # of 3 at rounds=3 before this form, with only fragile AQE
     # stage-reuse collapsing the duplicates).
-    selfloops = nodes.select(
-        F.col("node").alias("src"), F.col("node").alias("dst")
+    selfloops = edges.select("src").distinct().select(
+        "src", F.col("src").alias("dst")
     )
     n_shuffle = shuffle_partitions(pairs.sparkSession)
     edges_p = (
@@ -267,7 +266,14 @@ def min_label_propagation(pairs: DataFrame, rounds: int = 3) -> DataFrame:
         .repartition(n_shuffle, "src")
         .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
-    labels = nodes.select("node", F.col("node").alias("lbl"))
+    # Initial labels read the CHECKPOINTED relation, not the raw pair
+    # build — otherwise round 1's label side re-derives the (possibly
+    # expensive) edge aggregation a second time (measured 2.2x at sf1).
+    labels = (
+        edges_p.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
     for _ in range(rounds):
         labels = (
             edges_p.join(

@@ -60,6 +60,16 @@ SPOT = [
     # weighted sampler (top-k boundary stability across 10x the rows).
     "pipeline_web_ingest",
     "sample_weighted_topk",
+    # round-5 closing additions: the integer-moment ACF (its BIGINT
+    # y*y sums are the row-count-dependent envelope), bounded LPA over
+    # the 10x repeat-trade graph (support thresholds shift with
+    # replication), the skyline (tie structure multiplies 10:1 under
+    # key-offset replicas), and the IVM scenario's delta commits
+    # against a 10x base.
+    "ts_autocorr",
+    "graph_label_propagation",
+    "curation_pareto_frontier",
+    "sink_incremental_join",
 ]
 
 

@@ -58,16 +58,61 @@ class CommitConflict(Exception):
     """Another writer committed this version first; re-read and retry."""
 
 
+def _stat_literal(x):
+    """Normalize a partition-key literal into the manifest's stat
+    domain (the mapping ``_collect_file_stats`` applies to footer
+    min/max). Deliberately STRICTER than the stat collector: only types
+    whose normalization provably agrees between a pyarrow footer value
+    and a Spark-collected value are admitted (int, str, date — date
+    isoformat is identical on both paths). Timestamps are excluded:
+    pyarrow may return tz-aware datetimes whose isoformat carries an
+    offset suffix while Spark collects naive ones, and a false
+    "cannot match" there would silently skip a rewrite. None = not
+    representable; callers must fall back to no pruning."""
+    import datetime
+
+    if isinstance(x, bool):
+        return None  # bool envelopes are not collected
+    if isinstance(x, (int, str)):
+        return x
+    if isinstance(x, datetime.date) and not isinstance(x, datetime.datetime):
+        return x.isoformat()
+    return None
+
+
 class TransactionalParquetTable:
-    """Log-structured parquet table with atomic, idempotent commits."""
+    """Log-structured parquet table with atomic, idempotent commits.
+
+    ``partition_by`` (optional, one column) makes every write CLUSTER
+    its data files by that column — each data file holds exactly one
+    partition value, so the per-file min/max envelope for the column is
+    exact ([v, v]) and file pruning on it is partition pruning. MERGE,
+    DELETE and the CDC apply then rewrite only the files of TOUCHED
+    partitions (see :meth:`merge_apply_changes`) — at 100 TB a
+    maintenance merge against a day-partitioned table rewrites one
+    day, not the table. The key is recorded in the manifest, so a
+    reopened table inherits it without the caller restating it.
+    """
 
     MAX_RETRIES = 10
+    # A change feed touching more distinct partitions than this skips
+    # pruning (the full-snapshot merge is then cheaper than the
+    # per-partition bookkeeping); bounds the driver-side collect too.
+    MAX_PRUNED_PARTITIONS = 1024
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str,
+                 partition_by: str | None = None):
         self.spark = spark
         self.path = path
         self._log_dir = os.path.join(path, "_txlog")
         self._data_dir = os.path.join(path, "data")
+        self.partition_by = partition_by
+        if partition_by is None:
+            vs = self._versions()
+            if vs:
+                self.partition_by = self._read_manifest(vs[-1]).get(
+                    "partitionBy"
+                )
 
     # ----------------------------------------------------------------- log
     def _manifest_path(self, version: int) -> str:
@@ -325,16 +370,52 @@ class TransactionalParquetTable:
     def _write_data_files(self, df: DataFrame) -> list[str]:
         """Write immutable data files; return table-relative paths.
 
+        When the table has a ``partition_by`` column present in ``df``,
+        the write goes through ``partitionBy`` on a DUPLICATE of the
+        column (so the original stays inside the files and snapshot
+        reads are unchanged), then the ``__part=v/`` Hive dirs are
+        flattened into the commit dir with the partition token prefixed
+        to the (task-unique) file name. Result: one partition value per
+        file, tight [v, v] footer envelopes, and no Hive-style dirs for
+        Spark to mis-infer on multi-file reads.
+
         Zero-row part files (a Spark write emits one per empty task,
         e.g. after a selective filter over many partitions) are dropped
         before registration: they carry no stats (so they defeat file
         pruning conservatively) and accrete open/footer cost on every
         scan. The check reads footers only — no row data."""
+        import shutil
+
         import pyarrow.parquet as pq
 
         sub = os.path.join("data", uuid.uuid4().hex)
         target = os.path.join(self.path, sub)
-        df.write.mode("overwrite").parquet(target)
+        p = self.partition_by
+        if p is not None and p in df.columns:
+            (
+                df.withColumn("__part", F.col(p))
+                .write.partitionBy("__part")
+                .mode("overwrite")
+                .parquet(target)
+            )
+            for d in sorted(os.listdir(target)):
+                full_d = os.path.join(target, d)
+                if not (os.path.isdir(full_d) and d.startswith("__part=")):
+                    continue
+                token = d.split("=", 1)[1]  # already Hive-escaped: fs-safe
+                for f in sorted(os.listdir(full_d)):
+                    if f.endswith(".parquet"):
+                        # 'v-' guard: a token starting with '_' or '.'
+                        # (e.g. __HIVE_DEFAULT_PARTITION__ for NULLs)
+                        # would make Spark's hidden-file path filter
+                        # silently skip the file at read time.
+                        os.rename(
+                            os.path.join(full_d, f),
+                            os.path.join(target, f"v-{token}-{f}"),
+                        )
+                shutil.rmtree(full_d, ignore_errors=True)
+        else:
+            df.write.mode("overwrite").parquet(target)
         out = []
         for f in sorted(os.listdir(target)):
             if not f.endswith(".parquet"):
@@ -364,6 +445,7 @@ class TransactionalParquetTable:
             "schema": schema_ddl,
             "txn": None if txn is None else {"app": txn[0], "id": txn[1]},
             "dataChange": data_change,
+            "partitionBy": self.partition_by,
         }
         payload = json.dumps(manifest, indent=1).encode()
         try:
@@ -467,6 +549,17 @@ class TransactionalParquetTable:
             if res is None:
                 if txn is None:
                     return base
+                if base == 0:
+                    # No manifest exists to restate: a compute() that
+                    # needs a marker-only commit on an UNCREATED table
+                    # must return ([], schema, False) itself (see
+                    # merge_apply_changes), because only it knows a
+                    # schema to record (ADVICE r5).
+                    raise FileNotFoundError(
+                        f"no committed version in {self.path}: cannot "
+                        "record a marker-only no-op commit without a "
+                        "prior manifest"
+                    )
                 m = self._read_manifest(base)
                 res = (m["files"], m["schema"], False)
             files, ddl, data_change = res
@@ -560,18 +653,47 @@ class TransactionalParquetTable:
         Delta's MERGE raises on multi-match too); a delete-only feed
         may carry just (keys, sign). Snapshot-isolated like every
         commit here: on conflict the merge recomputes against the new
-        base."""
+        base.
 
+        The feed's lineage is PINNED (localCheckpoint) exactly once at
+        entry — the duplicate-key validation, the anti-join and the
+        written rows all read the same materialized change set, so a
+        non-deterministic feed cannot pass validation on one execution
+        and write different rows on the next, and conflict retries
+        re-plan against the pinned rows instead of re-running the feed
+        (ADVICE r5). The pin is released before return. An
+        already-committed ``txn`` marker still short-circuits BEFORE
+        the pin, so exactly-once replay never executes the feed.
+
+        Partition pruning: when the table has ``partition_by`` P and P
+        is one of ``keys``, a matched target row can only live in a
+        file whose P-envelope covers one of the feed's P values (every
+        data file holds a single P value — see ``_write_data_files``).
+        The merge then reads and rewrites ONLY those files; every other
+        file is carried into the new version byte-identical. NULL P
+        values in the feed match no target row under SQL join equality,
+        so they never widen the touched set (their positive rows are
+        still inserted). Feeds touching more than MAX_PRUNED_PARTITIONS
+        partitions fall back to the full-snapshot merge."""
+        if self._txn_already_committed(txn):
+            return self.version()
+        from ..operators.graph import _unpersist_ckpt
+
+        pinned = changes.localCheckpoint(eager=True)
+        try:
+            return self._merge_apply_pinned(pinned, keys, sign_col, txn)
+        finally:
+            _unpersist_ckpt(pinned)
+
+    def _merge_apply_pinned(self, changes: DataFrame, keys: list[str],
+                            sign_col: str, txn) -> int:
         ups = changes.filter(F.col(sign_col) > 0).drop(sign_col)
 
         def compute(base: int):
             # Delta's MERGE raises on multiple source rows per key; so
             # does this apply — two positive versions of one key in a
             # change set have no defined winner and would both be
-            # written. Validated INSIDE compute so an already-committed
-            # txn marker short-circuits in _snapshot_retrying BEFORE the
-            # feed's lineage ever re-executes (exactly-once replay stays
-            # a no-op). One delta-sized aggregation yields both the
+            # written. One delta-sized aggregation yields both the
             # per-key max multiplicity and the positive-row count.
             stats = ups.groupBy(*keys).agg(
                 F.count("*").alias("__n")
@@ -587,21 +709,94 @@ class TransactionalParquetTable:
                 )
             has_ups = stats["nkeys"] > 0
             if base == 0 and not has_ups:
-                return None  # delete-only feed on a non-existent table
+                if txn is None:
+                    return None  # delete-only feed on a non-existent table
+                # Marker-only commit on an UNCREATED table: record the
+                # txn against an empty snapshot (keys-only schema from
+                # the feed) so exactly-once replay bookkeeping exists
+                # even for this degenerate batch (ADVICE r5).
+                return [], changes.drop(sign_col)._jdf.schema().toDDL(), False
             touched = changes.select(*keys).distinct()
             if base:
-                target = self.read(base)
-                keep = target.join(touched, keys, "left_anti")
-                # A delete-only feed may carry just (keys, sign): only
-                # union the positive side when it exists, so retraction
-                # feeds need not fabricate full target rows.
-                merged = keep.unionByName(ups) if has_ups else keep
-            else:
-                merged = ups
+                from pyspark.sql.types import StructType
+
+                m = self._read_manifest(base)
+                live, carried = self._split_touched_files(m, keys, touched)
+                if not live:
+                    if not has_ups:
+                        return None  # feed touches no existing partition
+                    target = None
+                else:
+                    target = self.spark.read.schema(m["schema"]).parquet(
+                        *[os.path.join(self.path, f) for f in live]
+                    )
+                if target is not None:
+                    keep = target.join(touched, keys, "left_anti")
+                    # A delete-only feed may carry just (keys, sign):
+                    # only union the positive side when it exists, so
+                    # retraction feeds need not fabricate full target
+                    # rows.
+                    merged = keep.unionByName(ups) if has_ups else keep
+                else:
+                    merged = ups
+                # Normalize to the TABLE's column order: the USING
+                # anti-join moves the key columns first, and carried
+                # files must stay readable under the one manifest
+                # schema, so both written and carried files declare
+                # m["schema"] verbatim. (unionByName above already
+                # required the feed to carry exactly the table columns.)
+                tcols = [
+                    f.name for f in StructType.fromDDL(m["schema"]).fields
+                ]
+                merged = merged.select(*tcols)
+                files = carried + self._write_data_files(merged)
+                return files, m["schema"], True
+            merged = ups
             files = self._write_data_files(merged)
             return files, merged._jdf.schema().toDDL(), True
 
         return self._snapshot_retrying(compute, txn, "merge")
+
+    def _split_touched_files(
+        self, manifest: dict, keys: list[str], touched: DataFrame
+    ) -> tuple[list[str], list[str]]:
+        """(live, carried) file split for a keyed merge: ``live`` files
+        may hold rows matching the feed's keys and must be read +
+        rewritten; ``carried`` files provably cannot and move into the
+        new version untouched. Without a partition key among ``keys``
+        every file is live (the pre-partitioning behavior)."""
+        files = manifest["files"]
+        p = self.partition_by
+        if p is None or p not in keys:
+            return files, []
+        vals = [
+            r[0]
+            for r in touched.select(p)
+            .filter(F.col(p).isNotNull())
+            .distinct()
+            .limit(self.MAX_PRUNED_PARTITIONS + 1)
+            .collect()
+        ]
+        if len(vals) > self.MAX_PRUNED_PARTITIONS:
+            return files, []  # too wide: full merge beats bookkeeping
+        norm = [_stat_literal(x) for x in vals]
+        if any(v is None for v in norm):
+            # A feed value the stat domain can't represent (binary,
+            # decimal, ...) could match ANY file — disable pruning
+            # rather than risk missing a matched row.
+            return files, []
+        vals = norm
+        stats = manifest.get("stats", {})
+        live, carried = [], []
+        for f in files:
+            env = stats.get(f, {})
+            if any(
+                self._envelope_may_match(env, p, "=", v) for v in vals
+            ):
+                live.append(f)
+            else:
+                carried.append(f)
+        return live, carried
 
     # ------------------------------------------------------------ compact
     def compact(self, target_file_bytes: int = 128 << 20) -> int:

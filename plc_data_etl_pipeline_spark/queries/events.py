@@ -405,7 +405,7 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, ts,
@@ -429,8 +429,15 @@ def win_session_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``user_id`` evaluates both the LAG and the running SUM (same
     partitioning and sort, tie-broken on event_id); the per-session
     rollup is co-partitioned. Durations are exact integer microseconds
-    in UTC epoch space."""
-    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    in UTC epoch space. NULL-ts rows have no position in the gap order
+    (Spark sorts them first, DuckDB last) and are dropped identically
+    on both sides (r6 hardening; the generator never emits them —
+    BASELINE.md input-domain note)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id")
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Full-microsecond gap — a second-truncated cast would classify a
     # 1800.5 s gap as <= 30 min while the oracle's INTERVAL compare

@@ -985,9 +985,12 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         ".creationSideThreshold": "8GB",
     }
     old = {k: spark.conf.get(k) for k in confs}
-    for k, v in confs.items():
-        spark.conf.set(k, v)
     try:
+        # conf-set INSIDE the try: if any set() is rejected midway the
+        # finally still restores the ones already applied, so the shared
+        # session never keeps partial conf drift (ADVICE r5).
+        for k, v in confs.items():
+            spark.conf.set(k, v)
         out = plan.localCheckpoint()  # eager: runs under the bloom plan
     finally:
         for k, v in old.items():

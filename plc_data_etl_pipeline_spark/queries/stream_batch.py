@@ -76,7 +76,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session,
              event_id
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), numbered AS (
       SELECT *, SUM(new_session) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id
@@ -94,8 +94,17 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (10-minute gap) per user via session_window();
     oracle reproduces the merge semantics with gaps-and-islands (an event
     exactly ``gap`` after its predecessor starts a NEW session — Spark's
-    window end is exclusive)."""
-    return W.session(load(spark, sf_dir, "events"), "10 minutes")
+    window end is exclusive). NULL-ts rows are dropped identically on
+    both sides (r6 hardening): a streaming run could never see them
+    anyway — event-time sessionization watermarks on ts — and the
+    DuckDB twin's NULLS-LAST window order would otherwise diverge from
+    Spark's session_window null handling."""
+    from pyspark.sql import functions as F
+
+    return W.session(
+        load(spark, sf_dir, "events").filter(F.col("ts").isNotNull()),
+        "10 minutes",
+    )
 
 
 @query(

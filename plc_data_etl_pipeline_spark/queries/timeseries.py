@@ -224,7 +224,7 @@ from ._conv import dsum, sql_dsum  # noqa: E402
              ROW_NUMBER() OVER (
                PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
                ORDER BY ts DESC, event_id DESC) AS rnc
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT event_type,
            STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS hour,
@@ -251,8 +251,12 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregate HASH-based — a STRUCT key silently degrades to
     SortAggregate (plan-locked in test_plans). Envelope: event_id <
     2^31 (same documented-packing pattern as join_asof's 2^43 keys).
-    Volume follows the exact scaled-integer sum convention."""
-    ev = load(spark, sf_dir, "events")
+    Volume follows the exact scaled-integer sum convention.
+
+    NULL-ts hardening (r6): rows without a timestamp have no bucket and
+    no open/close position — dropped identically on both sides (see
+    ts_ewma's note; generator never produces them)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     hour = F.date_trunc("hour", F.col("ts"))
     okey = (
         F.unix_micros(F.col("ts").cast("timestamp"))
@@ -306,7 +310,7 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT user_id, list(value ORDER BY ts, event_id) AS vals
-      FROM events GROUP BY user_id
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
     )
     SELECT user_id, CAST(len(vals) AS INT) AS n_events,
            list_reduce(vals, (acc, x) -> acc + 0.2 * (x - acc)) AS ewma_final
@@ -330,8 +334,16 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-memory assumption the streaming operator already makes). For
     unbounded keys the streaming path with RocksDB state is the
     answer; this query is its auditable batch oracle.
+
+    NULL-ts hardening (r6): a timestamp-less reading has no defined
+    position in an order-dependent fold (Spark sorts NULL ts first,
+    DuckDB's list ORDER BY puts it last), so BOTH sides drop it
+    explicitly — the same contract the r5 order-dependent operators
+    adopted. The generator never emits NULL ts (BASELINE.md input-
+    domain note), so committed results are unchanged; dq_freshness /
+    dq_profile are where such rows get counted.
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     s = ev.groupBy("user_id").agg(
         F.sort_array(
             F.collect_list(F.struct("ts", "event_id", "value"))
@@ -536,7 +548,7 @@ def dq_rolling_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT user_id, list(value ORDER BY ts, event_id) AS vals
-      FROM events GROUP BY user_id
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
     ), seeded AS (
       SELECT user_id, CAST(len(vals) AS INT) AS n_events,
              list_reduce(
@@ -579,9 +591,10 @@ def ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: identical to ts_ewma — one shuffle to group by key,
     per-key history bounded by the same state-fits-in-memory assumption
     the streaming stateful operator makes; unbounded keys belong to the
-    streaming path.
+    streaming path. NULL-ts rows are dropped identically on both sides
+    (r6 hardening — see ts_ewma's note).
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     s = ev.groupBy("user_id").agg(
         F.sort_array(
             F.collect_list(F.struct("ts", "event_id", "value"))

@@ -837,3 +837,40 @@ def test_pattern_match_matches_python_re(spark, tmp_path_factory, rows):
                 len(seq), len(hits), max(len(x) for x in hits), hits[0]
             )
     assert got == expected
+
+
+# --- round-6 NULL-ts hardening: the five pre-existing order/session-
+# dependent operators now drop NULL-ts rows identically on both sides
+# (engine filter + oracle WHERE) instead of relying on the generator's
+# never-NULL-ts precondition. EVENT_ROWS generates NULL ts, NULL value,
+# tie-heavy timestamps — exactly the domain that used to diverge.
+
+
+@given(rows=EVENT_ROWS)
+@_SETTINGS
+def test_ewma_null_ts_property(spark, tmp_path_factory, rows):
+    _check_events_query(spark, tmp_path_factory, rows, "ts_ewma")
+
+
+@given(rows=EVENT_ROWS)
+@_SETTINGS
+def test_holt_trend_null_ts_property(spark, tmp_path_factory, rows):
+    _check_events_query(spark, tmp_path_factory, rows, "ts_holt_trend")
+
+
+@given(rows=EVENT_ROWS)
+@_SETTINGS
+def test_downsample_ohlc_null_ts_property(spark, tmp_path_factory, rows):
+    _check_events_query(spark, tmp_path_factory, rows, "ts_downsample_ohlc")
+
+
+@given(rows=EVENT_ROWS)
+@_SETTINGS
+def test_win_session_id_null_ts_property(spark, tmp_path_factory, rows):
+    _check_events_query(spark, tmp_path_factory, rows, "win_session_id")
+
+
+@given(rows=EVENT_ROWS)
+@_SETTINGS
+def test_stream_session_null_ts_property(spark, tmp_path_factory, rows):
+    _check_events_query(spark, tmp_path_factory, rows, "stream_session")

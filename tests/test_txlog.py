@@ -608,3 +608,201 @@ def test_ivm_random_mutations_equal_recompute(spark, tmp_path):
                 delta.withColumn("_sign", F.lit(1)), keys=["k"]
             )
         check()
+
+
+# ---------------------------------------------------------------------------
+# Partition-aware maintenance (round 6): clustered writes, pruned MERGE
+# ---------------------------------------------------------------------------
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "p int, k int, v string")
+
+
+def test_partitioned_write_one_value_per_file(spark, tmp_path):
+    """partition_by clusters every data file on ONE partition value:
+    each file's stat envelope for the column is exact ([v, v]), which is
+    what makes file pruning partition pruning."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"), partition_by="p")
+    t.append(_pdf(spark, [(p, k, f"r{p}{k}") for p in (1, 2, 3) for k in range(4)]))
+    m = t.history()[-1]
+    assert m["partitionBy"] == "p"
+    assert m["files"], "no data files registered"
+    for f in m["files"]:
+        env = m["stats"][f]["p"]
+        assert env[0] == env[1], f"file {f} spans partition values {env}"
+    # the duplicate __part column never reaches the table schema
+    assert "__part" not in t.read().columns
+    assert sorted(map(tuple, t.read().collect())) == sorted(
+        (p, k, f"r{p}{k}") for p in (1, 2, 3) for k in range(4)
+    )
+
+
+def test_partitioned_merge_rewrites_only_touched_partition(spark, tmp_path):
+    """A CDC merge whose keys include the partition column rewrites only
+    the touched partition's files; every other file is carried into the
+    new version byte-identical (same relative path, same bytes)."""
+    import hashlib
+
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"), partition_by="p")
+    t.append(_pdf(spark, [(p, k, f"r{p}{k}") for p in (1, 2, 3) for k in range(4)]))
+    before = t.history()[-1]
+
+    def digest(rel):
+        with open(os.path.join(str(tmp_path / "t"), rel), "rb") as fh:
+            return hashlib.sha256(fh.read()).hexdigest()
+
+    pre_hash = {f: digest(f) for f in before["files"]}
+    p2_files = {f for f in before["files"] if before["stats"][f]["p"] == [2, 2]}
+    other = set(before["files"]) - p2_files
+    assert p2_files and other
+
+    changes = spark.createDataFrame(
+        [(2, 1, "UPD", 1), (2, 3, None, -1), (2, 99, "NEW", 1)],
+        "p int, k int, v string, _sign int",
+    )
+    t.merge_apply_changes(changes, keys=["p", "k"])
+    after = t.history()[-1]
+    # untouched partitions: carried by reference, bytes identical
+    assert other <= set(after["files"])
+    for f in other:
+        assert digest(f) == pre_hash[f]
+    # touched partition: every old file replaced
+    assert not (p2_files & set(after["files"]))
+    got = sorted(map(tuple, t.read().collect()))
+    want = sorted(
+        [(p, k, f"r{p}{k}") for p in (1, 3) for k in range(4)]
+        + [(2, 0, "r20"), (2, 1, "UPD"), (2, 2, "r22"), (2, 99, "NEW")]
+    )
+    assert got == want
+
+
+def test_partitioned_key_inherited_from_manifest(spark, tmp_path):
+    """A reopened handle inherits partition_by from the log; its merges
+    stay partition-pruned without the caller restating the key."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"), partition_by="p")
+    t.append(_pdf(spark, [(1, 1, "a"), (2, 1, "b")]))
+    t2 = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    assert t2.partition_by == "p"
+    before = set(t2.history()[-1]["files"])
+    p1_files = {
+        f for f in before if t2.history()[-1]["stats"][f]["p"] == [1, 1]
+    }
+    t2.merge_upsert(_pdf(spark, [(2, 1, "B")]), keys=["p", "k"])
+    after = set(t2.history()[-1]["files"])
+    assert p1_files <= after  # p=1 untouched
+    assert sorted(map(tuple, t2.read().collect())) == [(1, 1, "a"), (2, 1, "B")]
+
+
+def test_partitioned_merge_without_partition_key_falls_back(spark, tmp_path):
+    """keys that do NOT include the partition column cannot prune (a key
+    could live in any partition): the merge rewrites the full snapshot
+    and stays correct."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"), partition_by="p")
+    t.append(_pdf(spark, [(1, 1, "a"), (2, 2, "b")]))
+    # move key k=2 to partition p=9: only correct under a full merge
+    t.merge_upsert(_pdf(spark, [(9, 2, "B")]), keys=["k"])
+    assert sorted(map(tuple, t.read().collect())) == [(1, 1, "a"), (9, 2, "B")]
+
+
+def test_partitioned_merge_null_partition_value(spark, tmp_path):
+    """NULL partition values in the feed match no target row (SQL join
+    equality); their positive rows still insert, and non-null pruning is
+    unaffected."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"), partition_by="p")
+    t.append(_pdf(spark, [(1, 1, "a"), (2, 2, "b")]))
+    changes = spark.createDataFrame(
+        [(None, 7, "nullp", 1), (2, 2, "B", 1)],
+        "p int, k int, v string, _sign int",
+    )
+    t.merge_apply_changes(changes, keys=["p", "k"])
+    assert sorted(map(tuple, t.read().collect()), key=str) == sorted(
+        [(1, 1, "a"), (2, 2, "B"), (None, 7, "nullp")], key=str
+    )
+
+
+def test_merge_delete_only_uncreated_table_with_txn(spark, tmp_path):
+    """ADVICE r5: a delete-only feed + txn marker on a table that does
+    not exist yet commits a marker-only EMPTY manifest (so exactly-once
+    replay bookkeeping exists) instead of crashing in _read_manifest(0)."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    dels = spark.createDataFrame([(1, -1)], "k int, _sign int")
+    v = t.merge_apply_changes(dels, keys=["k"], txn=("app", 3))
+    assert v == 1
+    m = t.history()[-1]
+    assert m["files"] == [] and m["txn"] == {"app": "app", "id": 3}
+    assert m["dataChange"] is False
+    assert t.read().count() == 0  # empty snapshot, keys-only schema
+    # replay is a no-op
+    assert t.merge_apply_changes(dels, keys=["k"], txn=("app", 3)) == 1
+    # without a txn marker the same feed stays a version-0 no-op
+    t2 = TransactionalParquetTable(spark, str(tmp_path / "t2"))
+    assert t2.merge_apply_changes(dels, keys=["k"]) == 0
+
+
+def test_merge_pins_change_feed_once(spark, tmp_path):
+    """ADVICE r5: the change feed's lineage executes exactly ONCE per
+    merge (pinned via localCheckpoint) — validation, anti-join and the
+    written rows all see the same materialization, so a
+    non-deterministic feed cannot pass validation then write different
+    rows."""
+    sc = spark.sparkContext
+    acc = sc.accumulator(0)
+
+    def tag(row):
+        acc.add(1)
+        return row
+
+    rdd = sc.parallelize([(1, "a", 1), (2, "b", 1)], 2).map(tag)
+    changes = spark.createDataFrame(rdd, "k int, v string, _sign int")
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "old")]))
+    t.merge_apply_changes(changes, keys=["k"])
+    assert acc.value == 2, f"feed lineage ran {acc.value / 2:.0f}x, want 1x"
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a"), (2, "b")]
+
+
+def test_sink_partitioned_maintenance_carries_untouched_months(spark):
+    """Scenario lock for the registered sink_partitioned_maintenance
+    query: each of its three maintenance commits touches exactly one
+    month partition — every other month's files are carried into the
+    new version by reference (identical relative paths ⇒ identical
+    bytes; files are immutable once committed)."""
+    import tempfile
+
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    all_queries()["sink_partitioned_maintenance"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    t = TransactionalParquetTable(
+        spark, os.path.join(tempfile.gettempdir(), "plc_etl_part_maint")
+    )
+    assert t.partition_by == "omonth"
+    h = t.history()
+    assert len(h) == 4  # seed + backfill + purge + correction
+
+    def months(m, files):
+        out = set()
+        for f in files:
+            env = m["stats"][f]["omonth"]
+            assert env[0] == env[1], f"{f} spans months {env}"
+            out.add(env[0])
+        return out
+
+    seed, backfill, purge, corr = h
+    # backfill: every seed file carried; additions are all 1995-03
+    assert set(seed["files"]) <= set(backfill["files"])
+    assert months(
+        backfill, set(backfill["files"]) - set(seed["files"])
+    ) == {"1995-03"}
+    # purge: drops/adds touch only 1995-06
+    dropped = set(backfill["files"]) - set(purge["files"])
+    added = set(purge["files"]) - set(backfill["files"])
+    assert dropped and months(backfill, dropped) == {"1995-06"}
+    assert months(purge, added) <= {"1995-06"}
+    # correction: drops/adds touch only 1997-01
+    dropped = set(purge["files"]) - set(corr["files"])
+    added = set(corr["files"]) - set(purge["files"])
+    assert dropped and months(purge, dropped) == {"1997-01"}
+    assert months(corr, added) == {"1997-01"}

@@ -277,3 +277,88 @@ def _lpa_lazy(spark: SparkSession, sf_dir: str):
         ),
         labels,
     )
+
+
+@query(
+    "graph_components_fixpoint",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY a, b HAVING COUNT(DISTINCT l_orderkey) >= 3
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b AS src, a AS dst FROM pairs
+    ), reach(node, root) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ), cc AS (
+      SELECT node, MIN(root) AS lbl FROM reach GROUP BY node
+    ), comp AS (
+      SELECT lbl,
+             COUNT(*) AS n_nodes,
+             CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_customers,
+             CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_suppliers
+      FROM cc GROUP BY lbl
+      ORDER BY n_nodes DESC, lbl LIMIT 20
+    )
+    SELECT CASE WHEN lbl % 2 = 0 THEN 'c' || (lbl // 2)
+                ELSE 's' || (lbl // 2) END AS component,
+           n_nodes, n_customers, n_suppliers
+    FROM comp
+    """,
+)
+def graph_components_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUN-TO-CONVERGENCE connected components over the repeat-trade
+    customer—supplier graph — the fixpoint counterpart of
+    graph_label_propagation's bounded 3 rounds (same graph, same MIN
+    semantics, but iterated until no label changes, with the delta-sum
+    stopping rule and periodic label re-checkpointing of
+    operators/graph.py::min_label_propagation_fixpoint). The oracle is
+    the DECLARATIVE fixpoint: DuckDB's recursive reachability closure +
+    MIN root per node — so the iterative convergence loop (stopping
+    rule included) is value-checked against an engine that computes the
+    closure a completely different way. Returns the top-20 components
+    by size with customer/supplier composition; materialized eagerly so
+    the edge/label checkpoint blocks are released before the wrapper
+    returns."""
+    from ..operators.graph import finalize_round_result
+
+    result, state = _components_fixpoint_lazy(spark, sf_dir)
+    return finalize_round_result(result, state)
+
+
+def _components_fixpoint_lazy(spark: SparkSession, sf_dir: str):
+    """(lazy top-20 components, state-carrying labels frame) — split
+    out so plan/round tests can audit convergence behavior."""
+    from ..operators.graph import min_label_propagation_fixpoint
+
+    pairs = _trade_pairs(spark, sf_dir, min_support=3)
+    labels = min_label_propagation_fixpoint(pairs)
+    comp = (
+        labels.groupBy("lbl")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0)).alias(
+                "n_customers"
+            ),
+            F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0)).alias(
+                "n_suppliers"
+            ),
+        )
+        .orderBy(F.desc("n_nodes"), "lbl")
+        .limit(20)
+    )
+    return (
+        comp.select(
+            _node_label("lbl").alias("component"),
+            "n_nodes",
+            "n_customers",
+            "n_suppliers",
+        ),
+        labels,
+    )

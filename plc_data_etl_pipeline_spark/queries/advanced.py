@@ -619,3 +619,82 @@ def ps_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orders").cast("bigint").alias("n_orders"),
             F.col("total_cents").cast("bigint").alias("total_cents"),
         )
+
+
+@query(
+    "scd2_pointintime_join",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment,
+             DATE '1990-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      FROM customer
+    ), u AS (
+      SELECT c_custkey, 'MACHINERY' AS new_seg, DATE '1995-07-01' AS ch
+      FROM customer WHERE c_custkey % 10 = 0
+    ), j AS (
+      SELECT d.*, u.new_seg, u.ch FROM dim d LEFT JOIN u USING (c_custkey)
+    ), scd AS (
+      SELECT c_custkey, c_mktsegment, valid_from, valid_to
+      FROM j WHERE ch IS NULL OR new_seg = c_mktsegment
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, valid_from, ch
+      FROM j WHERE ch IS NOT NULL AND new_seg <> c_mktsegment
+      UNION ALL
+      SELECT c_custkey, new_seg, ch, CAST(NULL AS DATE)
+      FROM j WHERE ch IS NOT NULL AND new_seg <> c_mktsegment
+    )
+    SELECT s.c_mktsegment AS seg_at_order,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o.o_totalprice', 'revenue')}
+    FROM orders o JOIN scd s
+      ON o.o_custkey = s.c_custkey
+     AND o.o_orderdate >= s.valid_from
+     AND (s.valid_to IS NULL OR o.o_orderdate < s.valid_to)
+    GROUP BY s.c_mktsegment
+    """,
+)
+def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal/as-of) join of a fact table to an SCD2
+    dimension — the CONSUMER side of scd2_dimension's maintenance:
+    every order joins the dim version that was valid AT ITS ORDER DATE
+    (every 10th customer moves to MACHINERY on 1995-07-01, mid order
+    history, so pre-change orders keep the old segment and post-change
+    orders pick up the new one). Revenue attributed to
+    segment-at-order-time — the question a flat CURRENT-state dim join
+    answers WRONG, and the whole reason SCD2 history exists.
+
+    Plan shape: equi-join on the customer key with the validity range
+    as a residual filter — a normal shuffle/broadcast hash join, NOT a
+    band join (each fact row matches exactly one version because the
+    versions partition the timeline). At 100 TB the dim stays
+    key-partitioned history; no window, no sort, no cartesian."""
+    from ..operators.scd import scd2_apply
+
+    c = load(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        F.lit("1995-07-01").cast("date").alias("change_date"),
+    )
+    scd = scd2_apply(dim, updates, "c_custkey", ["c_mktsegment"])
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    joined = o.join(
+        scd,
+        (o["o_custkey"] == scd["c_custkey"])
+        & (o["o_orderdate"] >= scd["valid_from"])
+        & (scd["valid_to"].isNull() | (o["o_orderdate"] < scd["valid_to"])),
+    )
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("seg_at_order")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )

@@ -1253,3 +1253,51 @@ def sink_partitioned_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("price_cents").cast("double") / 100).alias("revenue"),
         )
     )
+
+
+@query(
+    "sink_txn_restore",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice', 'revenue')}
+    FROM orders WHERE o_orderkey % 5 <> 4
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE TO VERSION (txlog.restore) — the time-travel
+    family's write-side completion: seed a table (v1), corrupt it with
+    a bad delete + a bad overwrite (v2, v3), then RESTORE v1 (v4) and
+    aggregate. The oracle sees only the SEED state — proof the restore
+    undid both later commits exactly. Restore is metadata-only (the
+    seed's immutable files are re-referenced, zero bytes rewritten) and
+    keeps v2/v3 time-travelable; the pytest additionally locks the
+    re-reference (v4's file list == v1's), the no-op case, and
+    post-restore vacuum safety. At 100 TB this is the bad-deploy
+    rollback path: O(1) commit instead of a full-table rewrite from
+    backup."""
+    import shutil
+
+    from ..pipeline.txlog import TransactionalParquetTable
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    seed = o.filter(F.col("o_orderkey") % 5 != 4)
+
+    path = os.path.join(tempfile.gettempdir(), "plc_etl_restore")
+    shutil.rmtree(path, ignore_errors=True)
+    t = TransactionalParquetTable(spark, path)
+    t.overwrite(seed)                                     # v1: good state
+    t.delete_where([("o_orderkey", "<", 1000)])           # v2: bad delete
+    t.overwrite(o.filter(F.col("o_orderkey") % 7 == 0))   # v3: bad overwrite
+    t.restore(1)                                          # v4: rollback
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+    )

@@ -806,3 +806,58 @@ def test_sink_partitioned_maintenance_carries_untouched_months(spark):
     added = set(corr["files"]) - set(purge["files"])
     assert dropped and months(purge, dropped) == {"1997-01"}
     assert months(corr, added) == {"1997-01"}
+
+
+def test_restore_is_metadata_only_and_preserves_history(spark, tmp_path):
+    """RESTORE re-references the target version's exact files (zero
+    rewrite), later versions stay time-travelable, restore-to-current
+    is a no-op, an out-of-range target raises, and vacuum after restore
+    removes nothing the restored snapshot needs."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))            # v1
+    t.merge_upsert(_df(spark, [(2, "B2"), (3, "c")]), keys=["k"])  # v2
+    t.delete_where([("k", "=", 1)])                        # v3
+    v = t.restore(1)                                       # v4
+    assert v == 4
+    assert t.history()[-1]["files"] == t.history()[0]["files"]
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a"), (2, "b")]
+    # undone versions still time-travel
+    assert sorted(map(tuple, t.read(version=3).collect())) == [
+        (2, "B2"), (3, "c")
+    ]
+    # restore to the current snapshot: no-op, no new version
+    assert t.restore(4) == 4
+    assert t.restore(1) == 4  # v4 already IS v1's snapshot
+    # out-of-range target
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.restore(99)
+    # vacuum only removes unreferenced files; the restored snapshot's
+    # files are referenced by v1 AND v4
+    t.vacuum()
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a"), (2, "b")]
+    # change feed across the restore commit shows the net file diff
+    ch = t.read_changes(3, 4)
+    got = {(r["k"], r["v"], r["_change_type"]) for r in ch.collect()}
+    assert got == {
+        (2, "B2", "removed"), (3, "c", "removed"),
+        (1, "a", "inserted"), (2, "b", "inserted"),
+    }
+
+
+def test_restore_txn_marker_exactly_once(spark, tmp_path):
+    """A restore with a txn marker replays as a no-op — including when
+    the target equals the current snapshot (marker-only commit)."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))                       # v1
+    t.overwrite(_df(spark, [(9, "z")]))                    # v2
+    v = t.restore(1, txn=("app", 1))                       # v3
+    assert v == 3
+    assert t.restore(1, txn=("app", 1)) == 3  # replay: no-op
+    # marker-only path: restore-to-current with a NEW txn still records
+    v2 = t.restore(3, txn=("app", 2))
+    m = t.history()[-1]
+    assert v2 == 4 and m["txn"] == {"app": "app", "id": 2}
+    assert m["dataChange"] is False
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a")]

@@ -861,3 +861,40 @@ def test_restore_txn_marker_exactly_once(spark, tmp_path):
     assert v2 == 4 and m["txn"] == {"app": "app", "id": 2}
     assert m["dataChange"] is False
     assert sorted(map(tuple, t.read().collect())) == [(1, "a")]
+
+
+def test_partitioned_compact_preserves_clustering(spark, tmp_path):
+    """OPTIMIZE on a partitioned table keeps one-value-per-file
+    clustering (the write path re-clusters by the partition column), so
+    partition pruning stays exact after compaction and readers see the
+    identical row multiset."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"), partition_by="p")
+    for _ in range(3):  # several commits -> several files per partition
+        t.append(_pdf(spark, [(p, k, f"x{p}{k}") for p in (1, 2) for k in range(3)]))
+    before = sorted(map(tuple, t.read().collect()))
+    assert len(t.history()[-1]["files"]) >= 6
+    v = t.compact(target_file_bytes=1 << 30)
+    m = t.history()[-1]
+    assert m["dataChange"] is False and m["version"] == v
+    for f in m["files"]:
+        env = m["stats"][f]["p"]
+        assert env[0] == env[1], f"compacted file {f} spans partitions {env}"
+    assert sorted(map(tuple, t.read().collect())) == before
+
+
+def test_partitioned_merge_cdf_is_partition_tight(spark, tmp_path):
+    """After a partition-pruned merge, the change feed degenerates to
+    removed+inserted of ONLY the touched partition's files — carried
+    partitions contribute nothing (the file-diff CDF inherits the
+    maintenance granularity)."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"), partition_by="p")
+    t.append(_pdf(spark, [(p, k, f"x{p}{k}") for p in (1, 2, 3) for k in range(3)]))
+    v1 = t.version()
+    t.merge_upsert(_pdf(spark, [(2, 1, "UPD")]), keys=["p", "k"])
+    ch = t.read_changes(v1)
+    rows = {(r["p"], r["k"], r["v"], r["_change_type"]) for r in ch.collect()}
+    assert all(p == 2 for (p, _k, _v, _t) in rows), (
+        f"CDF leaked untouched partitions: {sorted(rows)}"
+    )
+    assert (2, 1, "UPD", "inserted") in rows
+    assert (2, 1, "x21", "removed") in rows

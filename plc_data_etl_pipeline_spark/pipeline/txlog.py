@@ -871,6 +871,37 @@ class TransactionalParquetTable:
 
         return self._snapshot_retrying(compute, None, "compaction")
 
+    # ------------------------------------------------------ log retention
+    def expire_snapshots(self, keep_last: int) -> int:
+        """Retire history: delete all but the newest ``keep_last``
+        manifests (Iceberg's expire_snapshots / the retention half of
+        Delta's VACUUM). Time travel to expired versions stops working
+        — that is the point: data files referenced ONLY by expired
+        manifests become unreferenced, so a following :meth:`vacuum`
+        reclaims their space (without expiry, a long-lived table's
+        every rewritten byte stays on disk forever). The CURRENT
+        snapshot and exactly-once txn markers within the kept window
+        are untouched; returns the number of manifests removed.
+
+        Expired manifests are removed OLDEST-FIRST so a crash mid-expiry
+        leaves a contiguous (possibly longer-than-asked) history suffix
+        — never a gap that would break version arithmetic.
+
+        Caveat (same as Delta's VACUUM retention): txn markers recorded
+        ONLY in expired manifests are forgotten — a stream replaying a
+        batch from before the retention window would re-apply it. Size
+        ``keep_last`` beyond the longest plausible replay horizon
+        (checkpoint recovery replays only the last uncommitted batch,
+        so any real window is safe); locked by
+        test_expire_snapshots_forgets_ancient_txn_markers."""
+        if keep_last < 1:
+            raise ValueError("expire_snapshots: keep_last must be >= 1")
+        vs = self._versions()
+        drop = vs[:-keep_last]
+        for v in drop:  # oldest first: crash-safe prefix removal
+            os.remove(self._manifest_path(v))
+        return len(drop)
+
     # ------------------------------------------------------------- vacuum
     def vacuum(self) -> int:
         """Delete data files unreferenced by ANY committed version

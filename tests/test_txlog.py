@@ -898,3 +898,43 @@ def test_partitioned_merge_cdf_is_partition_tight(spark, tmp_path):
     )
     assert (2, 1, "UPD", "inserted") in rows
     assert (2, 1, "x21", "removed") in rows
+
+
+def test_expire_snapshots_reclaims_space(spark, tmp_path):
+    """Retention: expiring history makes previously-referenced rewrite
+    garbage vacuumable; the current snapshot and version numbering are
+    untouched; expired versions stop time-traveling."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))            # v1
+    t.overwrite(_df(spark, [(3, "c")]))                    # v2 (v1 garbage)
+    t.merge_upsert(_df(spark, [(3, "C2")]), keys=["k"])    # v3 (v2 garbage)
+    assert t.vacuum() == 0  # everything still referenced by history
+    assert t.expire_snapshots(keep_last=1) == 2
+    assert [m["version"] for m in t.history()] == [3]
+    reclaimed = t.vacuum()
+    assert reclaimed >= 2  # v1+v2 data files freed
+    assert sorted(map(tuple, t.read().collect())) == [(3, "C2")]
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1)
+    # version numbering continues past the expired prefix
+    t.append(_df(spark, [(4, "d")]))
+    assert t.version() == 4
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
+
+
+def test_expire_snapshots_forgets_ancient_txn_markers(spark, tmp_path):
+    """Documented retention caveat, locked: a txn marker recorded only
+    in an expired manifest no longer dedupes a replay — markers inside
+    the kept window still do."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]), txn=("app", 1))       # v1
+    t.append(_df(spark, [(2, "b")]), txn=("app", 2))       # v2
+    t.append(_df(spark, [(3, "c")]), txn=("app", 3))       # v3
+    t.expire_snapshots(keep_last=2)                        # drop v1
+    # marker within the window: replay still a no-op
+    assert t.append(_df(spark, [(2, "DUP")]), txn=("app", 2)) == 3
+    assert t.read().filter("v = 'DUP'").count() == 0
+    # marker only in the expired manifest: replay re-applies
+    t.append(_df(spark, [(1, "REPLAYED")]), txn=("app", 1))
+    assert t.read().filter("v = 'REPLAYED'").count() == 1

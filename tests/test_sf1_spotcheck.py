@@ -70,6 +70,16 @@ SPOT = [
     "graph_label_propagation",
     "curation_pareto_frontier",
     "sink_incremental_join",
+    # round-6 additions: fixpoint components over the 10x graph (the
+    # convergence/stopping rule must agree with the recursive closure
+    # at replica scale, not just sf0.01), partition-pruned maintenance
+    # against a 10x month-clustered view, RESTORE over 10x rewrite
+    # garbage, and the SCD2 point-in-time join (range-residual
+    # correctness across 10x the fact rows).
+    "graph_components_fixpoint",
+    "sink_partitioned_maintenance",
+    "sink_txn_restore",
+    "scd2_pointintime_join",
 ]
 
 

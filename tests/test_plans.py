@@ -828,3 +828,40 @@ def test_lpa_round_shape_is_linear(spark):
     )
 
     release_round_state(labels)
+
+
+def test_scd2_pointintime_join_is_hash_join(spark):
+    """The fact->SCD2 as-of join must plan as an equi-join on the
+    customer key with the validity range as a RESIDUAL condition —
+    never a nested-loop/cartesian (the naive way to plan a range
+    predicate), because each fact row matches exactly one version."""
+    p = plan(spark, "scd2_pointintime_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_partitioned_maintenance_prunes_merge_reads(spark, tmp_path):
+    """The partition-pruned CDC merge must hand Spark ONLY the touched
+    partition's files: the scan side of the anti-join plan reads one
+    file, not the table (file pruning happens before Spark ever lists,
+    so this is asserted on the txlog split itself plus the committed
+    outcome)."""
+    from plc_data_etl_pipeline_spark.pipeline.txlog import (
+        TransactionalParquetTable,
+    )
+
+    t = TransactionalParquetTable(
+        spark, str(tmp_path / "t"), partition_by="p"
+    )
+    t.append(
+        spark.createDataFrame(
+            [(p, k, "x") for p in range(8) for k in range(4)],
+            "p int, k int, v string",
+        )
+    )
+    m = t.history()[-1]
+    touched = spark.createDataFrame([(3, 1)], "p int, k int")
+    live, carried = t._split_touched_files(m, ["p", "k"], touched)
+    assert len(live) == 1 and len(carried) == len(m["files"]) - 1
+    assert m["stats"][live[0]]["p"] == [3, 3]

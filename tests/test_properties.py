@@ -874,3 +874,100 @@ def test_win_session_id_null_ts_property(spark, tmp_path_factory, rows):
 @_SETTINGS
 def test_stream_session_null_ts_property(spark, tmp_path_factory, rows):
     _check_events_query(spark, tmp_path_factory, rows, "stream_session")
+
+
+# --- round-6: partition-pruned CDC merge vs a plain-Python reference.
+# Random signed feeds over a month-partitioned table must produce the
+# identical final state whether or not pruning fires (the feed's
+# partition locality is random, so examples cover one-partition,
+# many-partition, new-partition, delete-only and NULL-partition cases).
+
+MAINT_OPS = st.lists(
+    st.lists(  # one merge commit = a list of (pval, key, payload, sign)
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=99),
+            st.sampled_from([1, -1]),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(commits=MAINT_OPS)
+@_SETTINGS
+def test_partitioned_merge_random_feeds_property(spark, tmp_path_factory, commits):
+    from plc_data_etl_pipeline_spark.pipeline.txlog import (
+        TransactionalParquetTable,
+    )
+
+    tmp = tmp_path_factory.mktemp("prop_pmerge")
+    t = TransactionalParquetTable(spark, str(tmp / "t"), partition_by="p")
+    seed = [(p, k, -1) for p in range(3) for k in range(3)]
+    t.overwrite(
+        spark.createDataFrame(seed, "p int, k int, payload int")
+    )
+    ref = {(p, k): -1 for (p, k, _x) in seed}
+    null_rows: list = []
+    for commit in commits:
+        # net each commit to one version per key (the validated contract)
+        net: dict = {}
+        for (p, k, payload, sign) in commit:
+            net[(p, k)] = (p, k, payload, sign)
+        rows = list(net.values())
+        if not rows:
+            continue
+        t.merge_apply_changes(
+            spark.createDataFrame(
+                rows, "p int, k int, payload int, _sign int"
+            ),
+            keys=["p", "k"],
+        )
+        for (p, k, payload, sign) in rows:
+            if p is None:
+                # SQL MERGE-on-equality semantics (Delta-faithful,
+                # documented on merge_apply_changes): a NULL key
+                # matches NO target row — positive rows APPEND, deletes
+                # are no-ops.
+                if sign > 0:
+                    null_rows.append((p, k, payload))
+            elif sign > 0:
+                ref[(p, k)] = payload
+            else:
+                ref.pop((p, k), None)
+    got = sorted(
+        ((r["p"], r["k"], r["payload"]) for r in t.read().collect()),
+        key=str,
+    )
+    want = sorted(
+        [(p, k, v) for (p, k), v in ref.items()] + null_rows, key=str
+    )
+    assert got == want
+
+
+def test_partitioned_merge_too_wide_feed_falls_back(spark, tmp_path, monkeypatch):
+    """A feed touching more partitions than MAX_PRUNED_PARTITIONS must
+    fall back to the full-snapshot merge and stay correct."""
+    from plc_data_etl_pipeline_spark.pipeline import txlog as TX
+
+    t = TX.TransactionalParquetTable(
+        spark, str(tmp_path / "t"), partition_by="p"
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(p, 0, "old") for p in range(6)], "p int, k int, v string"
+        )
+    )
+    monkeypatch.setattr(
+        TX.TransactionalParquetTable, "MAX_PRUNED_PARTITIONS", 2
+    )
+    ups = spark.createDataFrame(
+        [(p, 0, "new", 1) for p in range(5)], "p int, k int, v string, _sign int"
+    )
+    t.merge_apply_changes(ups, keys=["p", "k"])
+    got = sorted(map(tuple, t.read().collect()))
+    assert got == [(p, 0, "new" if p < 5 else "old") for p in range(6)]

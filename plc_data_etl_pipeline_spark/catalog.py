@@ -105,3 +105,21 @@ class Tables:
         if name.startswith("_"):
             raise AttributeError(name)
         return load(self._spark, self._sf_dir, name)
+
+
+def release_local_checkpoint(ckpt: DataFrame) -> int:
+    """Unpersist ONE localCheckpoint-ed frame's block state (1 if
+    released, 0 if the py4j surface did not cooperate). The LogicalRDD
+    behind the checkpoint holds the block-persisted RDD; the Python-side
+    ``.rdd`` accessor would wrap a NEW deserialization RDD whose
+    unpersist is a no-op, hence the queryExecution reach-through.
+
+    Lives here (neutral session/table utility layer) because both the
+    iterative graph operators AND the transactional log's CDC-feed pin
+    release depend on it — neither should import the other's internals
+    (round-6 review)."""
+    try:
+        ckpt._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        return 1
+    except Exception:  # py4j surface varies across versions
+        return 0

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..catalog import shuffle_partitions
+from ..catalog import release_local_checkpoint, shuffle_partitions
 
 
 def _register_round_state(result: DataFrame, *ckpts: DataFrame) -> DataFrame:
@@ -70,17 +70,9 @@ def finalize_round_result(result: DataFrame, state: DataFrame) -> DataFrame:
     return result.sparkSession.createDataFrame(rows, result.schema)
 
 
-def _unpersist_ckpt(ckpt: DataFrame) -> int:
-    """Unpersist ONE localCheckpoint-ed frame's block state (1 if
-    released, 0 if the py4j surface did not cooperate). The LogicalRDD
-    behind the checkpoint holds the block-persisted RDD; the Python-side
-    ``.rdd`` accessor would wrap a NEW deserialization RDD whose
-    unpersist is a no-op, hence the queryExecution reach-through."""
-    try:
-        ckpt._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        return 1
-    except Exception:  # py4j surface varies across versions
-        return 0
+# Shared with pipeline/txlog.py via the neutral catalog layer; the
+# private alias keeps this module's call sites and tests stable.
+_unpersist_ckpt = release_local_checkpoint
 
 
 def undirected_edges(pairs: DataFrame) -> DataFrame:
@@ -291,6 +283,7 @@ def min_label_propagation_fixpoint(
     pairs: DataFrame,
     max_rounds: int = 50,
     checkpoint_every: int = 5,
+    require_convergence: bool = False,
 ) -> DataFrame:
     """MIN-label propagation run TO CONVERGENCE — connected components
     as a fixpoint computation (the run-to-convergence mode
@@ -316,8 +309,11 @@ def min_label_propagation_fixpoint(
       therefore prove every round in the block was a no-op — one cheap
       scalar aggregate on the just-materialized labels, no
       frame-vs-frame diff join. (Exact decimal(38,0) sum: no overflow,
-      no float ties.) Detection lags at most checkpoint_every-1
-      wasted-but-correct rounds past the true fixpoint.
+      no float ties.) Detection lags at most 2*checkpoint_every - 1
+      wasted-but-correct rounds past the true fixpoint: convergence
+      just after a checkpoint keeps the NEXT block's sum unequal to
+      its predecessor's (the first rounds of that block still
+      changed), so the equality fires one block later.
     * **In-loop release of superseded label checkpoints**: only the
       newest label materialization stays resident, so a deep run holds
       O(1) checkpoint blocks, not O(rounds) — the sequential
@@ -329,9 +325,13 @@ def min_label_propagation_fixpoint(
     Scale posture: identical per-round cost to bounded LPA — the edge
     relation never re-shuffles; convergence adds one node-sized
     aggregate per checkpoint. Worst-case round count is the graph
-    diameter; ``max_rounds`` bounds pathological chains (the returned
-    labels are then the max_rounds-hop prefix, same contract as the
-    bounded operator).
+    diameter; ``max_rounds`` bounds pathological chains. If the loop
+    exhausts max_rounds while the final block still changed labels,
+    the result is only the max_rounds-hop prefix:
+    ``result._fixpoint_converged`` reports which, and
+    ``require_convergence=True`` makes that case RAISE instead of
+    returning silently-truncated labels (round-6 review — the
+    registered query uses it, since its oracle is the true closure).
     """
     edges = undirected_edges(pairs)
     selfloops = edges.select("src").distinct().select(
@@ -357,6 +357,7 @@ def min_label_propagation_fixpoint(
 
     prev_sum = lbl_sum(labels)  # materializes the edge checkpoint too
     rounds_run = 0
+    converged = False
     label_ckpt: DataFrame | None = None
     for r in range(1, max_rounds + 1):
         labels = (
@@ -377,10 +378,22 @@ def min_label_propagation_fixpoint(
             label_ckpt = new_ckpt
             labels = new_ckpt
             if s == prev_sum:
+                converged = True
                 break  # whole block was a no-op: fixpoint reached
             prev_sum = s
+    if require_convergence and not converged:
+        if label_ckpt is not None:
+            _unpersist_ckpt(label_ckpt)
+        _unpersist_ckpt(edges_p)
+        raise RuntimeError(
+            f"min_label_propagation_fixpoint: not converged after "
+            f"{max_rounds} rounds (labels still changing in the final "
+            "checkpoint block); raise max_rounds — returning the "
+            "prefix would silently mislabel components"
+        )
     out = _register_round_state(
         labels, *([edges_p, label_ckpt] if label_ckpt is not None else [edges_p])
     )
     out._fixpoint_rounds = rounds_run
+    out._fixpoint_converged = converged
     return out

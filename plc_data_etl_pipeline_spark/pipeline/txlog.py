@@ -132,6 +132,11 @@ class TransactionalParquetTable:
         vs = self._versions()
         return vs[-1] if vs else 0
 
+    def _oldest_version(self) -> int:
+        """Oldest RETAINED version (> 1 after expire_snapshots)."""
+        vs = self._versions()
+        return vs[0] if vs else 0
+
     def _read_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
@@ -331,6 +336,18 @@ class TransactionalParquetTable:
         neither side of that diff.
         """
         to_v = self.version() if to_version is None else to_version
+        # Retention boundary: the loop needs every manifest in
+        # [max(from_version, 1), to_v]; after expire_snapshots an
+        # expired start must fail with a RESYNC signal, not a raw
+        # FileNotFoundError mid-loop (round-6 review).
+        lo = self._oldest_version()
+        if from_version + 1 <= to_v and max(from_version, 1) < lo:
+            raise ValueError(
+                f"read_changes: history before version {lo} of "
+                f"{self.path} has been expired (expire_snapshots); the "
+                f"consumer checkpointed at {from_version} must fully "
+                "resync from a snapshot read"
+            )
         frames: list[DataFrame] = []
         for v in range(from_version + 1, to_v + 1):
             if not self._read_manifest(v).get("dataChange", True):
@@ -687,13 +704,13 @@ class TransactionalParquetTable:
         partitions fall back to the full-snapshot merge."""
         if self._txn_already_committed(txn):
             return self.version()
-        from ..operators.graph import _unpersist_ckpt
+        from ..catalog import release_local_checkpoint
 
         pinned = changes.localCheckpoint(eager=True)
         try:
             return self._merge_apply_pinned(pinned, keys, sign_col, txn)
         finally:
-            _unpersist_ckpt(pinned)
+            release_local_checkpoint(pinned)
 
     def _merge_apply_pinned(self, changes: DataFrame, keys: list[str],
                             sign_col: str, txn) -> int:
@@ -731,6 +748,37 @@ class TransactionalParquetTable:
                 from pyspark.sql.types import StructType
 
                 m = self._read_manifest(base)
+                # Positive rows must carry EXACTLY the table schema —
+                # name set AND types. Validated before any write: the
+                # manifest pins m["schema"] for carried files, so a
+                # type-divergent feed (e.g. 'v long' into a 'v int'
+                # table) would otherwise COMMIT data files whose
+                # physical type contradicts the declared schema and
+                # poison every subsequent read (round-6 review,
+                # reproduced). An implicit cast is no fix — a silent
+                # long->int narrowing corrupts values; the caller must
+                # cast intentionally.
+                if has_ups:
+                    table_fields = {
+                        f.name: f.dataType
+                        for f in StructType.fromDDL(m["schema"]).fields
+                    }
+                    ups_fields = {f.name: f.dataType for f in ups.schema.fields}
+                    if ups_fields != table_fields:
+                        only_ups = sorted(set(ups_fields) - set(table_fields))
+                        only_tab = sorted(set(table_fields) - set(ups_fields))
+                        diff = sorted(
+                            n
+                            for n in set(ups_fields) & set(table_fields)
+                            if ups_fields[n] != table_fields[n]
+                        )
+                        raise ValueError(
+                            "merge_apply_changes: positive rows must carry "
+                            "exactly the table schema; feed-only columns "
+                            f"{only_ups}, missing columns {only_tab}, "
+                            f"type-mismatched columns {diff} (cast the feed "
+                            "to the table's types explicitly)"
+                        )
                 live, carried = self._split_touched_files(m, keys, touched)
                 if not live:
                     if not has_ups:
@@ -753,8 +801,7 @@ class TransactionalParquetTable:
                 # anti-join moves the key columns first, and carried
                 # files must stay readable under the one manifest
                 # schema, so both written and carried files declare
-                # m["schema"] verbatim. (unionByName above already
-                # required the feed to carry exactly the table columns.)
+                # m["schema"] verbatim (types validated above).
                 tcols = [
                     f.name for f in StructType.fromDDL(m["schema"]).fields
                 ]
@@ -826,10 +873,15 @@ class TransactionalParquetTable:
         def compute(base: int):
             if base == 0:
                 raise FileNotFoundError(f"no committed version in {self.path}")
-            if not 1 <= version <= base:
+            lo = self._oldest_version()
+            if not lo <= version <= base:
                 raise ValueError(
-                    f"restore target {version} outside committed range "
-                    f"1..{base} of {self.path}"
+                    f"restore target {version} outside the retained "
+                    f"range {lo}..{base} of {self.path}"
+                    + (
+                        " (older versions were expired by"
+                        " expire_snapshots)" if lo > 1 else ""
+                    )
                 )
             target = self._read_manifest(version)
             if target["files"] == self._read_manifest(base)["files"]:
@@ -863,6 +915,30 @@ class TransactionalParquetTable:
                 os.path.getsize(os.path.join(self.path, f)) for f in old_files
             )
             n_out = max(1, -(-total // target_file_bytes))
+            if self.partition_by is not None:
+                # Partitioned tables bin-pack PER PARTITION VALUE (the
+                # write path re-clusters, so the reachable minimum is
+                # one file per value; files without an exact envelope —
+                # pre-partitioning legacy — each count as their own
+                # floor unit). Without this floor the unpartitioned
+                # no-op guard never converges: compact() would rewrite
+                # the whole table into the same file count forever
+                # (round-6 review).
+                stats = manifest.get("stats", {})
+                vals, loose = set(), 0
+                for f in old_files:
+                    env = stats.get(f, {}).get(self.partition_by)
+                    if env and env[0] == env[1]:
+                        vals.add(env[0])
+                    else:
+                        loose += 1
+                floor = len(vals) + loose
+                if len(old_files) <= max(floor, n_out):
+                    return None  # already at the per-partition floor
+                # coalesce is pointless here — _write_data_files
+                # re-clusters by the partition column anyway.
+                files = self._write_data_files(self.read(base))
+                return files, manifest["schema"], False
             if len(old_files) <= n_out:
                 return None  # already compact enough: no-op
             snapshot = self.read(base)

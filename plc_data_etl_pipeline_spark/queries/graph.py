@@ -338,7 +338,13 @@ def _components_fixpoint_lazy(spark: SparkSession, sf_dir: str):
     from ..operators.graph import min_label_propagation_fixpoint
 
     pairs = _trade_pairs(spark, sf_dir, min_support=3)
-    labels = min_label_propagation_fixpoint(pairs)
+    # require_convergence: the oracle is the TRUE closure, so a
+    # max_rounds-truncated prefix must raise, never silently diverge
+    # (round-6 review); 200 rounds >> any plausible diameter of the
+    # support-3 trade graph (converges in ~2 blocks at tested SFs).
+    labels = min_label_propagation_fixpoint(
+        pairs, max_rounds=200, require_convergence=True
+    )
     comp = (
         labels.groupBy("lbl")
         .agg(

@@ -235,3 +235,34 @@ def test_graph_components_fixpoint_query_no_resident_state(spark):
     # component sizes are consistent: n_customers + n_suppliers = n_nodes
     for r in rows:
         assert r["n_customers"] + r["n_suppliers"] == r["n_nodes"]
+
+
+def test_fixpoint_lpa_require_convergence_raises_on_truncation(spark):
+    """Round-6 review finding 4: an exhausted max_rounds with labels
+    still changing must RAISE under require_convergence (the registered
+    query's mode — its oracle is the true closure), never return a
+    silently-truncated prefix; and the convergence flag reports the
+    truncation in the permissive mode."""
+    import pytest as _pytest
+
+    from plc_data_etl_pipeline_spark.operators.graph import (
+        min_label_propagation_fixpoint,
+        release_round_state,
+    )
+
+    chain = spark.createDataFrame(
+        [(100 + i, 100 + i + 1) for i in range(30)], "a long, b long"
+    )
+    with _pytest.raises(RuntimeError, match="not converged"):
+        min_label_propagation_fixpoint(
+            chain, max_rounds=5, require_convergence=True
+        )
+    trunc = min_label_propagation_fixpoint(chain, max_rounds=5)
+    assert trunc._fixpoint_converged is False
+    release_round_state(trunc)
+    done = min_label_propagation_fixpoint(
+        chain, max_rounds=60, require_convergence=True
+    )
+    assert done._fixpoint_converged is True
+    assert {r["lbl"] for r in done.collect()} == {100}
+    release_round_state(done)

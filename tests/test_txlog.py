@@ -938,3 +938,62 @@ def test_expire_snapshots_forgets_ancient_txn_markers(spark, tmp_path):
     # marker only in the expired manifest: replay re-applies
     t.append(_df(spark, [(1, "REPLAYED")]), txn=("app", 1))
     assert t.read().filter("v = 'REPLAYED'").count() == 1
+
+
+# --- round-6 review fixes -------------------------------------------------
+
+
+def test_merge_rejects_type_mismatched_feed(spark, tmp_path):
+    """Round-6 review finding 1 (reproduced): a feed whose column types
+    diverge from the table schema must be REJECTED at merge time — the
+    carried files pin the manifest schema, so committing physically
+    different types would poison every subsequent read."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"), partition_by="p")
+    t.append(_pdf(spark, [(1, 1, "a")]))  # v string
+    bad = spark.createDataFrame(
+        [(2, 1, 7, 1)], "p int, k int, v long, _sign int"  # v long != string
+    )
+    with pytest.raises(ValueError, match="type-mismatched columns \\['v'\\]"):
+        t.merge_apply_changes(bad, keys=["p", "k"])
+    # extra / missing columns rejected too
+    extra = spark.createDataFrame(
+        [(2, 1, "x", "?", 1)], "p int, k int, v string, w string, _sign int"
+    )
+    with pytest.raises(ValueError, match="feed-only columns \\['w'\\]"):
+        t.merge_apply_changes(extra, keys=["p", "k"])
+    missing = spark.createDataFrame([(2, 1, 1)], "p int, k int, _sign int")
+    with pytest.raises(ValueError, match="missing columns \\['v'\\]"):
+        t.merge_apply_changes(missing, keys=["p", "k"])
+    # table still readable and unchanged
+    assert sorted(map(tuple, t.read().collect())) == [(1, 1, "a")]
+
+
+def test_partitioned_compact_converges(spark, tmp_path):
+    """Round-6 review finding 2: compact() on a partitioned table packs
+    to the per-partition-value floor and then becomes a NO-OP — it must
+    not rewrite the whole table forever."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"), partition_by="p")
+    for _ in range(3):
+        t.append(_pdf(spark, [(p, k, "x") for p in (1, 2) for k in range(2)]))
+    v = t.compact(target_file_bytes=1 << 30)
+    assert v == t.version()
+    assert len(t.history()[-1]["files"]) == 2  # one per partition value
+    assert t.compact(target_file_bytes=1 << 30) == v  # no-op now
+    assert t.version() == v
+
+
+def test_expired_history_gives_clear_errors(spark, tmp_path):
+    """Round-6 review finding 3: read_changes from an expired version
+    raises a resync-signalling ValueError (not a raw FileNotFoundError
+    mid-loop), and restore's range error names the RETAINED range."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))       # v1
+    t.append(_df(spark, [(2, "b")]))       # v2
+    t.append(_df(spark, [(3, "c")]))       # v3
+    t.expire_snapshots(keep_last=2)        # drop v1
+    with pytest.raises(ValueError, match="resync"):
+        t.read_changes(1)
+    assert t.read_changes(2).count() > 0   # within retention: fine
+    with pytest.raises(ValueError, match="retained range 2..3"):
+        t.restore(1)
+    assert t.restore(2) == 4               # retained target works

@@ -397,3 +397,113 @@ def min_label_propagation_fixpoint(
     out._fixpoint_rounds = rounds_run
     out._fixpoint_converged = converged
     return out
+
+
+UNREACHED = 1 << 40  # sentinel distance: > any real hop count
+
+
+def bfs_hops(
+    pairs: DataFrame,
+    source: int,
+    max_rounds: int = 50,
+    checkpoint_every: int = 5,
+    require_convergence: bool = False,
+) -> DataFrame:
+    """Single-source BFS hop distances over an UNDIRECTED pair list —
+    the relaxation fixpoint ``dist_{t+1}(v) = min(dist_t(v),
+    min_{u in N(v)} dist_t(u) + 1)`` from ``dist_0(source) = 0``,
+    everything else the UNREACHED sentinel. Returns (node, hops) with
+    ``hops = UNREACHED`` for nodes in other components (callers decide
+    how to present unreachability). Generalizes directly to weighted
+    SSSP: the self-loop edges carry weight 0 (so a node's own distance
+    rides the same join — the linear-plan trick of
+    min_label_propagation) and real edges weight 1; any non-negative
+    integer weight column works unchanged.
+
+    Same fixpoint machinery as :func:`min_label_propagation_fixpoint`
+    and the same guarantees: distances are monotone non-increasing, so
+    the exact decimal sum is a convergence certificate checked at each
+    periodic label re-checkpoint (detection lag <=
+    2*checkpoint_every - 1 rounds); superseded distance checkpoints are
+    released in-loop; ``require_convergence=True`` raises on
+    max_rounds truncation; ``result._fixpoint_rounds`` /
+    ``result._fixpoint_converged`` report what happened. Per round: one
+    shuffle-hash join against the never-re-shuffled edge relation +
+    one map-side-combinable MIN."""
+    edges = undirected_edges(pairs).withColumn("w", F.lit(1))
+    selfloops = (
+        edges.select("src")
+        .distinct()
+        .select("src", F.col("src").alias("dst"), F.lit(0).alias("w"))
+    )
+    n_shuffle = shuffle_partitions(pairs.sparkSession)
+    edges_p = (
+        edges.unionByName(selfloops)
+        .repartition(n_shuffle, "src")
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    dist = (
+        edges_p.select(F.col("src").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            F.when(F.col("node") == source, F.lit(0))
+            .otherwise(F.lit(UNREACHED))
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
+
+    def dist_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("d").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = dist_sum(dist)
+    rounds_run = 0
+    converged = False
+    ckpt: DataFrame | None = None
+    for r in range(1, max_rounds + 1):
+        dist = (
+            edges_p.join(
+                dist.hint("shuffle_hash"), edges_p["src"] == dist["node"]
+            )
+            .select(
+                F.col("dst").alias("node"),
+                # relax through the edge; sentinel stays sentinel so
+                # unreached mass never inflates reachable distances
+                F.when(F.col("d") >= UNREACHED, F.lit(UNREACHED))
+                .otherwise(F.col("d") + F.col("w"))
+                .cast("bigint")
+                .alias("d"),
+            )
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        rounds_run = r
+        if r % checkpoint_every == 0 or r == max_rounds:
+            new_ckpt = dist.localCheckpoint(eager=False)
+            s = dist_sum(new_ckpt)
+            if ckpt is not None:
+                _unpersist_ckpt(ckpt)
+            ckpt = new_ckpt
+            dist = new_ckpt
+            if s == prev_sum:
+                converged = True
+                break
+            prev_sum = s
+    if require_convergence and not converged:
+        if ckpt is not None:
+            _unpersist_ckpt(ckpt)
+        _unpersist_ckpt(edges_p)
+        raise RuntimeError(
+            f"bfs_hops: not converged after {max_rounds} rounds; raise "
+            "max_rounds (graph eccentricity from the source exceeds it)"
+        )
+    out = _register_round_state(
+        dist.select("node", F.col("d").alias("hops")),
+        *([edges_p, ckpt] if ckpt is not None else [edges_p]),
+    )
+    out._fixpoint_rounds = rounds_run
+    out._fixpoint_converged = converged
+    return out

@@ -1411,3 +1411,74 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(n) AS BIGINT)"
         ).alias("exposure_bps"),
     )
+
+
+@query(
+    "dq_functional_dependency",
+    oracle="""
+    WITH fd1 AS (
+      SELECT 'o_orderkey' AS determinant, 'o_orderdate' AS dependent,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(MAX(nd) AS BIGINT) AS max_distinct
+      FROM (SELECT o_orderkey, COUNT(DISTINCT o_orderdate) AS nd
+            FROM orders GROUP BY o_orderkey)
+    ), fd2 AS (
+      SELECT 'o_custkey' AS determinant, 'o_orderpriority' AS dependent,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(MAX(nd) AS BIGINT) AS max_distinct
+      FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nd
+            FROM orders GROUP BY o_custkey)
+    ), fd3 AS (
+      SELECT 'l_partkey' AS determinant, 'l_suppkey' AS dependent,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(MAX(nd) AS BIGINT) AS max_distinct
+      FROM (SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS nd
+            FROM lineitem GROUP BY l_partkey)
+    )
+    SELECT *, n_violating = 0 AS holds FROM fd1
+    UNION ALL SELECT *, n_violating = 0 FROM fd2
+    UNION ALL SELECT *, n_violating = 0 FROM fd3
+    """,
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — the schema-inference / key-discovery
+    primitive of a data-profiling pass: for each candidate FD X -> Y,
+    count determinant groups, groups violating (|distinct Y| > 1 within
+    an X group), and the worst multiplicity. Candidates chosen to pin
+    all three outcomes on the TPC-H-ish data: the PK dependency
+    o_orderkey -> o_orderdate HOLDS; o_custkey -> o_orderpriority and
+    l_partkey -> l_suppkey are violated (a customer orders at many
+    priorities; a part ships from several suppliers). Downstream,
+    holding FDs become candidate keys / dedup columns and violations
+    become normalization findings.
+
+    Plan shape per FD: one partial-aggregated two-level group-by
+    (X-group distinct counts are the classic two-phase distinct expand),
+    then a constant-size summary — the scan dominates, never the
+    summary. Each FD scans only its own table projection."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def audit(df: DataFrame, det: str, dep: str) -> DataFrame:
+        per = df.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        return per.agg(
+            F.lit(det).alias("determinant"),
+            F.lit(dep).alias("dependent"),
+            F.count("*").alias("n_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias(
+                "n_violating"
+            ),
+            F.max("nd").cast("bigint").alias("max_distinct"),
+        )
+    out = (
+        audit(o, "o_orderkey", "o_orderdate")
+        .unionByName(audit(o, "o_custkey", "o_orderpriority"))
+        .unionByName(audit(li, "l_partkey", "l_suppkey"))
+    )
+    return out.withColumn("holds", F.col("n_violating") == 0)

@@ -368,3 +368,68 @@ def _components_fixpoint_lazy(spark: SparkSession, sf_dir: str):
         ),
         labels,
     )
+
+
+@query(
+    "graph_bfs_hops",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY a, b HAVING COUNT(DISTINCT l_orderkey) >= 3
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b AS src, a AS dst FROM pairs
+    ), walk(node, d) AS (
+      SELECT (SELECT MIN(src) FROM edges), 0
+      UNION
+      SELECT e.dst, w.d + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d < 100
+    ), dist AS (
+      SELECT node, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY node
+    ), allnodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    )
+    SELECT COALESCE(dist.hops, -1) AS hops,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM allnodes LEFT JOIN dist ON allnodes.node = dist.node
+    GROUP BY COALESCE(dist.hops, -1)
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop-distance distribution from the smallest
+    node of the repeat-trade graph (operators/graph.py::bfs_hops — the
+    relaxation-fixpoint generalization of min-label propagation:
+    self-loops carry weight 0, edges weight 1, per-round one
+    shuffle-hash join + map-side MIN, delta-sum stopping, periodic
+    distance re-checkpoints). Nodes in other components report
+    hops = -1. The oracle is the declarative walk: DuckDB's recursive
+    closure over (node, depth) pairs with MIN depth per node — a
+    completely different evaluation strategy for the same fixpoint.
+    Output is the hop histogram (bounded by the source component's
+    eccentricity), so the wrapper materializes eagerly and releases the
+    edge/distance checkpoints before returning."""
+    from ..operators.graph import (
+        UNREACHED,
+        bfs_hops,
+        finalize_round_result,
+    )
+
+    pairs = _trade_pairs(spark, sf_dir, min_support=3)
+    src = pairs.agg(F.min("a")).collect()[0][0]  # bounded scalar
+    dist = bfs_hops(
+        pairs, source=int(src), max_rounds=200, require_convergence=True
+    )
+    hist = (
+        dist.select(
+            F.when(F.col("hops") >= UNREACHED, F.lit(-1))
+            .otherwise(F.col("hops"))
+            .cast("bigint")
+            .alias("hops")
+        )
+        .groupBy("hops")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    return finalize_round_result(hist, dist)

@@ -203,3 +203,68 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.joins import error_purchase_pairs
 
     return error_purchase_pairs(load(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_join_interval_outer",
+    oracle="""
+    SELECT e.user_id, e.event_id AS error_id,
+           STRFTIME(e.ts, '%Y-%m-%d %H:%M:%S') AS error_time,
+           p.event_id AS purchase_id, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 10 MINUTE
+    """,
+)
+def stream_join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the null-emission form
+    stream_join_interval's inner join can't express: every error event
+    emits at least one row, with NULL purchase columns when no purchase
+    followed within 10 minutes. In streaming this is the semantically
+    hard case — the engine may emit the null row only once the
+    watermark PROVES no match can still arrive (state eviction doubles
+    as negative evidence); in batch the same join condition under
+    how='left' gives the final answer directly, which is what the
+    oracle checks. tests/test_streaming.py proves the streaming
+    execution converges to this batch result. Same watermark-bounded
+    state posture as the inner form: O(rate x interval), never the
+    stream length."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    # streaming/joins.py::interval_join assumes a shared key name; the
+    # outer form needs the left spine preserved with its own names, so
+    # build the same condition directly (identical bounds + watermark
+    # posture — the streaming convergence test runs THIS body).
+    from ..streaming.windows import with_event_time
+
+    e = with_event_time(errors, "error_ts").withWatermark(
+        "error_ts", "30 minutes"
+    )
+    p = with_event_time(purchases, "purchase_ts").withWatermark(
+        "purchase_ts", "30 minutes"
+    )
+    cond = (
+        (e["user_id"] == p["p_user"])
+        & (p["purchase_ts"] >= e["error_ts"])
+        & (p["purchase_ts"] <= e["error_ts"] + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return e.join(p, cond, "left").select(
+        "user_id",
+        "error_id",
+        F.date_format("error_ts", "yyyy-MM-dd HH:mm:ss").alias("error_time"),
+        "purchase_id",
+        "purchase_value",
+    )

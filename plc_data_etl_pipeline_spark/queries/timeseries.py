@@ -1088,3 +1088,107 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN amp_24h >= amp_12h AND amp_24h >= amp_8h THEN 1"
         " WHEN amp_12h >= amp_8h THEN 2 ELSE 3 END AS dominant_k",
     )
+
+
+@query(
+    "ts_stl_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_cents,
+             COUNT(value) AS n
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+    ), with_trend AS (
+      SELECT event_type, h, sum_cents, n,
+             CAST(sum_cents AS DOUBLE) / 100 / n AS v,
+             CAST(SUM(sum_cents) OVER w AS DOUBLE) / 100
+               / SUM(n) OVER w AS trend
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ), dev AS (
+      SELECT *, CAST(FLOOR((v - trend) * 1000000 + 0.5) AS BIGINT)
+                  AS dev_micro,
+             CAST(EXTRACT(hour FROM h) AS INT) AS hod
+      FROM with_trend
+    ), seasonal AS (
+      SELECT event_type, hod,
+             CAST(SUM(dev_micro) AS DOUBLE) / 1000000 / COUNT(*) AS s
+      FROM dev GROUP BY event_type, hod
+    )
+    SELECT d.event_type,
+           STRFTIME(d.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           d.v AS value, d.trend, s.s AS seasonal,
+           d.v - d.trend - s.s AS residual
+    FROM dev d JOIN seasonal s
+      ON d.event_type = s.event_type AND d.hod = s.hod
+    """,
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style seasonal-trend decomposition of the hourly sensor
+    series per event type: trend = event-weighted mean over a centered
+    25-bucket window, seasonal = mean detrended deviation per
+    hour-of-day, residual = value - trend - seasonal — the
+    decomposition a monitoring pipeline runs before alarming on
+    residuals (ts_seasonal_profile's diurnal baseline is the seasonal
+    term alone; this separates drift from cycle from noise).
+
+    Determinism (the whole trick): every aggregation that crosses rows
+    happens in EXACT integer space — hourly sums as BIGINT cents,
+    window-frame sums of those BIGINTs, per-bucket deviations quantized
+    to BIGINT micro-units BEFORE the seasonal mean — so no engine ever
+    sums doubles in engine-dependent order; the only floating-point
+    steps are identical single divisions/subtractions of identical
+    operands. Trend is the weighted mean (frame event mass), which both
+    engines express as two exact window sums.
+
+    Scale: one shuffle to the hourly grain (bucket count = hours x
+    types, tiny vs input), two frame sums on one exchange+sort, one
+    broadcast-size seasonal join. The raw 100 TB stream is touched
+    once."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(
+        "event_type", hour.alias("h")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias(
+            "sum_cents"
+        ),
+        F.count("value").alias("n"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-12, 12)
+    )
+    with_trend = hourly.select(
+        "event_type",
+        "h",
+        (F.col("sum_cents").cast("double") / 100 / F.col("n")).alias("v"),
+        (
+            F.sum("sum_cents").over(w).cast("double")
+            / 100
+            / F.sum("n").over(w)
+        ).alias("trend"),
+    )
+    dev = with_trend.withColumn(
+        "dev_micro",
+        F.floor((F.col("v") - F.col("trend")) * 1000000 + 0.5).cast("bigint"),
+    ).withColumn("hod", F.hour("h"))
+    seasonal = dev.groupBy("event_type", "hod").agg(
+        (F.sum("dev_micro").cast("double") / 1000000 / F.count("*")).alias("s")
+    )
+    return (
+        dev.join(seasonal, ["event_type", "hod"])
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("v").alias("value"),
+            "trend",
+            F.col("s").alias("seasonal"),
+            (F.col("v") - F.col("trend") - F.col("s")).alias("residual"),
+        )
+    )

@@ -125,6 +125,8 @@ def test_registered_graph_queries_leave_no_resident_state(spark):
         "graph_pagerank",
         "graph_triangle_count",
         "graph_label_propagation",
+        "graph_components_fixpoint",
+        "graph_bfs_hops",
         "multimodal_phash_clusters",
         "dedup_cluster_survivors",
     ):
@@ -266,3 +268,34 @@ def test_fixpoint_lpa_require_convergence_raises_on_truncation(spark):
     assert done._fixpoint_converged is True
     assert {r["lbl"] for r in done.collect()} == {100}
     release_round_state(done)
+
+
+def test_bfs_hops_planted_graph(spark):
+    """BFS relaxation fixpoint on planted shapes: exact hop counts on a
+    chain (forces many checkpoint blocks), sentinel distances for a
+    disconnected component, convergence metadata, and zero resident
+    RDDs after release."""
+    from plc_data_etl_pipeline_spark.operators.graph import (
+        UNREACHED,
+        bfs_hops,
+        release_round_state,
+    )
+
+    chain = [(i, i + 1) for i in range(12)]          # 0-1-...-12
+    tri = [(50, 51), (51, 52), (50, 52)]             # unreachable
+    pairs = spark.createDataFrame(chain + tri, "a long, b long")
+    base = _persistent_ids(spark)
+    dist = bfs_hops(pairs, source=0, max_rounds=40, require_convergence=True)
+    got = {r["node"]: r["hops"] for r in dist.collect()}
+    want = {i: i for i in range(13)}
+    want.update({50: UNREACHED, 51: UNREACHED, 52: UNREACHED})
+    assert got == want
+    assert dist._fixpoint_converged is True
+    assert 12 <= dist._fixpoint_rounds <= 20
+    release_round_state(dist)
+    assert not (_persistent_ids(spark) - base)
+    # truncation raises under require_convergence
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="not converged"):
+        bfs_hops(pairs, source=0, max_rounds=4, require_convergence=True)

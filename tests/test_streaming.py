@@ -738,3 +738,123 @@ def test_streaming_incremental_join_view_converges(spark, tmp_path):
     # exactly-once under replay: one row per key
     n = TransactionalParquetTable(spark, out).read().count()
     assert n == len(final)
+
+
+def test_stream_stream_outer_interval_join_matches_batch(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join (stream_join_interval_outer
+    body): null rows for never-matched errors must emit once the
+    watermark PROVES no purchase can still arrive, and the final result
+    must equal the batch left join.
+
+    Outer convergence needs watermark PROGRESS (unlike the inner test's
+    wide-watermark trick — with a never-advancing watermark the nulls
+    never emit), so this test feeds files in event-time order with a
+    10-minute watermark and a far-future flush pair that pushes the
+    global watermark past every real row. The flush users are excluded
+    from the comparison: their own null row is exactly the
+    watermark-boundary case Spark leaves buffered at termination."""
+    import datetime
+
+    from plc_data_etl_pipeline_spark.queries.stream_batch import (
+        stream_join_interval_outer,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+
+    def ev(ts, uid, typ, val=1.0):
+        nonlocal eid
+        rows.append((eid, ts, uid, typ, val, None))
+        eid += 1
+
+    files_dir = tmp_path / "ordered"
+    files_dir.mkdir()
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    for i in range(4):  # event-time-ordered batches, 20 min apart
+        rows = []
+        t0 = base + datetime.timedelta(minutes=20 * i)
+        ev(t0, 1, "error")
+        ev(t0 + datetime.timedelta(minutes=5), 1, "purchase", 10.0 + i)
+        ev(t0, 2, "error")
+        ev(t0 + datetime.timedelta(minutes=15), 2, "purchase", 20.0 + i)
+        ev(t0, 3, "error")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(files_dir / f"f{i}")
+        )
+    rows = []
+    flush = base + datetime.timedelta(days=10)
+    ev(flush, 99, "error")
+    ev(flush, 98, "purchase", 0.0)
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(files_dir / "f9_flush")
+    )
+
+    sf_like = str(files_dir)  # not a real sf dir; build frames directly
+    from pyspark.sql import functions as F
+
+    from plc_data_etl_pipeline_spark.streaming.windows import with_event_time
+
+    def join_body(ev_df):
+        errors = ev_df.filter(F.col("event_type") == "error").select(
+            "user_id",
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        purchases = ev_df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        e = with_event_time(errors, "error_ts").withWatermark(
+            "error_ts", "10 minutes"
+        )
+        p = with_event_time(purchases, "purchase_ts").withWatermark(
+            "purchase_ts", "10 minutes"
+        )
+        cond = (
+            (e["user_id"] == p["p_user"])
+            & (p["purchase_ts"] >= e["error_ts"])
+            & (
+                p["purchase_ts"]
+                <= e["error_ts"] + F.expr("INTERVAL 10 MINUTES")
+            )
+        )
+        return e.join(p, cond, "left").select(
+            "user_id", "error_id", "purchase_id"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(files_dir / "f*"))
+    )
+    q = (
+        join_body(stream)
+        .writeStream.format("memory")
+        .queryName("outer_join_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM outer_join_mem").collect()
+        if r["user_id"] < 90
+    }
+    batch_all = spark.read.schema(schema).parquet(str(files_dir / "f*"))
+    want = {
+        tuple(r)
+        for r in join_body(batch_all).collect()
+        if r["user_id"] < 90
+    }
+    # non-vacuous: matched rows AND watermark-proven null rows
+    assert any(r[2] is not None for r in want)
+    assert any(r[2] is None for r in want), "fixture must force null rows"
+    assert got == want

@@ -404,7 +404,7 @@ UNREACHED = 1 << 40  # sentinel distance: > any real hop count
 
 def bfs_hops(
     pairs: DataFrame,
-    source: int,
+    source: int | None = None,
     max_rounds: int = 50,
     checkpoint_every: int = 5,
     require_convergence: bool = False,
@@ -412,7 +412,10 @@ def bfs_hops(
     """Single-source BFS hop distances over an UNDIRECTED pair list —
     the relaxation fixpoint ``dist_{t+1}(v) = min(dist_t(v),
     min_{u in N(v)} dist_t(u) + 1)`` from ``dist_0(source) = 0``,
-    everything else the UNREACHED sentinel. Returns (node, hops) with
+    everything else the UNREACHED sentinel. ``source=None`` means the
+    graph's minimum node id, computed from the already-checkpointed
+    edge relation (one node-sized aggregate — no second derivation of
+    the possibly-expensive pair build, round-6 review). Returns (node, hops) with
     ``hops = UNREACHED`` for nodes in other components (callers decide
     how to present unreachability). Generalizes directly to weighted
     SSSP: the self-loop edges carry weight 0 (so a node's own distance
@@ -442,16 +445,15 @@ def bfs_hops(
         .repartition(n_shuffle, "src")
         .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
-    dist = (
-        edges_p.select(F.col("src").alias("node"))
-        .distinct()
-        .select(
-            "node",
-            F.when(F.col("node") == source, F.lit(0))
-            .otherwise(F.lit(UNREACHED))
-            .cast("bigint")
-            .alias("d"),
-        )
+    nodes = edges_p.select(F.col("src").alias("node")).distinct()
+    if source is None:
+        source = nodes.agg(F.min("node")).collect()[0][0]
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == source, F.lit(0))
+        .otherwise(F.lit(UNREACHED))
+        .cast("bigint")
+        .alias("d"),
     )
 
     def dist_sum(df: DataFrame):

@@ -386,7 +386,7 @@ def _components_fixpoint_lazy(spark: SparkSession, sf_dir: str):
       UNION
       SELECT e.dst, w.d + 1
       FROM walk w JOIN edges e ON e.src = w.node
-      WHERE w.d < 100
+      WHERE w.d < 200
     ), dist AS (
       SELECT node, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY node
     ), allnodes AS (
@@ -407,7 +407,9 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance re-checkpoints). Nodes in other components report
     hops = -1. The oracle is the declarative walk: DuckDB's recursive
     closure over (node, depth) pairs with MIN depth per node — a
-    completely different evaluation strategy for the same fixpoint.
+    completely different evaluation strategy for the same fixpoint,
+    with the SAME depth bound (200) as the engine's max_rounds so
+    neither side can see depths the other cannot.
     Output is the hop histogram (bounded by the source component's
     eccentricity), so the wrapper materializes eagerly and releases the
     edge/distance checkpoints before returning."""
@@ -418,9 +420,15 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = _trade_pairs(spark, sf_dir, min_support=3)
-    src = pairs.agg(F.min("a")).collect()[0][0]  # bounded scalar
+    # source=None -> the graph's MIN node id, computed inside bfs_hops
+    # from the checkpointed edge relation: matches the oracle's
+    # MIN(src) over ALL nodes (customers AND suppliers — a min over
+    # just the customer column diverged, round-6 review) and avoids
+    # deriving the pair aggregation twice. max_rounds == the oracle's
+    # depth cap (200): both engines bound the walk identically, and
+    # require_convergence raises rather than silently truncating.
     dist = bfs_hops(
-        pairs, source=int(src), max_rounds=200, require_convergence=True
+        pairs, source=None, max_rounds=200, require_convergence=True
     )
     hist = (
         dist.select(

@@ -226,45 +226,13 @@ def stream_join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark PROVES no match can still arrive (state eviction doubles
     as negative evidence); in batch the same join condition under
     how='left' gives the final answer directly, which is what the
-    oracle checks. tests/test_streaming.py proves the streaming
-    execution converges to this batch result. Same watermark-bounded
-    state posture as the inner form: O(rate x interval), never the
-    stream length."""
-    from pyspark.sql import functions as F
+    oracle checks. The body is streaming/joins.py::
+    error_purchase_pairs_outer, built ON the existing interval_join
+    (how='left') and shared verbatim with the streaming convergence
+    test in tests/test_streaming.py — query and test cannot drift
+    (round-6 review replaced a hand-rolled copy). Watermark-bounded
+    state like the inner form: O(rate x interval), never the stream
+    length."""
+    from ..streaming.joins import error_purchase_pairs_outer
 
-    ev = load(spark, sf_dir, "events")
-    errors = ev.filter(F.col("event_type") == "error").select(
-        "user_id",
-        F.col("event_id").alias("error_id"),
-        F.col("ts").alias("error_ts"),
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("purchase_ts"),
-        F.col("value").alias("purchase_value"),
-    )
-    # streaming/joins.py::interval_join assumes a shared key name; the
-    # outer form needs the left spine preserved with its own names, so
-    # build the same condition directly (identical bounds + watermark
-    # posture — the streaming convergence test runs THIS body).
-    from ..streaming.windows import with_event_time
-
-    e = with_event_time(errors, "error_ts").withWatermark(
-        "error_ts", "30 minutes"
-    )
-    p = with_event_time(purchases, "purchase_ts").withWatermark(
-        "purchase_ts", "30 minutes"
-    )
-    cond = (
-        (e["user_id"] == p["p_user"])
-        & (p["purchase_ts"] >= e["error_ts"])
-        & (p["purchase_ts"] <= e["error_ts"] + F.expr("INTERVAL 10 MINUTES"))
-    )
-    return e.join(p, cond, "left").select(
-        "user_id",
-        "error_id",
-        F.date_format("error_ts", "yyyy-MM-dd HH:mm:ss").alias("error_time"),
-        "purchase_id",
-        "purchase_value",
-    )
+    return error_purchase_pairs_outer(load(spark, sf_dir, "events"))

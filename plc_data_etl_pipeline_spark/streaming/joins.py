@@ -116,3 +116,47 @@ def enrich_stream_with_dim(
     return stream_df.join(
         F.broadcast(dim_df), stream_df[stream_key] == dim_df[dim_key], how
     )
+
+
+def error_purchase_pairs_outer(
+    events: DataFrame,
+    follow_minutes: int = 10,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """LEFT OUTER twin of :func:`error_purchase_pairs`: every error
+    emits at least one row, with NULL purchase columns when no purchase
+    followed within ``follow_minutes``. Built ON :func:`interval_join`
+    (how='left') — one join body shared by the oracle-checked batch
+    query (stream_join_interval_outer) and the streaming convergence
+    test, so the two cannot drift (round-6 review). In streaming the
+    null row emits only once the purchase-side watermark PROVES no
+    match can still arrive — eviction doubles as negative evidence."""
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    j = interval_join(
+        errors,
+        purchases,
+        key="user_id",
+        left_ts="error_ts",
+        right_ts="purchase_ts",
+        lower_s=0,
+        upper_s=follow_minutes * 60,
+        watermark=watermark,
+        how="left",
+    )
+    return j.select(
+        F.col("l.user_id").alias("user_id"),
+        "error_id",
+        F.date_format("error_ts", "yyyy-MM-dd HH:mm:ss").alias("error_time"),
+        "purchase_id",
+        "purchase_value",
+    )

@@ -793,39 +793,15 @@ def test_stream_stream_outer_interval_join_matches_batch(spark, tmp_path):
         str(files_dir / "f9_flush")
     )
 
-    sf_like = str(files_dir)  # not a real sf dir; build frames directly
-    from pyspark.sql import functions as F
-
-    from plc_data_etl_pipeline_spark.streaming.windows import with_event_time
+    from plc_data_etl_pipeline_spark.streaming.joins import (
+        error_purchase_pairs_outer,
+    )
 
     def join_body(ev_df):
-        errors = ev_df.filter(F.col("event_type") == "error").select(
-            "user_id",
-            F.col("event_id").alias("error_id"),
-            F.col("ts").alias("error_ts"),
-        )
-        purchases = ev_df.filter(F.col("event_type") == "purchase").select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        e = with_event_time(errors, "error_ts").withWatermark(
-            "error_ts", "10 minutes"
-        )
-        p = with_event_time(purchases, "purchase_ts").withWatermark(
-            "purchase_ts", "10 minutes"
-        )
-        cond = (
-            (e["user_id"] == p["p_user"])
-            & (p["purchase_ts"] >= e["error_ts"])
-            & (
-                p["purchase_ts"]
-                <= e["error_ts"] + F.expr("INTERVAL 10 MINUTES")
-            )
-        )
-        return e.join(p, cond, "left").select(
-            "user_id", "error_id", "purchase_id"
-        )
+        # THE registered query's body (stream_join_interval_outer calls
+        # the same function) — the convergence proof covers the real
+        # code path, not a private re-implementation (round-6 review).
+        return error_purchase_pairs_outer(ev_df, watermark="10 minutes")
 
     stream = (
         spark.readStream.schema(schema)
@@ -855,6 +831,7 @@ def test_stream_stream_outer_interval_join_matches_batch(spark, tmp_path):
         if r["user_id"] < 90
     }
     # non-vacuous: matched rows AND watermark-proven null rows
-    assert any(r[2] is not None for r in want)
-    assert any(r[2] is None for r in want), "fixture must force null rows"
+    # columns: (user_id, error_id, error_time, purchase_id, purchase_value)
+    assert any(r[3] is not None for r in want)
+    assert any(r[3] is None for r in want), "fixture must force null rows"
     assert got == want

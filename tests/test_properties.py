@@ -971,3 +971,12 @@ def test_partitioned_merge_too_wide_feed_falls_back(spark, tmp_path, monkeypatch
     t.merge_apply_changes(ups, keys=["p", "k"])
     got = sorted(map(tuple, t.read().collect()))
     assert got == [(p, 0, "new" if p < 5 else "old") for p in range(6)]
+
+
+@given(rows=EVENT_ROWS)
+@_SETTINGS
+def test_stl_decompose_property(spark, tmp_path_factory, rows):
+    """ts_stl_decompose over random events (NULL ts/value, tie-heavy
+    minutes, negative readings): the exact-integer trend/seasonal
+    pipeline must match the oracle on every generated corpus."""
+    _check_events_query(spark, tmp_path_factory, rows, "ts_stl_decompose")

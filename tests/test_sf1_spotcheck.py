@@ -80,6 +80,14 @@ SPOT = [
     "sink_partitioned_maintenance",
     "sink_txn_restore",
     "scd2_pointintime_join",
+    # round-6 closing batch: the exact-integer STL windows at 10x the
+    # hourly buckets, the FD census over 10x groups, the outer interval
+    # join's null-row set at 10x density, and BFS against the recursive
+    # closure on the 10x replica graph.
+    "ts_stl_decompose",
+    "dq_functional_dependency",
+    "stream_join_interval_outer",
+    "graph_bfs_hops",
 ]
 
 

@@ -1144,9 +1144,12 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines express as two exact window sums.
 
     Scale: one shuffle to the hourly grain (bucket count = hours x
-    types, tiny vs input), two frame sums on one exchange+sort, one
-    broadcast-size seasonal join. The raw 100 TB stream is touched
-    once."""
+    types, tiny vs input), two frame sums on one exchange+sort, and the
+    seasonal mean as a WINDOW over (event_type, hour-of-day) rather
+    than a groupBy+join — a join-back formulation re-derived the whole
+    hourly branch (second scan of the raw table, 5 exchanges; caught in
+    the round-6 plan audit). The raw 100 TB stream is touched once;
+    plan-locked in test_plans."""
     ev = load(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
@@ -1178,17 +1181,17 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dev_micro",
         F.floor((F.col("v") - F.col("trend")) * 1000000 + 0.5).cast("bigint"),
     ).withColumn("hod", F.hour("h"))
-    seasonal = dev.groupBy("event_type", "hod").agg(
-        (F.sum("dev_micro").cast("double") / 1000000 / F.count("*")).alias("s")
+    w2 = Window.partitionBy("event_type", "hod")
+    s = (
+        F.sum("dev_micro").over(w2).cast("double")
+        / 1000000
+        / F.count("*").over(w2)
     )
-    return (
-        dev.join(seasonal, ["event_type", "hod"])
-        .select(
-            "event_type",
-            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
-            F.col("v").alias("value"),
-            "trend",
-            F.col("s").alias("seasonal"),
-            (F.col("v") - F.col("trend") - F.col("s")).alias("residual"),
-        )
+    return dev.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("v").alias("value"),
+        "trend",
+        s.alias("seasonal"),
+        (F.col("v") - F.col("trend") - s).alias("residual"),
     )

@@ -865,3 +865,19 @@ def test_partitioned_maintenance_prunes_merge_reads(spark, tmp_path):
     live, carried = t._split_touched_files(m, ["p", "k"], touched)
     assert len(live) == 1 and len(carried) == len(m["files"]) - 1
     assert m["stats"][live[0]]["p"] == [3, 3]
+
+
+def test_stl_decompose_scans_once(spark):
+    """ts_stl_decompose must touch the raw events table exactly ONCE:
+    the seasonal mean is a window over (event_type, hour-of-day), not a
+    groupBy+join-back (which re-derived the whole hourly branch — a
+    second full scan of the 100 TB stream; round-6 plan audit)."""
+    import re
+
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    df = all_queries()["ts_stl_decompose"].fn(spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Scan parquet|FileScan", p)) == 1
+    assert len(re.findall(r"Exchange", p)) <= 3
+    assert "Join" not in p

@@ -922,3 +922,90 @@ def curation_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("best_above") < F.col("diversity_ppm"))
         & (F.col("best_same") <= F.col("diversity_ppm"))
     ).select("lang", "doc_id", "len_score", "diversity_ppm")
+
+
+@query(
+    "curation_survivor_quality",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, text, LENGTH(text) AS n_chars
+      FROM documents WHERE doc_id < 150 AND text IS NOT NULL
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([text[i:i+4] FOR i IN range(1, GREATEST(LENGTH(text) - 4, 0) + 1)]) AS grams
+      FROM d
+    ), dup_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.35
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM dup_pairs
+    ), reach(node, root) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ), cc AS (
+      SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node
+    ), clustered AS (
+      SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+             CAST(d.n_chars AS BIGINT) AS n_chars
+      FROM d LEFT JOIN cc ON cc.node = d.doc_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id) AS rn
+      FROM clustered
+    )
+    SELECT doc_id, cluster_id, n_chars, rn = 1 AS is_survivor
+    FROM ranked
+    """,
+)
+def curation_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE dedup survivor election: near-dup clusters (5-gram
+    Jaccard >= 0.35 over a bounded id range, connected components via
+    min-label propagation) keep their HIGHEST-QUALITY member — longest
+    text, doc_id tiebreak — instead of dedup_cluster_survivors' keep-
+    first (min id). This is what production corpus dedup actually does
+    (near-dup groups usually contain one full document and several
+    truncated/boilerplate-wrapped copies; keep-first throws away the
+    full one roughly half the time). The oracle re-derives clusters
+    with the recursive reachability closure and elects survivors with
+    the identical window. One window over the cluster key on top of
+    the CC output; clusters are small by construction so the election
+    adds no shuffle beyond the cluster-key exchange. Bounded result:
+    materialized eagerly, CC checkpoint state released before return."""
+    from ..operators.dedup import connected_components
+    from ..operators.graph import finalize_round_result
+    from .extensions import _char_shingles
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 150) & F.col("text").isNotNull())
+        .select("doc_id", "text", F.length("text").cast("bigint").alias("n_chars"))
+    )
+    sh = d.select("doc_id", _char_shingles().alias("grams"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(F.try_divide(inter, union.cast("double")) >= 0.35)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs)
+    clustered = d.join(cc, d["doc_id"] == cc["node"], "left").select(
+        d["doc_id"],
+        F.coalesce(cc["cluster_id"], d["doc_id"]).alias("cluster_id"),
+        "n_chars",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    out = clustered.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id", "cluster_id", "n_chars", (F.col("rn") == 1).alias("is_survivor")
+    )
+    return finalize_round_result(out, cc)

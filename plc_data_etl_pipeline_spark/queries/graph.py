@@ -441,3 +441,69 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_nodes"))
     )
     return finalize_round_result(hist, dist)
+
+
+@query(
+    "graph_bipartite_projection",
+    oracle="""
+    WITH cs AS (
+      SELECT l_suppkey AS s, o_custkey AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY s, c HAVING COUNT(DISTINCT l_orderkey) >= 3
+    ), deg AS (
+      SELECT s, COUNT(*) AS d FROM cs GROUP BY s
+    ), kept AS (
+      SELECT cs.s, cs.c FROM cs JOIN deg ON cs.s = deg.s
+      WHERE deg.d <= 50
+    ), pairs AS (
+      SELECT a.c AS c1, b.c AS c2, COUNT(*) AS shared_suppliers
+      FROM kept a JOIN kept b ON a.s = b.s AND a.c < b.c
+      GROUP BY c1, c2
+    )
+    SELECT c1, c2, CAST(shared_suppliers AS BIGINT) AS shared_suppliers
+    FROM pairs
+    ORDER BY shared_suppliers DESC, c1, c2 LIMIT 20
+    """,
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection with a HUB-DEGREE CAP: project the
+    customer—supplier repeat-trade graph onto customers (edge weight =
+    shared repeat suppliers), keeping only suppliers with <= 50 repeat
+    customers. The cap is the load-bearing scale decision, not a
+    convenience: an uncapped projection generates d^2 pairs per
+    supplier, so ONE power-law hub (a supplier half the market buys
+    from) turns a 100 TB projection into a cartesian — the same blowup
+    triangle_count's degree orientation and dedup_minhash's bucket caps
+    guard against, and the standard market-basket/co-occurrence
+    mitigation (skip ubiquitous items: a shared EVERYONE-supplier
+    carries no similarity signal anyway, exactly like a stopword).
+    With the cap, per-supplier fan-out is <= 50^2 and total work is
+    sum(d_i^2) over capped degrees — linear in kept edges times a
+    constant. Plan: support-filtered edge build (partial-agg), degree
+    census + cap semi-filter, one co-partitioned self-join on the
+    supplier key, pair count, TakeOrderedAndProject top-20 (no global
+    sort)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c")
+        )
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("s", "c")
+    )
+    deg = cs.groupBy("s").agg(F.count("*").alias("d"))
+    kept = cs.join(deg.filter(F.col("d") <= 50), "s").select("s", "c")
+    a = kept.select("s", F.col("c").alias("c1"))
+    b = kept.select("s", F.col("c").alias("c2"))
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count("*").alias("shared_suppliers"))
+    )
+    return pairs.orderBy(
+        F.desc("shared_suppliers"), "c1", "c2"
+    ).limit(20)

@@ -88,6 +88,9 @@ SPOT = [
     "dq_functional_dependency",
     "stream_join_interval_outer",
     "graph_bfs_hops",
+    # hub-cap projection at 10x degrees (the cap semantics must bound
+    # the pair blowup identically in both engines at replica scale)
+    "graph_bipartite_projection",
 ]
 
 

@@ -236,3 +236,44 @@ def stream_join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.joins import error_purchase_pairs_outer
 
     return error_purchase_pairs_outer(load(spark, sf_dir, "events"))
+
+
+@query("stream_heavy_hitters", oracle=None)  # order-dependent sketch state
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent-users sketch per event type, batch form:
+    the events table folded in (ts, event_id) order through the SAME
+    pure mg_step the streaming operator
+    (streaming/stateful.py::heavy_hitters_stream) applies per
+    micro-batch — deterministic, so rows are stable across runs, but
+    the counter VALUES are a function of arrival order (no SQL twin
+    exists; Misra & Gries 1982). The pytest contract is the classic
+    guarantee pinned against exact batch counts: every user above
+    n/k of an event type's volume survives in the candidates, and no
+    counter overestimates (underestimate bounded by n/k); plus the
+    chunk-invariance (split-anywhere) property that justifies resuming
+    from GroupState, and a streaming-equals-batch convergence run.
+    Output is bounded: (k-1) rows per event type."""
+    import pandas as pd
+
+    from ..streaming.stateful import MG_OUTPUT_SCHEMA, mg_step
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "user_id"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], na_position="first")
+        counters = mg_step((int(u) for u in pdf["user_id"]), None)
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "user_id": i,
+                    "est_count": c,
+                    "n_processed": len(pdf),
+                }
+                for i, c in sorted(counters.items())
+            ]
+        )
+
+    return ev.groupBy("event_type").applyInPandas(fold, MG_OUTPUT_SCHEMA)

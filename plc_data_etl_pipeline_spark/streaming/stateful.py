@@ -485,3 +485,120 @@ def cusum_stream(events_stream: DataFrame, calibration: dict) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Misra-Gries heavy hitters — the deterministic frequent-items
+# sketch as per-key stream state (k-1 counters per group), completing the
+# stateful species set: recurrence folds (EWMA/Holt/CUSUM) keep O(1)
+# numeric state; this keeps a BOUNDED SET, the shape of
+# frequent-items/top-k serving at stream scale. Classic guarantees
+# (Misra & Gries 1982): with capacity k-1, every item whose true
+# frequency exceeds n/k survives in the counters, and every counter
+# underestimates its item's true count by at most n/k. The fold is
+# chunk-invariant — processing a sequence in any contiguous chunking
+# yields the identical state — which is exactly what lets micro-batches
+# resume from GroupState (split-anywhere property, test-locked).
+
+MG_K = 8  # counter capacity + 1: guarantees survivors above n/8
+
+MG_STATE_SCHEMA = StructType(
+    [
+        StructField("items", StringType()),   # csv of item ids (bounded: k-1)
+        StructField("counts", StringType()),  # csv of counter values
+        StructField("n", LongType()),
+    ]
+)
+
+MG_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("user_id", LongType()),
+        StructField("est_count", LongType()),
+        StructField("n_processed", LongType()),
+    ]
+)
+
+
+def mg_step(
+    items: Iterable[int],
+    state: dict[int, int] | None,
+    k: int = MG_K,
+) -> dict[int, int]:
+    """Pure Misra-Gries update: fold ``items`` into the counter map
+    (capacity k-1). Engine-free; chunk-invariant by construction (one
+    item at a time, no batch-level shortcuts)."""
+    counters: dict[int, int] = dict(state) if state else {}
+    for x in items:
+        if x in counters:
+            counters[x] += 1
+        elif len(counters) < k - 1:
+            counters[x] = 1
+        else:
+            for key in list(counters):
+                counters[key] -= 1
+                if counters[key] == 0:
+                    del counters[key]
+    return counters
+
+
+def _mg_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (event_type,) = key
+    if state.exists:
+        s_items, s_counts, n = state.get
+        prev = (
+            dict(zip(map(int, s_items.split(",")),
+                     map(int, s_counts.split(","))))
+            if s_items
+            else {}
+        )
+    else:
+        prev, n = {}, 0
+    rows: list[tuple] = []
+    for pdf in pdfs:
+        rows.extend(zip(pdf["ts"], pdf["event_id"], pdf["user_id"]))
+    rows.sort(key=_null_ts_first_key)
+    items = [int(u) for (_t, _e, u) in rows]
+    counters = mg_step(items, prev)
+    n += len(items)
+    ordered = sorted(counters.items())  # deterministic state encoding
+    state.update(
+        (
+            ",".join(str(i) for i, _c in ordered),
+            ",".join(str(c) for _i, c in ordered),
+            n,
+        )
+    )
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": event_type,
+                "user_id": i,
+                "est_count": c,
+                "n_processed": n,
+            }
+            for i, c in ordered
+        ]
+    )
+
+
+def heavy_hitters_stream(events_stream: DataFrame) -> DataFrame:
+    """Continuously-maintained Misra-Gries frequent-users sketch per
+    event type: each micro-batch folds its rows (ordered by ts,
+    event_id — the shared stateful-twin convention) into the bounded
+    counter state and emits the refreshed candidate set. State is at
+    most k-1 (item, count) pairs + a counter per key — bounded by
+    k x |event types|, never by stream length; survivors-above-n/k and
+    the n/k underestimate bound are the classic MG guarantees,
+    pytest-locked against exact batch counts."""
+    return events_stream.groupBy("event_type").applyInPandasWithState(
+        _mg_group,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -519,3 +519,130 @@ def test_streaming_cusum_end_to_end(spark, tmp_path):
     assert (got.n_alarms_up, got.n_alarms_dn) == (a_up, a_dn)
     assert (got.max_s_up, got.max_s_dn) == (m_up, m_dn)
     assert got.n_alarms_up >= 15, "the planted shift must alarm"
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries streaming heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_mg_step_classic_guarantees():
+    """Misra-Gries contract on a planted stream: every item above n/k
+    survives; counters never overestimate and underestimate by at most
+    n/k. Adversarial mix: one heavy item (35%), one at the boundary,
+    long tail of singletons."""
+    import collections
+
+    stream = []
+    for i in range(1000):
+        stream.append(7)          # 1000x: heavy
+        stream.append(100 + i)    # 1000 singletons
+    stream += [9] * 400           # mid item
+    n = len(stream)
+    k = ST.MG_K
+    counters = ST.mg_step(stream, None)
+    true = collections.Counter(stream)
+    for item, c in counters.items():
+        assert c <= true[item], "MG must never overestimate"
+        assert true[item] - c <= n / k, "underestimate bound violated"
+    for item, t in true.items():
+        if t > n / k:
+            assert item in counters, f"heavy item {item} evicted"
+    assert 7 in counters and 9 in counters
+
+
+def test_mg_step_chunk_invariant():
+    """Split-anywhere: folding any prefix then the suffix with carried
+    state equals the one-shot fold — the property that lets micro-
+    batches resume from GroupState."""
+    import random
+
+    rng = random.Random(6)
+    stream = [rng.randrange(12) for _ in range(300)]
+    one = ST.mg_step(stream, None)
+    for cut in (0, 1, 7, 150, 299, 300):
+        mid = ST.mg_step(stream[:cut], None)
+        assert ST.mg_step(stream[cut:], mid) == one, cut
+
+
+def test_batch_mg_query_matches_pure_fold(spark):
+    """The registered stream_heavy_hitters batch form equals the pure
+    mg_step fold over each event type's (ts, event_id)-ordered users,
+    and every emitted row honors the guarantees vs exact counts."""
+    import collections
+
+    from plc_data_etl_pipeline_spark.catalog import load
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    got = collections.defaultdict(dict)
+    for r in all_queries()["stream_heavy_hitters"].fn(spark, SF_DIR).collect():
+        got[r["event_type"]][r["user_id"]] = r["est_count"]
+
+    ev = load(spark, SF_DIR, "events").select(
+        "event_type", "ts", "event_id", "user_id"
+    ).collect()
+    by_type = collections.defaultdict(list)
+    for r in ev:
+        by_type[r["event_type"]].append((r["ts"], r["event_id"], r["user_id"]))
+    for etype, rows in by_type.items():
+        rows.sort(key=ST._null_ts_first_key)
+        want = ST.mg_step((u for (_t, _e, u) in rows), None)
+        assert got[etype] == want, etype
+        true = collections.Counter(u for (_t, _e, u) in rows)
+        n = len(rows)
+        for item, c in want.items():
+            assert c <= true[item] and true[item] - c <= n / ST.MG_K
+
+
+def test_streaming_mg_end_to_end(spark, tmp_path):
+    """Three event-time-ordered parquet micro-batches through
+    heavy_hitters_stream: the FINAL emitted state per key must equal
+    the one-shot fold over the concatenated ordered stream — GroupState
+    carried the counters across batch boundaries."""
+    import datetime as dt
+
+    src = str(tmp_path / "mg_src")
+    cols = "event_type string, ts timestamp, event_id long, user_id long"
+    t0 = dt.datetime(2024, 1, 1)
+    eid = 0
+    batches = []
+    for b in range(3):
+        rows = []
+        for i in range(120):
+            # user 5 heavy (every other event), rotating tail
+            u = 5 if i % 2 == 0 else 100 * b + i
+            rows.append(("m", t0 + dt.timedelta(seconds=eid), eid, u))
+            eid += 1
+        batches.append(rows)
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            f"{src}/b{b}"
+        )
+    stream = (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        ST.heavy_hitters_stream(stream)
+        .writeStream.format("memory")
+        .queryName("mg_mem")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {}
+    for r in spark.sql(
+        "SELECT * FROM mg_mem ORDER BY n_processed"
+    ).collect():
+        if r["n_processed"] == 360:  # rows from the final state emission
+            final[r["user_id"]] = r["est_count"]
+    allrows = [u for rows in batches for (_m, _t, _e, u) in rows]
+    want = ST.mg_step(allrows, None)
+    assert final == want
+    assert 5 in final  # the planted heavy user survived

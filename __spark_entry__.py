@@ -113,10 +113,14 @@ def _ordered(mapping: dict) -> dict:
     (1) previously-FAILED rows — re-check fixes first;
     (2) never-driver-checked ORACLED names, priority families first
         (family order applies only within this rank — round-4 advice);
-    (3) already-green oracled names, STALEST green first — a re-green
-        guards old results against regression, which beats
-    (4) rows-only names (never-checked first), which can only ever
-        record a `no_oracle` row.
+    (3) never-driver-checked ROWS-ONLY names — each earns its one
+        possible `no_oracle` row; after r06 all oracled names are
+        green, so these 17 are the only names with zero driver
+        evidence and must beat green re-checks for coverage to ever
+        reach 270/270 (round-6 verdict item 1);
+    (4) already-green oracled names, STALEST green first — a re-green
+        guards old results against regression;
+    (5) already-checked rows-only names (a repeat adds nothing new).
     Stable within equal keys: registry order."""
     checked, failed = _driver_history()
     oracled = set(oracle_queries())
@@ -124,11 +128,13 @@ def _ordered(mapping: dict) -> dict:
     def key(n: str):
         if n in failed:
             return (0, 0)
-        if n not in checked and n in oracled:
-            return (1, _family_rank(n))
+        if n not in checked:
+            if n in oracled:
+                return (1, _family_rank(n))
+            return (2, 0)
         if n in oracled:
-            return (2, checked[n])  # oldest green re-confirmed first
-        return (3, n in checked)
+            return (3, checked[n])  # oldest green re-confirmed first
+        return (4, 0)
 
     names = sorted(mapping, key=key)
     return {n: mapping[n] for n in names}

@@ -282,7 +282,7 @@ def min_label_propagation(pairs: DataFrame, rounds: int = 3) -> DataFrame:
 def min_label_propagation_fixpoint(
     pairs: DataFrame,
     max_rounds: int = 50,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
     require_convergence: bool = False,
 ) -> DataFrame:
     """MIN-label propagation run TO CONVERGENCE — connected components
@@ -298,9 +298,15 @@ def min_label_propagation_fixpoint(
 
     * **Label re-checkpoint every ``checkpoint_every`` rounds** — the
       periodic lineage truncation the bounded operator's docstring
-      prescribes for real depth. Between checkpoints the compiled plan
-      grows one join per round (linear — plan-locked in test_graph);
-      at each checkpoint it collapses back to a LogicalRDD scan.
+      prescribes for real depth. The default is EVERY round
+      (Pregel-style): each round's materialization is node-sized while
+      an undetected extra round costs an edge-sized join+shuffle, so
+      per-round certification strictly wins at scale (round-7: the
+      factor-50 bfs wall was 10 rounds to certify convergence on a
+      diameter-2 component; per-round detection runs 3). A larger
+      ``checkpoint_every`` pipelines k rounds into one job — only
+      worth it when job-scheduling overhead rivals a round's shuffle,
+      i.e. on tiny graphs where none of this matters.
     * **A monotone convergence certificate, checked at checkpoints**:
       labels only ever DECREASE (each round takes a MIN over
       self + neighbors), so the global SUM of labels strictly
@@ -309,11 +315,12 @@ def min_label_propagation_fixpoint(
       therefore prove every round in the block was a no-op — one cheap
       scalar aggregate on the just-materialized labels, no
       frame-vs-frame diff join. (Exact decimal(38,0) sum: no overflow,
-      no float ties.) Detection lags at most 2*checkpoint_every - 1
-      wasted-but-correct rounds past the true fixpoint: convergence
-      just after a checkpoint keeps the NEXT block's sum unequal to
-      its predecessor's (the first rounds of that block still
-      changed), so the equality fires one block later.
+      no float ties.) The sum-equality IS the empty-frontier test:
+      with per-round checkpoints the loop stops exactly one round
+      after the frontier empties; with blocks of k the detection lag
+      is at most 2k - 1 wasted-but-correct rounds (convergence just
+      after a checkpoint keeps the NEXT block's sum unequal to its
+      predecessor's, so the equality fires one block later).
     * **In-loop release of superseded label checkpoints**: only the
       newest label materialization stays resident, so a deep run holds
       O(1) checkpoint blocks, not O(rounds) — the sequential
@@ -406,7 +413,7 @@ def bfs_hops(
     pairs: DataFrame,
     source: int | None = None,
     max_rounds: int = 50,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
     require_convergence: bool = False,
 ) -> DataFrame:
     """Single-source BFS hop distances over an UNDIRECTED pair list —
@@ -426,8 +433,9 @@ def bfs_hops(
     Same fixpoint machinery as :func:`min_label_propagation_fixpoint`
     and the same guarantees: distances are monotone non-increasing, so
     the exact decimal sum is a convergence certificate checked at each
-    periodic label re-checkpoint (detection lag <=
-    2*checkpoint_every - 1 rounds); superseded distance checkpoints are
+    label re-checkpoint (per-ROUND by default, so the loop stops one
+    round after the frontier empties; with blocks of k the lag is <=
+    2k - 1 rounds); superseded distance checkpoints are
     released in-loop; ``require_convergence=True`` raises on
     max_rounds truncation; ``result._fixpoint_rounds`` /
     ``result._fixpoint_converged`` report what happened. Per round: one

@@ -456,8 +456,15 @@ class TransactionalParquetTable:
 
     def _commit(self, files: list[str], schema_ddl: str,
                 txn: tuple[str, int] | None, base_version: int,
-                data_change: bool = True) -> int:
-        """Atomically publish ``files`` as version base_version+1."""
+                data_change: bool = True,
+                schema_provisional: bool = False) -> int:
+        """Atomically publish ``files`` as version base_version+1.
+
+        ``schema_provisional`` marks the manifest's schema as a
+        PLACEHOLDER (a marker-only commit on an uncreated table knows
+        only the feed's key columns): the first schema-carrying commit
+        against a provisional base ESTABLISHES the real table schema
+        instead of failing the exact-schema validation (ADVICE r6)."""
         os.makedirs(self._log_dir, exist_ok=True)
         next_v = base_version + 1
         prior = (
@@ -474,6 +481,8 @@ class TransactionalParquetTable:
             "dataChange": data_change,
             "partitionBy": self.partition_by,
         }
+        if schema_provisional:
+            manifest["schemaProvisional"] = True
         payload = json.dumps(manifest, indent=1).encode()
         try:
             fd = os.open(
@@ -562,12 +571,16 @@ class TransactionalParquetTable:
         already-committed txn marker, recompute against the current
         snapshot, and commit only if the snapshot is still current.
 
-        ``compute(base) -> (files, schema_ddl, data_change) | None``;
-        None means the operation is a logical no-op. A no-op WITH a txn
-        marker still commits a marker-only manifest (same files,
-        ``dataChange: false``) so exactly-once replay detection works —
-        otherwise a crash-replay of the no-op batch could re-execute
-        against LATER data that now matches."""
+        ``compute(base) -> (files, schema_ddl, data_change[,
+        schema_provisional]) | None``; None means the operation is a
+        logical no-op. A no-op WITH a txn marker still commits a
+        marker-only manifest (same files, ``dataChange: false``) so
+        exactly-once replay detection works — otherwise a crash-replay
+        of the no-op batch could re-execute against LATER data that now
+        matches. The restate path carries the base manifest's
+        ``schemaProvisional`` flag forward, so a chain of marker-only
+        commits on an uncreated table stays schema-provisional until a
+        real upsert establishes the schema (ADVICE r6)."""
         for _ in range(self.MAX_RETRIES):
             if self._txn_already_committed(txn):
                 return self.version()
@@ -579,7 +592,7 @@ class TransactionalParquetTable:
                 if base == 0:
                     # No manifest exists to restate: a compute() that
                     # needs a marker-only commit on an UNCREATED table
-                    # must return ([], schema, False) itself (see
+                    # must return ([], schema, False, True) itself (see
                     # merge_apply_changes), because only it knows a
                     # schema to record (ADVICE r5).
                     raise FileNotFoundError(
@@ -588,13 +601,18 @@ class TransactionalParquetTable:
                         "prior manifest"
                     )
                 m = self._read_manifest(base)
-                res = (m["files"], m["schema"], False)
-            files, ddl, data_change = res
+                res = (
+                    m["files"], m["schema"], False,
+                    m.get("schemaProvisional", False),
+                )
+            files, ddl, data_change, *rest = res
+            provisional = rest[0] if rest else False
             try:
                 if self.version() != base:  # lost the race: re-plan
                     continue
                 return self._commit(
-                    files, ddl, txn, base, data_change=data_change
+                    files, ddl, txn, base, data_change=data_change,
+                    schema_provisional=provisional,
                 )
             except CommitConflict:
                 continue
@@ -741,13 +759,28 @@ class TransactionalParquetTable:
                 # Marker-only commit on an UNCREATED table: record the
                 # txn against an empty snapshot (keys-only schema from
                 # the feed) so exactly-once replay bookkeeping exists
-                # even for this degenerate batch (ADVICE r5).
-                return [], changes.drop(sign_col)._jdf.schema().toDDL(), False
+                # even for this degenerate batch (ADVICE r5). The
+                # schema is PROVISIONAL — it is whatever columns the
+                # delete-only feed happened to carry, not the table's
+                # real schema; without the flag the first real upsert
+                # would fail the exact-schema validation forever,
+                # bricking the CDC stream (ADVICE r6 medium).
+                ddl = changes.drop(sign_col)._jdf.schema().toDDL()
+                return [], ddl, False, True
             touched = changes.select(*keys).distinct()
             if base:
                 from pyspark.sql.types import StructType
 
                 m = self._read_manifest(base)
+                if has_ups and m.get("schemaProvisional") and not m["files"]:
+                    # The base is a marker-only placeholder chain on an
+                    # uncreated table (delete-only feed before any
+                    # data): this first upsert ESTABLISHES the real
+                    # table schema. No data files exist, so the merge
+                    # is a pure insert; the provisional flag is cleared
+                    # by committing a real manifest (ADVICE r6 medium).
+                    files = self._write_data_files(ups)
+                    return files, ups._jdf.schema().toDDL(), True
                 # Positive rows must carry EXACTLY the table schema —
                 # name set AND types. Validated before any write: the
                 # manifest pins m["schema"] for carried files, so a
@@ -826,6 +859,29 @@ class TransactionalParquetTable:
         p = self.partition_by
         if p is None or p not in keys:
             return files, []
+        # Type guard (ADVICE r6): delete-only feeds bypass the
+        # exact-schema validation (it runs only when the feed carries
+        # positive rows), so a type-divergent partition key — e.g. a
+        # string feed against an int-partitioned table — would reach
+        # _envelope_may_match where a Python cross-type comparison
+        # raises a raw TypeError mid-merge. Falling back to the full
+        # merge is no escape either: Spark 4's ANSI cast makes the
+        # cross-type anti-join throw CAST_INVALID_INPUT at runtime.
+        # Fail fast with a clear contract error instead.
+        from pyspark.sql.types import StructType
+
+        table_types = {
+            f.name: f.dataType
+            for f in StructType.fromDDL(manifest["schema"]).fields
+        }
+        feed_type = touched.schema[p].dataType
+        if table_types.get(p) != feed_type:
+            raise ValueError(
+                f"merge_apply_changes: partition key {p!r} is "
+                f"{feed_type.simpleString()} in the feed but "
+                f"{table_types.get(p).simpleString() if p in table_types else 'absent'} "
+                "in the table schema; cast the feed explicitly"
+            )
         vals = [
             r[0]
             for r in touched.select(p)
@@ -886,7 +942,10 @@ class TransactionalParquetTable:
             target = self._read_manifest(version)
             if target["files"] == self._read_manifest(base)["files"]:
                 return None  # already at the target snapshot
-            return target["files"], target["schema"], True
+            # A restore TO a provisional placeholder re-opens schema
+            # establishment (the flag travels with the snapshot).
+            return (target["files"], target["schema"], True,
+                    target.get("schemaProvisional", False))
 
         return self._snapshot_retrying(compute, txn, "restore")
 
@@ -918,26 +977,49 @@ class TransactionalParquetTable:
             if self.partition_by is not None:
                 # Partitioned tables bin-pack PER PARTITION VALUE (the
                 # write path re-clusters, so the reachable minimum is
-                # one file per value; files without an exact envelope —
-                # pre-partitioning legacy — each count as their own
-                # floor unit). Without this floor the unpartitioned
-                # no-op guard never converges: compact() would rewrite
-                # the whole table into the same file count forever
-                # (round-6 review).
+                # one file per value — target_file_bytes cannot
+                # subdivide a value without breaking the exact [v, v]
+                # envelopes pruning relies on) and rewrite ONLY the
+                # disordered files (ADVICE r6):
+                #   * partitions holding >1 exact-envelope file — the
+                #     steady-state case after streaming appends;
+                #   * wide-envelope files (pre-partitioning legacy,
+                #     multiple values mixed) — one rewrite re-clusters
+                #     them into exact-envelope files and converges;
+                #   * >=2 no-envelope files (all-NULL partitions) —
+                #     merged into one; a single one is already at its
+                #     floor, NOT a rewrite unit forever (the old code
+                #     counted every loose file as its own floor unit,
+                #     so legacy tables hit the no-op guard without
+                #     ever packing).
+                # Every other file is carried byte-identical.
+                p = self.partition_by
                 stats = manifest.get("stats", {})
-                vals, loose = set(), 0
+                by_val: dict = {}
+                wide, nullish = [], []
                 for f in old_files:
-                    env = stats.get(f, {}).get(self.partition_by)
-                    if env and env[0] == env[1]:
-                        vals.add(env[0])
+                    env = stats.get(f, {}).get(p)
+                    if env is None:
+                        nullish.append(f)
+                    elif env[0] == env[1]:
+                        by_val.setdefault(env[0], []).append(f)
                     else:
-                        loose += 1
-                floor = len(vals) + loose
-                if len(old_files) <= max(floor, n_out):
-                    return None  # already at the per-partition floor
-                # coalesce is pointless here — _write_data_files
-                # re-clusters by the partition column anyway.
-                files = self._write_data_files(self.read(base))
+                        wide.append(f)
+                rewrite = list(wide)
+                if len(nullish) >= 2:
+                    rewrite += nullish
+                for fs in by_val.values():
+                    if len(fs) > 1:
+                        rewrite += fs
+                if not rewrite:
+                    return None  # one file per value: at the floor
+                carried = [
+                    f for f in old_files if f not in set(rewrite)
+                ]
+                sub = self.spark.read.schema(manifest["schema"]).parquet(
+                    *[os.path.join(self.path, f) for f in rewrite]
+                )
+                files = carried + self._write_data_files(sub)
                 return files, manifest["schema"], False
             if len(old_files) <= n_out:
                 return None  # already compact enough: no-op

@@ -263,14 +263,18 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"], na_position="first")
-        counters = mg_step((int(u) for u in pdf["user_id"]), None)
+        # NULL user_id -> NaN in a float64 column; int(nan) raises.
+        # Skip NULL items and count only folded ones, matching the
+        # streaming twin's hardening (ADVICE r6).
+        folded = pdf["user_id"].dropna()
+        counters = mg_step((int(u) for u in folded), None)
         return pd.DataFrame(
             [
                 {
                     "event_type": pdf["event_type"].iloc[0],
                     "user_id": i,
                     "est_count": c,
-                    "n_processed": len(pdf),
+                    "n_processed": len(folded),
                 }
                 for i, c in sorted(counters.items())
             ]

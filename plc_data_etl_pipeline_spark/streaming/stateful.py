@@ -562,7 +562,12 @@ def _mg_group(
     for pdf in pdfs:
         rows.extend(zip(pdf["ts"], pdf["event_id"], pdf["user_id"]))
     rows.sort(key=_null_ts_first_key)
-    items = [int(u) for (_t, _e, u) in rows]
+    # NULL user_id: one NULL makes the pandas column float64 with NaN
+    # and int(nan) raises, killing the streaming query (ADVICE r6).
+    # A NULL item identifies nobody — skip it (mirrors the NULL-ts
+    # hardening); n counts FOLDED items so the n/k guarantee stays
+    # exact over the items the sketch actually saw.
+    items = [int(u) for (_t, _e, u) in rows if u is not None and u == u]
     counters = mg_step(items, prev)
     n += len(items)
     ordered = sorted(counters.items())  # deterministic state encoding

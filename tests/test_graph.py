@@ -183,9 +183,9 @@ def test_fixpoint_lpa_planted_components(spark):
     want = {100 + i: 100 for i in range(23)}
     want.update({10: 10, 11: 10, 12: 10, 1: 1, 2: 1, 5: 5, 6: 5})
     assert got == want
-    # chain diameter is 22: convergence needs >= 22 rounds, detection
-    # lags at most one checkpoint block past it
-    assert 22 <= labels._fixpoint_rounds <= 30
+    # chain diameter is 22: convergence needs >= 22 rounds; per-round
+    # certification (round-7) detects it exactly one round later
+    assert 22 <= labels._fixpoint_rounds <= 24
     # plan-lock: the returned frame is a materialized checkpoint — the
     # compiled plan carries NO join (lineage truncated), regardless of
     # how many rounds ran
@@ -214,8 +214,17 @@ def test_fixpoint_lpa_stops_immediately_on_converged_input(spark):
     )
     got = {r["node"]: r["lbl"] for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
-    # converged after round 1; detected at the second checkpoint (10)
+    # block mode (k=5): converged after round 1; detected at the
+    # second checkpoint (10)
     assert labels._fixpoint_rounds <= 10
+    release_round_state(labels)
+
+    # default per-round certification (round-7): converged after round
+    # 1, detected at round 2 — no wasted checkpoint blocks
+    labels = min_label_propagation_fixpoint(pairs, max_rounds=40)
+    got = {r["node"]: r["lbl"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    assert labels._fixpoint_rounds == 2
     release_round_state(labels)
 
 

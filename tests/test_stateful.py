@@ -646,3 +646,51 @@ def test_streaming_mg_end_to_end(spark, tmp_path):
     want = ST.mg_step(allrows, None)
     assert final == want
     assert 5 in final  # the planted heavy user survived
+
+
+def test_streaming_mg_skips_null_user_ids(spark, tmp_path):
+    """ADVICE r6: a single NULL user_id used to make the pandas column
+    float64 with NaN, and int(nan) crashed the streaming query. NULLs
+    are skipped (they identify nobody) and n counts only FOLDED items,
+    in both the streaming operator and the batch twin's fold."""
+    import datetime as dt
+
+    src = str(tmp_path / "mg_null_src")
+    cols = "event_type string, ts timestamp, event_id long, user_id long"
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(60):
+        u = None if i % 5 == 0 else (7 if i % 2 == 0 else i)
+        rows.append(("m", t0 + dt.timedelta(seconds=i), i, u))
+    spark.createDataFrame(rows, cols).coalesce(1).write.parquet(f"{src}/b0")
+    stream = spark.readStream.schema(cols).parquet(f"{src}/b*")
+    q = (
+        ST.heavy_hitters_stream(stream)
+        .writeStream.format("memory")
+        .queryName("mg_null_mem")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM mg_null_mem").collect()
+    assert out, "query must survive NULL user_ids and emit state"
+    non_null = [u for (_m, _t, _e, u) in rows if u is not None]
+    want = ST.mg_step(non_null, None)
+    got = {r["user_id"]: r["est_count"] for r in out}
+    assert got == want
+    assert all(r["n_processed"] == len(non_null) for r in out)
+
+    # batch twin: the REGISTERED query over a synthetic events table
+    # with the same rows — identical fold, identical NULL handling
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    sf_dir = str(tmp_path / "sf_null")
+    spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+        f"{sf_dir}/events.parquet"
+    )
+    out2 = all_queries()["stream_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert {r["user_id"]: r["est_count"] for r in out2} == want
+    assert all(r["n_processed"] == len(non_null) for r in out2)

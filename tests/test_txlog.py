@@ -997,3 +997,106 @@ def test_expired_history_gives_clear_errors(spark, tmp_path):
     with pytest.raises(ValueError, match="retained range 2..3"):
         t.restore(1)
     assert t.restore(2) == 4               # retained target works
+
+
+def test_marker_only_schema_is_provisional_not_bricking(spark, tmp_path):
+    """ADVICE r6 (medium): a delete-only + txn feed on an UNCREATED
+    table records a keys-only schema — but flagged PROVISIONAL, so the
+    first real upsert establishes the true table schema instead of
+    failing the exact-schema validation forever (an unrecoverable CDC
+    stream otherwise)."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    dels = spark.createDataFrame([(1, -1)], "k int, _sign int")
+    assert t.merge_apply_changes(dels, keys=["k"], txn=("app", 1)) == 1
+    assert t.history()[-1].get("schemaProvisional") is True
+
+    # a second delete-only marker keeps the chain provisional
+    dels2 = spark.createDataFrame([(2, -1)], "k int, _sign int")
+    assert t.merge_apply_changes(dels2, keys=["k"], txn=("app", 2)) == 2
+    assert t.history()[-1].get("schemaProvisional") is True
+
+    # the first REAL upsert establishes the schema — this used to raise
+    ups = spark.createDataFrame([(1, "a", 1), (3, "c", 1)],
+                                "k int, v string, _sign int")
+    assert t.merge_apply_changes(ups, keys=["k"], txn=("app", 3)) == 3
+    m = t.history()[-1]
+    assert m.get("schemaProvisional") is None  # flag cleared for good
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a"), (3, "c")]
+
+    # from here the exact-schema validation is back in force
+    bad = spark.createDataFrame([(9, 1)], "k int, _sign int")
+    bad = bad.withColumn("v", F.lit(5)).select("k", "v", "_sign")
+    with pytest.raises(ValueError, match="type-mismatched columns"):
+        t.merge_apply_changes(bad, keys=["k"])
+    # and normal merges keep working
+    t.merge_apply_changes(
+        spark.createDataFrame([(3, "C", 1)], "k int, v string, _sign int"),
+        keys=["k"],
+    )
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a"), (3, "C")]
+
+
+def test_delete_only_type_divergent_partition_key_no_typeerror(spark, tmp_path):
+    """ADVICE r6: delete-only feeds bypass the exact-schema validation,
+    so a type-divergent partition key (string feed vs int table) used to
+    reach _envelope_may_match and raise a raw TypeError mid-merge (or,
+    past the split, an ANSI CAST_INVALID_INPUT inside the anti-join).
+    Now the merge fails FAST with a clear contract error and the table
+    is untouched; a correctly-typed feed still works."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"), partition_by="p")
+    t.append(_pdf(spark, [(1, 1, "a"), (2, 1, "b")]))
+    dels = spark.createDataFrame([("x", 1, -1)], "p string, k int, _sign int")
+    with pytest.raises(ValueError, match="partition key 'p' is string"):
+        t.merge_apply_changes(dels, keys=["p", "k"])
+    assert sorted(map(tuple, t.read().collect())) == [(1, 1, "a"), (2, 1, "b")]
+    # a correctly-cast feed applies normally
+    dels2 = spark.createDataFrame([(2, 1, -1)], "p int, k int, _sign int")
+    t.merge_apply_changes(dels2, keys=["p", "k"])
+    assert sorted(map(tuple, t.read().collect())) == [(1, 1, "a")]
+
+
+def test_partitioned_compact_rewrites_only_multifile_partitions(spark, tmp_path):
+    """ADVICE r6: compact() on a partitioned table rewrites ONLY the
+    partitions holding more than one file; single-file partitions are
+    carried byte-identical (same table-relative path)."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"), partition_by="p")
+    t.append(_pdf(spark, [(1, 1, "a"), (2, 1, "b")]))  # one file per value
+    t.append(_pdf(spark, [(1, 2, "c")]))               # p=1 gains a 2nd file
+    before = t.history()[-1]["files"]
+    stats = t.history()[-1]["stats"]
+    p2_files = [f for f in before if stats[f]["p"] == [2, 2]]
+    assert len(p2_files) == 1
+    v = t.compact(target_file_bytes=1 << 30)
+    after = t.history()[-1]["files"]
+    assert p2_files[0] in after, "single-file partition must be carried"
+    assert len(after) == 2  # p=1 merged to one file
+    assert sorted(map(tuple, t.read().collect())) == [
+        (1, 1, "a"), (1, 2, "c"), (2, 1, "b")]
+    assert t.compact(target_file_bytes=1 << 30) == v  # converged: no-op
+
+
+def test_partitioned_compact_packs_legacy_loose_files(spark, tmp_path):
+    """ADVICE r6: files WITHOUT an exact [v, v] envelope (written before
+    partition_by existed) used to each count as their own floor unit, so
+    legacy tables hit the no-op guard forever without ever re-clustering.
+    One compact() now rewrites them into exact-envelope files and the
+    next call is a no-op."""
+    # write v1 unpartitioned (legacy), then reopen WITH partition_by
+    legacy = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    legacy.append(
+        _pdf(spark, [(p, k, "x") for p in (1, 2) for k in range(3)]).coalesce(1)
+    )
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"), partition_by="p")
+    stats = t.history()[-1]["stats"]
+    assert any(
+        (e := env.get("p")) and e[0] != e[1]
+        for env in stats.values()
+    ), "setup must produce at least one wide-envelope legacy file"
+    v = t.compact(target_file_bytes=1 << 30)
+    assert v == t.version() and v > 1, "legacy files must be re-clustered"
+    stats = t.history()[-1]["stats"]
+    for f in t.history()[-1]["files"]:
+        env = stats[f]["p"]
+        assert env[0] == env[1], f"{f} still spans partitions {env}"
+    assert t.read().count() == 6
+    assert t.compact(target_file_bytes=1 << 30) == v  # converged

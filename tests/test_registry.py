@@ -72,11 +72,13 @@ def test_no_hugeint_oracle_columns(oracle):
 
 def test_driver_slot_ordering(monkeypatch, tmp_path):
     """__spark_entry__._ordered rank semantics (round-4 verdict items
-    2+4, advice items 3+5): failed reds first, then never-checked
-    ORACLED names in family-priority order (family rank scoped to this
-    rank only), then already-green oracled names stalest-green-first,
-    then rows-only names last (a rows-only slot can only ever record
-    `no_oracle`)."""
+    2+4, advice items 3+5; round-6 verdict item 1): failed reds first,
+    then never-checked ORACLED names in family-priority order (family
+    rank scoped to this rank only), then never-checked ROWS-ONLY names
+    (each can earn its one possible `no_oracle` row — they must beat
+    green re-checks or coverage never reaches 270/270), then
+    already-green oracled names stalest-green-first, then
+    already-checked rows-only names last."""
     import __spark_entry__ as E
 
     oracled = {"o_new", "o_old_green", "o_fresh_green", "o_failed"}
@@ -106,9 +108,9 @@ def test_driver_slot_ordering(monkeypatch, tmp_path):
     assert list(E._ordered(mapping)) == [
         "o_failed",       # latest row red: re-check the fix first
         "o_new",          # never checked + oracled
+        "r_never",        # rows-only, never checked: only row it can earn
         "o_old_green",    # green, stale (r1) before
         "o_fresh_green",  # green, fresh (r4)
-        "r_never",        # rows-only, never checked
         "r_checked",      # rows-only, already has its no_oracle row
     ]
 
@@ -129,3 +131,39 @@ def test_driver_history_replays_rounds_numerically(tmp_path):
     (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps(red))
     done, failed = E._driver_history(here=str(tmp_path))
     assert failed == {"q"} and "q" not in done
+
+
+def test_registry_names_unique_and_pinned_to_queries_md():
+    """Round-6 verdict item 7: registry.query() raises on duplicate
+    registration at import time, but nothing guarded the surface —
+    a refactor that splits modules could silently shadow a query via
+    import-order. Pin (a) the duplicate guard itself, (b) the exact
+    registry count against QUERIES.md's generated header, and (c) the
+    oracled/rows-only split the header claims."""
+    import re
+
+    from plc_data_etl_pipeline_spark import registry as R
+
+    qs = all_queries()
+    with pytest.raises(ValueError, match="duplicate query name"):
+        R.query(next(iter(qs)))(lambda spark, sf_dir: None)
+
+    text = open("QUERIES.md").read()
+    m = re.search(
+        r"Total: (\d+) queries — (\d+) oracle-checked, (\d+) rows-only",
+        text,
+    )
+    assert m, "QUERIES.md header missing the generated total line"
+    total, oracled, rows_only = map(int, m.groups())
+    assert len(qs) == total, (
+        f"registry has {len(qs)} queries but QUERIES.md pins {total}; "
+        "regenerate with scripts/gen_queries_md.py"
+    )
+    n_oracled = sum(1 for q in qs.values() if q.oracle is not None)
+    assert (n_oracled, len(qs) - n_oracled) == (oracled, rows_only)
+    # every name in the doc table exists in the registry and vice versa
+    doc_names = set(re.findall(r"^\| `([a-z0-9_]+)` \|", text, re.M))
+    assert doc_names == set(qs), (
+        f"doc-only: {sorted(doc_names - set(qs))[:5]}, "
+        f"registry-only: {sorted(set(qs) - doc_names)[:5]}"
+    )

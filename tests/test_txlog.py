@@ -1100,3 +1100,54 @@ def test_partitioned_compact_packs_legacy_loose_files(spark, tmp_path):
         assert env[0] == env[1], f"{f} still spans partitions {env}"
     assert t.read().count() == 6
     assert t.compact(target_file_bytes=1 << 30) == v  # converged
+
+
+def test_concurrent_disjoint_partition_merges_both_commit(spark, tmp_path):
+    """Round-6 verdict item 4: two REAL threads merge into DISJOINT
+    partitions of one partitioned table concurrently. The optimistic
+    protocol serializes them — the loser's conflict retry recomputes
+    against the winner's snapshot (partition pruning then carries the
+    winner's files untouched) — so BOTH commits land, neither update is
+    lost, and untouched partitions' files are carried byte-identical
+    through both merges. Documented rule: commits serialize on the
+    single version counter even when partitions are disjoint; disjointness
+    guarantees retry SUCCESS (no semantic conflict), not lock-free
+    parallel commits — the same rule as Delta's optimistic protocol
+    with partition-level conflict detection resolving to retry."""
+    import threading
+
+    path = str(tmp_path / "pt_race")
+    t = TransactionalParquetTable(spark, path, partition_by="p")
+    t.append(_pdf(spark, [(p, 1, "seed") for p in (1, 2, 3)]))
+    seed_stats = t.history()[-1]["stats"]
+    p3_file = [f for f in t.history()[-1]["files"]
+               if seed_stats[f]["p"] == [3, 3]]
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def merge(p: int) -> None:
+        try:
+            feed = spark.createDataFrame(
+                [(p, 1, f"upd{p}", 1)], "p int, k int, v string, _sign int"
+            )
+            t2 = TransactionalParquetTable(spark, path)
+            barrier.wait(timeout=60)
+            t2.merge_apply_changes(feed, keys=["p", "k"],
+                                   txn=(f"writer{p}", 1))
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=merge, args=(p,)) for p in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=180)
+    assert not errors, errors
+    assert sorted(map(tuple, t.read().collect())) == [
+        (1, 1, "upd1"), (2, 1, "upd2"), (3, 1, "seed")]
+    hist = t.history()
+    assert [m["version"] for m in hist] == [1, 2, 3]  # strictly serialized
+    markers = {m["txn"]["app"] for m in hist if m.get("txn")}
+    assert markers == {"writer1", "writer2"}  # both committed exactly once
+    # the untouched p=3 partition's seed file survived BOTH merges
+    assert p3_file and p3_file[0] in hist[-1]["files"]

@@ -694,3 +694,85 @@ def test_streaming_mg_skips_null_user_ids(spark, tmp_path):
     out2 = all_queries()["stream_heavy_hitters"].fn(spark, sf_dir).collect()
     assert {r["user_id"]: r["est_count"] for r in out2} == want
     assert all(r["n_processed"] == len(non_null) for r in out2)
+
+
+def test_mg_and_cusum_under_processing_time_trigger(spark, tmp_path):
+    """Round-6 verdict item 3: the stateful operators' guarantees under
+    a REAL periodic trigger (processingTime), not just the default
+    run-once trigger — batch slicing is now wall-clock-dependent (files
+    may coalesce into one trigger or split across several), so this
+    leans on the chunk-invariance property: the FINAL state must equal
+    the one-shot fold regardless of how the trigger sliced the feed."""
+    import datetime as dt
+    import math
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    # --- Misra-Gries under processingTime trigger
+    src = str(tmp_path / "mg_pt_src")
+    cols = "event_type string, ts timestamp, event_id long, user_id long"
+    all_users = []
+    for b in range(3):
+        rows = []
+        for i in range(80):
+            u = 7 if i % 2 == 0 else 1000 * b + i
+            eid = b * 80 + i
+            rows.append(("m", t0 + dt.timedelta(seconds=eid), eid, u))
+            all_users.append(u)
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            f"{src}/b{b}"
+        )
+    stream = spark.readStream.schema(cols).parquet(f"{src}/b*")
+    q = (
+        ST.heavy_hitters_stream(stream)
+        .writeStream.format("memory")
+        .queryName("mg_pt_mem")
+        .outputMode("update")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {}
+    for r in spark.sql("SELECT * FROM mg_pt_mem ORDER BY n_processed").collect():
+        if r["n_processed"] == len(all_users):
+            final[r["user_id"]] = r["est_count"]
+    assert final == ST.mg_step(all_users, None)
+    assert 7 in final
+
+    # --- CUSUM under processingTime trigger
+    csrc = str(tmp_path / "cusum_pt_src")
+    ccols = "event_type string, ts timestamp, event_id long, value double"
+    calm = [("m1", t0 + dt.timedelta(seconds=i), i, 10.0 + (i % 3) * 0.5)
+            for i in range(20)]
+    shifted = [("m1", t0 + dt.timedelta(seconds=i), i, 50.0 + (i % 3) * 0.5)
+               for i in range(20, 40)]
+    cal = {"m1": (1000, 25, 1000)}
+    spark.createDataFrame(calm, ccols).coalesce(1).write.parquet(f"{csrc}/b0")
+    spark.createDataFrame(shifted, ccols).coalesce(1).write.parquet(f"{csrc}/b1")
+    cstream = spark.readStream.schema(ccols).parquet(f"{csrc}/b*")
+    cq = (
+        ST.cusum_stream(cstream, cal)
+        .writeStream.format("memory")
+        .queryName("cusum_pt_mem")
+        .outputMode("update")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        cq.processAllAvailable()
+    finally:
+        cq.stop()
+    got = (
+        spark.sql("SELECT * FROM cusum_pt_mem ORDER BY n_seen DESC")
+        .limit(1)
+        .collect()[0]
+    )
+    devs = [int(math.floor(v * 100 + 0.5)) - 1000
+            for (_m, _t, _e, v) in calm + shifted]
+    s_up, s_dn, n, a_up, a_dn, m_up, m_dn = ST.cusum_step(devs, None, 25, 1000)
+    assert got.n_seen == n == 40
+    assert (got.n_alarms_up, got.n_alarms_dn) == (a_up, a_dn)
+    assert (got.max_s_up, got.max_s_dn) == (m_up, m_dn)

@@ -835,3 +835,83 @@ def test_stream_stream_outer_interval_join_matches_batch(spark, tmp_path):
     assert any(r[3] is not None for r in want)
     assert any(r[3] is None for r in want), "fixture must force null rows"
     assert got == want
+
+
+def test_outer_interval_join_drops_data_past_watermark(spark, tmp_path):
+    """Round-6 verdict item 3: the LEFT OUTER stream-stream interval
+    join under REAL disorder — a purchase arriving after the watermark
+    has passed its event time must be DROPPED (the error keeps its
+    already-emitted null row; no matched row appears), and a late
+    error must produce no output row at all. This pins the other half
+    of the watermark contract: the ordered-feed test proves nulls
+    emit, this one proves late data cannot resurrect or duplicate
+    them. Reference tie: at-least-once disorder is R15's contract
+    (consumer/sensor_data_consumer.py:88-108) — the lakehouse answer
+    is bounded-state watermark eviction, not unbounded buffering."""
+    import datetime
+
+    from plc_data_etl_pipeline_spark.streaming.joins import (
+        error_purchase_pairs_outer,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    files_dir = tmp_path / "disorder"
+    files_dir.mkdir()
+    # f0: u1 error+match, u2 error (no purchase), plus a far-future
+    # pair that pushes the global watermark hours past base
+    f0 = [
+        (0, base, 1, "error", 1.0, None),
+        (1, base + datetime.timedelta(minutes=5), 1, "purchase", 10.0, None),
+        (2, base, 2, "error", 1.0, None),
+        (3, base + datetime.timedelta(hours=3), 99, "error", 1.0, None),
+        (4, base + datetime.timedelta(hours=3), 98, "purchase", 0.0, None),
+    ]
+    spark.createDataFrame(f0, schema).coalesce(1).write.parquet(
+        str(files_dir / "f0")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(files_dir / "f*"))
+    )
+    q = (
+        error_purchase_pairs_outer(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("outer_late_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows1 = spark.sql(
+            "SELECT * FROM outer_late_mem WHERE user_id < 90"
+        ).collect()
+        # watermark is ~3h in: u1 matched, u2's null row already final
+        got1 = {(r["user_id"], r["purchase_id"]) for r in rows1}
+        assert got1 == {(1, 1), (2, None)}
+
+        # f1: LATE data at base — a purchase that WOULD have matched
+        # u2's error, and a brand-new error u3; both beyond watermark
+        f1 = [
+            (5, base + datetime.timedelta(minutes=5), 2, "purchase",
+             20.0, None),
+            (6, base, 3, "error", 1.0, None),
+        ]
+        spark.createDataFrame(f1, schema).coalesce(1).write.parquet(
+            str(files_dir / "f1")
+        )
+        q.processAllAvailable()
+        rows2 = spark.sql(
+            "SELECT * FROM outer_late_mem WHERE user_id < 90"
+        ).collect()
+    finally:
+        q.stop()
+    got2 = {(r["user_id"], r["purchase_id"]) for r in rows2}
+    # late purchase dropped (u2 still null-only, no matched row);
+    # late error dropped entirely (u3 never appears)
+    assert got2 == {(1, 1), (2, None)}, got2
+    assert len(rows2) == len(rows1) == 2, "late data must add no rows"

@@ -1009,3 +1009,143 @@ def curation_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "cluster_id", "n_chars", (F.col("rn") == 1).alias("is_survivor")
     )
     return finalize_round_result(out, cc)
+
+
+# UniMax budget waterfilling (Chung et al. 2023, "UniMax: Fairer and
+# More Effective Language Sampling for Large-Scale Multilingual
+# Pretraining", arXiv:2304.09151): allocate a token budget B across
+# languages, capping every language at MAX_EPOCHS passes over its data
+# and redistributing the freed budget to the remaining languages — the
+# unique allocation is min(cap_d, L) where the water level L solves
+# sum_d min(cap_d, L) = B. Closed form via one ordered scan: sort by
+# cap ascending; at position i the candidate level is
+# (B - prefix_{i-1}) / (k - i + 1) (languages 1..i-1 fully capped,
+# remainder split evenly); the first position whose own cap reaches its
+# candidate level yields L.
+_UNIMAX_EPOCHS = 4  # UniMax's recommended repetition ceiling
+_UNIMAX_BUDGET_X = 3  # train budget = 3x the corpus (exercises the cap)
+
+
+@query(
+    "sample_unimax_budget",
+    oracle=f"""
+    WITH by_lang AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS tokens
+      FROM documents
+      WHERE text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
+      GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS t, COUNT(*) AS k FROM by_lang
+    ), ranked AS (
+      SELECT lang, n_docs, tokens,
+             {_UNIMAX_EPOCHS} * tokens AS cap,
+             {_UNIMAX_BUDGET_X} * t AS b, k,
+             ROW_NUMBER() OVER (ORDER BY {_UNIMAX_EPOCHS} * tokens, lang)
+               AS i,
+             COALESCE(SUM({_UNIMAX_EPOCHS} * tokens) OVER (
+                 ORDER BY {_UNIMAX_EPOCHS} * tokens, lang
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS prefix_prev
+      FROM by_lang, tot
+    ), lv AS (
+      SELECT ARG_MIN(CAST(b - prefix_prev AS DOUBLE) / (k - i + 1), i)
+               AS lvl
+      FROM ranked
+      WHERE CAST(cap AS DOUBLE)
+              >= CAST(b - prefix_prev AS DOUBLE) / (k - i + 1)
+    )
+    SELECT lang, n_docs, tokens,
+           {sql_quant(
+               "LEAST(CAST(cap AS DOUBLE),"
+               " COALESCE(lvl, CAST('Infinity' AS DOUBLE)))", 2)}
+             AS alloc_tokens,
+           {sql_quant(
+               "LEAST(CAST(cap AS DOUBLE),"
+               " COALESCE(lvl, CAST('Infinity' AS DOUBLE)))"
+               " / CAST(tokens AS DOUBLE)", 4)} AS epochs,
+           {sql_quant(
+               "LEAST(CAST(cap AS DOUBLE),"
+               " COALESCE(lvl, CAST('Infinity' AS DOUBLE)))"
+               " / CAST(b AS DOUBLE)", 4)} AS budget_share,
+           CAST(cap AS DOUBLE)
+             <= COALESCE(lvl, CAST('Infinity' AS DOUBLE)) AS capped
+    FROM ranked, lv
+    """,
+)
+def sample_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget waterfilling (see comment above): per-
+    language token allocation for a 3x-corpus training budget with a
+    hard 4-epoch repetition cap.
+    On the fixture the cap binds for every tail language and the head
+    language absorbs the freed budget at ~1.7 epochs — exactly the
+    paper's behavior (uniform-ish epochs for the tail, budget overflow
+    to the head).
+
+    Scale shape: ONE corpus aggregation to (lang, tokens) — everything
+    after runs on the language roster (dozens to hundreds of rows), so
+    the global-ordered window, the 1-row totals crossJoin and the
+    water-level min_by are all roster-sized; the corpus is scanned
+    once with the aggregate pushed map-side. Determinism: caps and
+    prefixes are exact BIGINT; the only doubles are the level/alloc
+    divisions, evaluated in identical textual order on both engines
+    and floor-quantized per _conv conventions."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
+    by_lang = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("tokens"),
+    )
+    tot = by_lang.agg(
+        F.sum("tokens").cast("bigint").alias("t"),
+        F.count("*").alias("k"),
+    )
+    cap = (F.lit(_UNIMAX_EPOCHS) * F.col("tokens")).cast("bigint")
+    w = Window.orderBy("cap", "lang")  # roster-sized: single task is fine
+    ranked = (
+        by_lang.crossJoin(F.broadcast(tot))
+        .withColumn("cap", cap)
+        .withColumn(
+            "b", (F.lit(_UNIMAX_BUDGET_X) * F.col("t")).cast("bigint")
+        )
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "prefix_prev",
+            F.coalesce(
+                F.sum("cap").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "level",
+            (F.col("b") - F.col("prefix_prev")).cast("double")
+            / (F.col("k") - F.col("i") + 1),
+        )
+    )
+    lv = ranked.filter(
+        F.col("cap").cast("double") >= F.col("level")
+    ).agg(F.min_by("level", "i").alias("lvl"))
+    alloc = F.least(
+        F.col("cap").cast("double"),
+        F.coalesce(F.col("lvl"), F.lit(float("inf"))),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(lv))
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            quant(alloc, 2).alias("alloc_tokens"),
+            quant(alloc / F.col("tokens").cast("double"), 4).alias("epochs"),
+            quant(alloc / F.col("b").cast("double"), 4).alias("budget_share"),
+            (
+                F.col("cap").cast("double")
+                <= F.coalesce(F.col("lvl"), F.lit(float("inf")))
+            ).alias("capped"),
+        )
+    )

@@ -1452,3 +1452,44 @@ def test_mmr_lambda_one_reduces_to_pure_relevance(spark):
         ).collect()
     }
     assert got == base
+
+
+def test_unimax_waterfill_invariants(spark, tmp_path):
+    """sample_unimax_budget's waterfilling on a planted corpus: capped
+    languages get exactly MAX_EPOCHS passes, uncapped languages share
+    one common water level, and the budget is exactly conserved
+    (sum(alloc) == B whenever at least one language is uncapped)."""
+    import pandas as pd
+
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    # head lang 'aa' is 10x every tail lang: the 3x budget with a
+    # 4-epoch cap must cap every tail lang and overflow to 'aa'
+    rows = []
+    did = 0
+    for lang, n, chars in [("aa", 50, 100), ("bb", 5, 100),
+                           ("cc", 5, 100), ("dd", 5, 100)]:
+        for _ in range(n):
+            rows.append((did, "x" * chars, lang, "s0", chars))
+            did += 1
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["lang"]: r
+        for r in all_queries()["sample_unimax_budget"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    total = 65 * 100
+    budget = 3 * total
+    for lang in ("bb", "cc", "dd"):
+        assert out[lang]["capped"] is True
+        assert out[lang]["epochs"] == 4.0
+        assert out[lang]["alloc_tokens"] == 4 * 500
+    assert out["aa"]["capped"] is False
+    # budget conservation: head absorbs everything the caps freed
+    assert out["aa"]["alloc_tokens"] == budget - 3 * 4 * 500
+    assert abs(sum(r["alloc_tokens"] for r in out.values()) - budget) < 1e-6
+    # head epochs strictly between 1 and the cap (overflow, not runaway)
+    assert 1.0 < out["aa"]["epochs"] < 4.0

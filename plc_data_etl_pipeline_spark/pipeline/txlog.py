@@ -534,6 +534,13 @@ class TransactionalParquetTable:
             prev = prev_m["files"] if prev_m else []
             ddl = df._jdf.schema().toDDL()
             if prev_m is not None:
+                if prev_m.get("schemaProvisional") and not prev_m["files"]:
+                    # The base is a marker-only placeholder (delete-only
+                    # CDC feed before any data): this append ESTABLISHES
+                    # the real schema, same as the merge path — the
+                    # placeholder's keys-only columns must not trigger
+                    # the evolution guard (round-7 review).
+                    return new_files, ddl
                 ddl = self._evolve_schema(prev_m["schema"], df, merge_schema)
             return prev + new_files, ddl
 
@@ -791,11 +798,11 @@ class TransactionalParquetTable:
                 # reproduced). An implicit cast is no fix — a silent
                 # long->int narrowing corrupts values; the caller must
                 # cast intentionally.
+                table_fields = {
+                    f.name: f.dataType
+                    for f in StructType.fromDDL(m["schema"]).fields
+                }
                 if has_ups:
-                    table_fields = {
-                        f.name: f.dataType
-                        for f in StructType.fromDDL(m["schema"]).fields
-                    }
                     ups_fields = {f.name: f.dataType for f in ups.schema.fields}
                     if ups_fields != table_fields:
                         only_ups = sorted(set(ups_fields) - set(table_fields))
@@ -811,6 +818,36 @@ class TransactionalParquetTable:
                             f"{only_ups}, missing columns {only_tab}, "
                             f"type-mismatched columns {diff} (cast the feed "
                             "to the table's types explicitly)"
+                        )
+                else:
+                    # Delete-only feeds bypass the exact-schema check
+                    # above, but their KEY columns still drive the
+                    # anti-join: a type-divergent key would throw a raw
+                    # ANSI CAST_INVALID_INPUT mid-job (or silently
+                    # cross-type-match via coercion). Fail fast for ANY
+                    # key, not just the partition key (round-7 review —
+                    # the first guard lived in _split_touched_files and
+                    # missed unpartitioned tables / non-partition keys).
+                    feed_fields = {
+                        f.name: f.dataType for f in touched.schema.fields
+                    }
+                    bad = sorted(
+                        k
+                        for k in keys
+                        if table_fields.get(k) != feed_fields.get(k)
+                    )
+                    if bad:
+                        detail = ", ".join(
+                            f"{k}: feed "
+                            f"{feed_fields[k].simpleString() if k in feed_fields else 'absent'}"
+                            " vs table "
+                            f"{table_fields[k].simpleString() if k in table_fields else 'absent'}"
+                            for k in bad
+                        )
+                        raise ValueError(
+                            "merge_apply_changes: delete-only feed key "
+                            f"type mismatch ({detail}); cast the feed "
+                            "keys to the table's types explicitly"
                         )
                 live, carried = self._split_touched_files(m, keys, touched)
                 if not live:
@@ -970,10 +1007,6 @@ class TransactionalParquetTable:
                 raise FileNotFoundError(f"no committed version in {self.path}")
             manifest = self._read_manifest(base)
             old_files = manifest["files"]
-            total = sum(
-                os.path.getsize(os.path.join(self.path, f)) for f in old_files
-            )
-            n_out = max(1, -(-total // target_file_bytes))
             if self.partition_by is not None:
                 # Partitioned tables bin-pack PER PARTITION VALUE (the
                 # write path re-clusters, so the reachable minimum is
@@ -984,8 +1017,13 @@ class TransactionalParquetTable:
                 #   * partitions holding >1 exact-envelope file — the
                 #     steady-state case after streaming appends;
                 #   * wide-envelope files (pre-partitioning legacy,
-                #     multiple values mixed) — one rewrite re-clusters
-                #     them into exact-envelope files and converges;
+                #     multiple values mixed) — rewritten together with
+                #     every single-exact-file partition inside their
+                #     span and every no-envelope file, so ONE call
+                #     reaches the floor even on mixed tables (a wide
+                #     file's values would otherwise land next to their
+                #     carried exact twins and re-create multi-file
+                #     partitions — round-7 review);
                 #   * >=2 no-envelope files (all-NULL partitions) —
                 #     merged into one; a single one is already at its
                 #     floor, NOT a rewrite unit forever (the old code
@@ -1006,10 +1044,13 @@ class TransactionalParquetTable:
                     else:
                         wide.append(f)
                 rewrite = list(wide)
-                if len(nullish) >= 2:
-                    rewrite += nullish
-                for fs in by_val.values():
-                    if len(fs) > 1:
+                if nullish and (wide or len(nullish) >= 2):
+                    rewrite += nullish  # wide files may hold NULLs too
+                spans = [stats[f][p] for f in wide]
+                for v, fs in by_val.items():
+                    if len(fs) > 1 or any(
+                        lo <= v <= hi for (lo, hi) in spans
+                    ):
                         rewrite += fs
                 if not rewrite:
                     return None  # one file per value: at the floor
@@ -1021,6 +1062,12 @@ class TransactionalParquetTable:
                 )
                 files = carried + self._write_data_files(sub)
                 return files, manifest["schema"], False
+            # unpartitioned: size-driven bin-packing (the getsize walk
+            # is only paid on this branch — round-7 review)
+            total = sum(
+                os.path.getsize(os.path.join(self.path, f)) for f in old_files
+            )
+            n_out = max(1, -(-total // target_file_bytes))
             if len(old_files) <= n_out:
                 return None  # already compact enough: no-op
             snapshot = self.read(base)

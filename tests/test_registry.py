@@ -148,7 +148,11 @@ def test_registry_names_unique_and_pinned_to_queries_md():
     with pytest.raises(ValueError, match="duplicate query name"):
         R.query(next(iter(qs)))(lambda spark, sf_dir: None)
 
-    text = open("QUERIES.md").read()
+    import os
+
+    text = open(
+        os.path.join(os.path.dirname(__file__), "..", "QUERIES.md")
+    ).read()
     m = re.search(
         r"Total: (\d+) queries — (\d+) oracle-checked, (\d+) rows-only",
         text,

@@ -1046,7 +1046,7 @@ def test_delete_only_type_divergent_partition_key_no_typeerror(spark, tmp_path):
     t = TransactionalParquetTable(spark, str(tmp_path / "t"), partition_by="p")
     t.append(_pdf(spark, [(1, 1, "a"), (2, 1, "b")]))
     dels = spark.createDataFrame([("x", 1, -1)], "p string, k int, _sign int")
-    with pytest.raises(ValueError, match="partition key 'p' is string"):
+    with pytest.raises(ValueError, match="p: feed string vs table int"):
         t.merge_apply_changes(dels, keys=["p", "k"])
     assert sorted(map(tuple, t.read().collect())) == [(1, 1, "a"), (2, 1, "b")]
     # a correctly-cast feed applies normally
@@ -1151,3 +1151,73 @@ def test_concurrent_disjoint_partition_merges_both_commit(spark, tmp_path):
     assert markers == {"writer1", "writer2"}  # both committed exactly once
     # the untouched p=3 partition's seed file survived BOTH merges
     assert p3_file and p3_file[0] in hist[-1]["files"]
+
+
+def test_delete_only_nonpartition_key_type_mismatch_fails_fast(spark, tmp_path):
+    """Round-7 review: the delete-only key-type guard must cover EVERY
+    join key on any table — not just the partition key — or the
+    anti-join throws a raw ANSI cast error mid-job (unpartitioned
+    table) / silently cross-type-matches (numeric strings)."""
+    # unpartitioned table
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    dels = spark.createDataFrame([("2", -1)], "k string, _sign int")
+    with pytest.raises(ValueError, match="delete-only feed key type "
+                                         "mismatch \\(k: feed string"):
+        t.merge_apply_changes(dels, keys=["k"])
+    assert t.read().count() == 2  # untouched
+    # partitioned table, divergent NON-partition key
+    t2 = TransactionalParquetTable(spark, str(tmp_path / "t2"),
+                                   partition_by="p")
+    t2.append(_pdf(spark, [(1, 1, "a")]))
+    dels2 = spark.createDataFrame([(1, "1", -1)],
+                                  "p int, k string, _sign int")
+    with pytest.raises(ValueError, match="k: feed string vs table int"):
+        t2.merge_apply_changes(dels2, keys=["p", "k"])
+
+
+def test_append_establishes_schema_over_provisional_marker(spark, tmp_path):
+    """Round-7 review: append() against a marker-only provisional base
+    must establish the real schema (the merge path already did), not
+    trip the schema-evolution guard on the keys-only placeholder."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    dels = spark.createDataFrame([(1, -1)], "k int, _sign int")
+    t.merge_apply_changes(dels, keys=["k"], txn=("app", 1))
+    assert t.history()[-1].get("schemaProvisional") is True
+    t.append(_df(spark, [(1, "a"), (2, "b")]))  # used to raise
+    m = t.history()[-1]
+    assert m.get("schemaProvisional") is None
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a"), (2, "b")]
+    # evolution guard back in force against the ESTABLISHED schema
+    widened = spark.createDataFrame([(3, "c", 1.0)],
+                                    "k int, v string, w double")
+    with pytest.raises(ValueError, match="append adds columns"):
+        t.append(widened)
+
+
+def test_partitioned_compact_mixed_wide_and_exact_converges_in_one_call(
+    spark, tmp_path
+):
+    """Round-7 review: a wide-envelope legacy file whose span covers a
+    value that ALSO has a carried exact file must pull that exact file
+    into the rewrite — otherwise the new exact outputs land next to the
+    carried twin and the committed version still has a multi-file
+    partition (compact() would need a second call to reach the floor)."""
+    legacy = TransactionalParquetTable(spark, str(tmp_path / "t"))
+    legacy.append(
+        _pdf(spark, [(p, k, "x") for p in (1, 2) for k in range(3)]).coalesce(1)
+    )  # one wide file spanning p in [1, 2]
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"), partition_by="p")
+    t.append(_pdf(spark, [(1, 9, "y")]))  # exact single file for p=1
+    v = t.compact(target_file_bytes=1 << 30)
+    assert v == t.version()
+    m = t.history()[-1]
+    stats = m["stats"]
+    per_val: dict = {}
+    for f in m["files"]:
+        env = stats[f]["p"]
+        assert env[0] == env[1], f"{f} still spans {env}"
+        per_val[env[0]] = per_val.get(env[0], 0) + 1
+    assert per_val == {1: 1, 2: 1}, per_val  # ONE file per value already
+    assert t.read().count() == 7
+    assert t.compact(target_file_bytes=1 << 30) == v  # immediate no-op

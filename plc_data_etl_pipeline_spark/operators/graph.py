@@ -415,6 +415,7 @@ def bfs_hops(
     max_rounds: int = 50,
     checkpoint_every: int = 1,
     require_convergence: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Single-source BFS hop distances over an UNDIRECTED pair list —
     the relaxation fixpoint ``dist_{t+1}(v) = min(dist_t(v),
@@ -424,11 +425,18 @@ def bfs_hops(
     edge relation (one node-sized aggregate — no second derivation of
     the possibly-expensive pair build, round-6 review). Returns (node, hops) with
     ``hops = UNREACHED`` for nodes in other components (callers decide
-    how to present unreachability). Generalizes directly to weighted
-    SSSP: the self-loop edges carry weight 0 (so a node's own distance
-    rides the same join — the linear-plan trick of
-    min_label_propagation) and real edges weight 1; any non-negative
-    integer weight column works unchanged.
+    how to present unreachability).
+
+    ``weight_col`` generalizes to weighted SSSP (distributed
+    Bellman-Ford): the self-loop edges carry weight 0 (so a node's own
+    distance rides the same join — the linear-plan trick of
+    min_label_propagation), real edges carry ``pairs[weight_col]``
+    (non-negative integers; both directions get the same weight), and
+    the identical relaxation fixpoint yields minimum path WEIGHTS
+    instead of hop counts. Convergence needs at most
+    (longest shortest-path HOP count + 1) rounds regardless of
+    weights, and the monotone-sum certificate is unchanged —
+    distances only ever decrease.
 
     Same fixpoint machinery as :func:`min_label_propagation_fixpoint`
     and the same guarantees: distances are monotone non-increasing, so
@@ -441,7 +449,20 @@ def bfs_hops(
     ``result._fixpoint_converged`` report what happened. Per round: one
     shuffle-hash join against the never-re-shuffled edge relation +
     one map-side-combinable MIN."""
-    edges = undirected_edges(pairs).withColumn("w", F.lit(1))
+    if weight_col is None:
+        edges = undirected_edges(pairs).withColumn("w", F.lit(1))
+    else:
+        edges = pairs.select(
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            F.col(weight_col).cast("bigint").alias("w"),
+        ).unionAll(
+            pairs.select(
+                F.col("b").alias("src"),
+                F.col("a").alias("dst"),
+                F.col(weight_col).cast("bigint").alias("w"),
+            )
+        )
     selfloops = (
         edges.select("src")
         .distinct()

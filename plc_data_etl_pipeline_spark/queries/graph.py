@@ -28,24 +28,35 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..registry import query
 
-def _trade_pairs(spark, sf_dir, min_support: int | None = None):
+def _trade_pairs(spark, sf_dir, min_support: int | None = None,
+                 with_weight: bool = False):
     """Shared (a, b) customer—supplier pair builder with the even/odd
     node encoding (even = customer*2, odd = supplier*2+1): BIGINT keys
     hash/sort several times per round, so they beat string labels by
     ~2x end-to-end. min_support keeps only pairs with that many
-    distinct orders (the sparse repeat-trade graph)."""
+    distinct orders (the sparse repeat-trade graph). ``with_weight``
+    (requires min_support) also emits an integer DISTANCE weight
+    w = GREATEST(1, 8 - n): more repeat orders = a stronger tie = a
+    shorter edge, clamped to [1, 8-min_support]."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     j = li.join(o, li.l_orderkey == o.o_orderkey)
     a = (F.col("o_custkey") * 2).alias("a")
     b = (F.col("l_suppkey") * 2 + 1).alias("b")
     if min_support is None:
+        if with_weight:
+            raise ValueError("with_weight requires min_support")
         return j.select(a, b).distinct()
-    return (
+    g = (
         j.groupBy(a, b)
         .agg(F.countDistinct("l_orderkey").alias("n"))
         .filter(F.col("n") >= min_support)
-        .select("a", "b")
+    )
+    if not with_weight:
+        return g.select("a", "b")
+    return g.select(
+        "a", "b",
+        F.greatest(F.lit(1), F.lit(8) - F.col("n")).cast("bigint").alias("w"),
     )
 
 
@@ -438,6 +449,74 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hops")
         )
         .groupBy("hops")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    return finalize_round_result(hist, dist)
+
+
+@query(
+    "graph_sssp_weighted",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b,
+             GREATEST(1, 8 - COUNT(DISTINCT l_orderkey)) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY a, b HAVING COUNT(DISTINCT l_orderkey) >= 3
+    ), edges AS (
+      SELECT a AS src, b AS dst, w FROM pairs
+      UNION
+      SELECT b AS src, a AS dst, w FROM pairs
+    ), walk(node, d) AS (
+      SELECT (SELECT MIN(src) FROM edges), 0
+      UNION
+      SELECT e.dst, w.d + e.w
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.d + e.w < 200
+    ), dist AS (
+      SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY node
+    ), allnodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    )
+    SELECT COALESCE(dist.dist, -1) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM allnodes LEFT JOIN dist ON allnodes.node = dist.node
+    GROUP BY COALESCE(dist.dist, -1)
+    """,
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (distributed Bellman-Ford)
+    over the repeat-trade graph — graph_bfs_hops' relaxation fixpoint
+    with a real DISTANCE weight per edge (operators/graph.py::bfs_hops
+    weight_col): w = GREATEST(1, 8 - support), so heavily-repeated
+    trade ties are short edges and the shortest path prefers strong
+    relationships over hop count. Same machinery end to end: self-loops
+    at weight 0 carry own distances, one shuffle-hash edge⋈distance
+    join + map-side MIN per round, per-round monotone-sum convergence
+    certificate, in-loop checkpoint release. The oracle walks the
+    identical weighted closure declaratively (DuckDB recursive CTE,
+    cumulative-distance bound 200 = the engine's max_rounds — with
+    weights >= 1 neither side can see a distance the other cannot).
+    Output: the distance histogram with -1 for other components;
+    materialized eagerly, round state released before return."""
+    from ..operators.graph import (
+        UNREACHED,
+        bfs_hops,
+        finalize_round_result,
+    )
+
+    pairs = _trade_pairs(spark, sf_dir, min_support=3, with_weight=True)
+    dist = bfs_hops(
+        pairs, source=None, max_rounds=200, require_convergence=True,
+        weight_col="w",
+    )
+    hist = (
+        dist.select(
+            F.when(F.col("hops") >= UNREACHED, F.lit(-1))
+            .otherwise(F.col("hops"))
+            .cast("bigint")
+            .alias("dist")
+        )
+        .groupBy("dist")
         .agg(F.count("*").alias("n_nodes"))
     )
     return finalize_round_result(hist, dist)

@@ -127,6 +127,7 @@ def test_registered_graph_queries_leave_no_resident_state(spark):
         "graph_label_propagation",
         "graph_components_fixpoint",
         "graph_bfs_hops",
+        "graph_sssp_weighted",
         "multimodal_phash_clusters",
         "dedup_cluster_survivors",
     ):
@@ -308,3 +309,30 @@ def test_bfs_hops_planted_graph(spark):
 
     with _pytest.raises(RuntimeError, match="not converged"):
         bfs_hops(pairs, source=0, max_rounds=4, require_convergence=True)
+
+
+def test_weighted_sssp_prefers_light_path_over_fewer_hops(spark):
+    """bfs_hops(weight_col=...): on a planted graph where the direct
+    edge 0-2 costs 10 but the detour 0-1-2 costs 2+3=5, the weighted
+    relaxation must return 5 for node 2 (hop-count BFS would pick the
+    direct edge), sentinel for a detached component, and exact sums
+    along a weighted chain."""
+    from plc_data_etl_pipeline_spark.operators.graph import (
+        UNREACHED,
+        bfs_hops,
+        release_round_state,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, 2, 10), (0, 1, 2), (1, 2, 3),   # triangle with heavy direct
+         (2, 3, 7),                          # weighted tail
+         (50, 51, 1)],                       # unreachable component
+        "a long, b long, w long",
+    )
+    dist = bfs_hops(pairs, source=0, max_rounds=40,
+                    require_convergence=True, weight_col="w")
+    got = {r["node"]: r["hops"] for r in dist.collect()}
+    release_round_state(dist)
+    assert got == {0: 0, 1: 2, 2: 5, 3: 12,
+                   50: UNREACHED, 51: UNREACHED}
+    assert dist._fixpoint_converged is True

@@ -1221,3 +1221,87 @@ def test_partitioned_compact_mixed_wide_and_exact_converges_in_one_call(
     assert per_val == {1: 1, 2: 1}, per_val  # ONE file per value already
     assert t.read().count() == 7
     assert t.compact(target_file_bytes=1 << 30) == v  # immediate no-op
+
+
+def test_txlog_random_ops_match_python_model(spark, tmp_path):
+    """Model-based protocol test (round 7): a seeded random sequence of
+    {merge-upsert, delete-only merge, append, compact, restore} against
+    a PARTITIONED table, starting from a provisional marker-only commit,
+    checked after EVERY operation against a pure-Python model:
+    current-snapshot row sets, version arithmetic, time travel to every
+    retained version, dataChange semantics (compact commits don't
+    change rows), and exact [v, v] partition envelopes after compacts.
+    One randomized walk exercises protocol interactions (e.g. restore
+    onto a compacted version, delete after restore) no fixed scenario
+    covers."""
+    import random
+
+    rng = random.Random(20260817)
+    path = str(tmp_path / "model_t")
+    t = TransactionalParquetTable(spark, path, partition_by="p")
+
+    def row(k):
+        return (k % 4, k, f"v{k}_{rng.randint(0, 9)}")
+
+    # provisional start: delete-only feed + txn on the uncreated table
+    dels = spark.createDataFrame([(0, 99, -1)], "p int, k int, _sign int")
+    assert t.merge_apply_changes(dels, keys=["p", "k"], txn=("m", 0)) == 1
+    model: dict[int, tuple] = {}          # k -> (p, k, v)
+    snapshots = {1: dict(model)}          # version -> model copy
+    next_key = 0
+
+    def check():
+        got = sorted(map(tuple, t.read().collect()))
+        want = sorted(model.values())
+        assert got == want, f"snapshot diverged at v{t.version()}"
+
+    for step in range(24):
+        op = rng.choice(
+            ["upsert", "upsert", "delete", "append", "compact", "restore"]
+        )
+        if op == "append" and model:
+            op = "upsert"  # append only establishes/extends fresh keys
+        if op == "upsert" or op == "append":
+            ks = [next_key + i for i in range(rng.randint(1, 4))]
+            next_key += len(ks)
+            ks += rng.sample(sorted(model), min(len(model), rng.randint(0, 2)))
+            rows = [row(k) for k in set(ks)]
+            feed = spark.createDataFrame(
+                [(p, k, v, 1) for (p, k, v) in rows],
+                "p int, k int, v string, _sign int",
+            )
+            t.merge_apply_changes(feed, keys=["p", "k"], txn=("m", step + 1))
+            for (p, k, v) in rows:
+                model[k] = (p, k, v)
+        elif op == "delete":
+            if not model:
+                continue
+            ks = rng.sample(sorted(model), rng.randint(1, min(3, len(model))))
+            feed = spark.createDataFrame(
+                [(model[k][0], k, -1) for k in ks],
+                "p int, k int, _sign int",
+            )
+            t.merge_apply_changes(feed, keys=["p", "k"], txn=("m", step + 1))
+            for k in ks:
+                del model[k]
+        elif op == "compact":
+            v_before = t.version()
+            t.compact(target_file_bytes=1 << 30)
+            if t.version() != v_before:  # a real compaction committed
+                m = t.history()[-1]
+                assert m["dataChange"] is False
+                for f in m["files"]:
+                    env = m["stats"][f].get("p")
+                    assert env and env[0] == env[1], f"{f}: {env}"
+        else:  # restore
+            targets = [v for v in snapshots if v <= t.version()]
+            tgt = rng.choice(sorted(targets))
+            t.restore(tgt, txn=("m", step + 1))
+            model = dict(snapshots[tgt])
+        snapshots[t.version()] = dict(model)
+        check()
+        # time travel to one random retained snapshot
+        tv = rng.choice(sorted(snapshots))
+        got = sorted(map(tuple, t.read(version=tv).collect()))
+        assert got == sorted(snapshots[tv].values()), f"time travel v{tv}"
+    assert len(model) > 0 and t.version() >= 20  # the walk did real work

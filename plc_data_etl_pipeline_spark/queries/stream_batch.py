@@ -281,3 +281,85 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return ev.groupBy("event_type").applyInPandas(fold, MG_OUTPUT_SCHEMA)
+
+
+@query(
+    "stream_quantile_bottomk",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(('0x' || substr(
+                   md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                 event_id) AS rn
+      FROM events
+      WHERE value IS NOT NULL AND event_id IS NOT NULL
+    ), k AS (
+      SELECT event_type, value, event_id FROM s WHERE rn <= 256
+    ), o AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) - 1 AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM k
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_sample,
+           MAX(CASE WHEN i = ((n - 1) * 50) // 100 THEN value END) AS p50,
+           MAX(CASE WHEN i = ((n - 1) * 90) // 100 THEN value END) AS p90,
+           MAX(CASE WHEN i = ((n - 1) * 99) // 100 THEN value END) AS p99
+    FROM o GROUP BY event_type
+    """,
+)
+def stream_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a DETERMINISTIC bottom-k sample — the
+    batch twin of the streaming quantile sketch
+    (streaming/stateful.py::quantile_bottomk_stream). The sample is the
+    k=256 rows with the SMALLEST md5-derived hash of event_id per event
+    type (a bottom-k sketch, Cohen & Kaplan 2007): hash-uniform, so it
+    is a uniform random sample — but a deterministic, ORDER-INVARIANT
+    function of the row SET, which is what makes the streaming fold
+    chunk-invariant and this batch form oracle-checkable. Quantiles are
+    row PICKS from the sorted sample (index floor((n-1)p/100), value
+    then event_id tiebreak) — no interpolation arithmetic to diverge
+    between engines.
+
+    Scale shape: rank<=k per group compiles to WindowGroupLimit (a
+    map-side top-k per partition, then one merge per group — the corpus
+    is never globally sorted; same plan family as sample_domain_cap,
+    plan-locked there). Everything after runs on k rows per group. At
+    100 TB this is THE way to get quantiles in one pass with bounded
+    memory; the mergeable sample also unions across shards/streams."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ._conv import hash_u32
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
+    wk = Window.partitionBy("event_type").orderBy(
+        hash_u32(F.col("event_id").cast("string")), "event_id"
+    )
+    samp = (
+        ev.select("event_type", "value", "event_id")
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 256)
+    )
+    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    o = samp.withColumn("i", F.row_number().over(wo) - 1).withColumn(
+        "n", F.count("*").over(wn)
+    )
+
+    def pick(p):
+        idx = F.expr(f"((n - 1) * {p}) div 100")
+        return F.max(F.when(F.col("i") == idx, F.col("value"))).alias(
+            f"p{p}"
+        )
+
+    return o.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_sample"),
+        pick(50), pick(90), pick(99),
+    )

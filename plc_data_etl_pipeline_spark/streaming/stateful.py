@@ -607,3 +607,139 @@ def heavy_hitters_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch (deterministic uniform sample; Cohen & Kaplan
+# 2007 "Summarizing data using bottom-k sketches"). The sample is the k
+# rows with the SMALLEST md5-derived 32-bit hash of event_id — a pure
+# function of the row SET, so folding it per micro-batch is
+# chunk-invariant by construction (set union then truncate), mergeable
+# across shards, and identical to the oracle-checked batch twin
+# (queries/stream_batch.py::stream_quantile_bottomk). Quantiles are row
+# picks from the sorted sample (index floor((n-1)p/100), value then
+# event_id tiebreak) — no interpolation arithmetic. State is bounded:
+# k (priority, event_id, value) triples + one counter per key.
+
+QK_K = 256
+
+QK_STATE_SCHEMA = StructType(
+    [
+        StructField("prios", StringType()),   # csv of sample hash prios
+        StructField("eids", StringType()),    # csv of sample event_ids
+        StructField("vals", StringType()),    # csv of repr(value)
+        StructField("n", LongType()),
+    ]
+)
+
+QK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("n_sample", LongType()),
+        StructField("p50", DoubleType()),
+        StructField("p90", DoubleType()),
+        StructField("p99", DoubleType()),
+    ]
+)
+
+
+def qk_prio(event_id: int) -> int:
+    """The engine-portable 32-bit hash priority (_conv.hash_u32 twin):
+    first 8 hex chars of md5(str(event_id)) as an int."""
+    import hashlib
+
+    return int(hashlib.md5(str(event_id).encode()).hexdigest()[:8], 16)
+
+
+def qk_step(
+    items: Iterable[tuple[int, float]],
+    state: list[tuple[int, int, float]] | None,
+    k: int = QK_K,
+) -> list[tuple[int, int, float]]:
+    """Pure bottom-k fold: merge (event_id, value) items into the sample
+    of the k smallest (prio, event_id) entries. Set-semantics (an
+    event_id already in the sample is not duplicated), so any chunking
+    of the stream yields the identical final sample."""
+    sample = {eid: (prio, eid, val) for (prio, eid, val) in (state or [])}
+    for eid, val in items:
+        if eid not in sample:
+            sample[eid] = (qk_prio(eid), eid, val)
+    return sorted(sample.values())[:k]
+
+
+def qk_quantiles(sample: list[tuple[int, int, float]]) -> tuple:
+    """(p50, p90, p99) row picks from the sample, value-sorted with
+    event_id tiebreak — the same selection as the batch twin's SQL."""
+    by_val = sorted((val, eid) for (_p, eid, val) in sample)
+    n = len(by_val)
+    if n == 0:
+        return (None, None, None)
+    return tuple(by_val[((n - 1) * p) // 100][0] for p in (50, 90, 99))
+
+
+def _qk_group(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (event_type,) = key
+    if state.exists:
+        s_prios, s_eids, s_vals, n = state.get
+        prev = [
+            (int(p), int(e), float(v))
+            for p, e, v in zip(
+                s_prios.split(","), s_eids.split(","), s_vals.split(",")
+            )
+        ] if s_prios else []
+    else:
+        prev, n = [], 0
+    items: list[tuple[int, float]] = []
+    for pdf in pdfs:
+        for eid, val in zip(pdf["event_id"], pdf["value"]):
+            # NULL event_id has no identity to sample by; NULL value
+            # is no observation (mirrors the batch twin's filters and
+            # the round's NULL hardening)
+            if eid is None or eid != eid or val is None or val != val:
+                continue
+            items.append((int(eid), float(val)))
+    sample = qk_step(items, prev)
+    n += len(items)
+    state.update(
+        (
+            ",".join(str(p) for (p, _e, _v) in sample),
+            ",".join(str(e) for (_p, e, _v) in sample),
+            ",".join(repr(v) for (_p, _e, v) in sample),
+            n,
+        )
+    )
+    p50, p90, p99 = qk_quantiles(sample)
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": event_type,
+                "n_seen": n,
+                "n_sample": len(sample),
+                "p50": p50,
+                "p90": p90,
+                "p99": p99,
+            }
+        ]
+    )
+
+
+def quantile_bottomk_stream(events_stream: DataFrame) -> DataFrame:
+    """Continuously-maintained per-event-type quantile estimates from
+    the deterministic bottom-k sample (module comment above): each
+    micro-batch folds its rows into the bounded sample and emits the
+    refreshed (p50, p90, p99). The final emission equals the batch twin
+    over the same rows EXACTLY — the sample is a function of the row
+    set, not the arrival order (pytest-locked, incl. chunk-invariance
+    and a convergence run)."""
+    return events_stream.groupBy("event_type").applyInPandasWithState(
+        _qk_group,
+        outputStructType=QK_OUTPUT_SCHEMA,
+        stateStructType=QK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

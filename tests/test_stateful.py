@@ -776,3 +776,91 @@ def test_mg_and_cusum_under_processing_time_trigger(spark, tmp_path):
     assert got.n_seen == n == 40
     assert (got.n_alarms_up, got.n_alarms_dn) == (a_up, a_dn)
     assert (got.max_s_up, got.max_s_dn) == (m_up, m_dn)
+
+
+def test_qk_step_chunk_invariant_and_set_semantics():
+    """The bottom-k sample is a pure function of the row SET: any split
+    of the stream folds to the identical sample, and re-delivering an
+    event_id (at-least-once replay) cannot duplicate it."""
+    import random
+
+    rng = random.Random(7)
+    stream = [(eid, rng.uniform(0, 100)) for eid in rng.sample(range(10000), 800)]
+    one = ST.qk_step(stream, None, k=64)
+    assert len(one) == 64
+    for cut in (0, 1, 100, 799, 800):
+        mid = ST.qk_step(stream[:cut], None, k=64)
+        assert ST.qk_step(stream[cut:], mid, k=64) == one, cut
+    # replay a prefix: no change (set semantics)
+    assert ST.qk_step(stream[:50], one, k=64) == one
+    # priorities match the engine-portable hash
+    for (p, e, _v) in one[:5]:
+        assert p == ST.qk_prio(e)
+
+
+def test_streaming_quantile_bottomk_matches_batch_twin(spark, tmp_path):
+    """Three micro-batches through quantile_bottomk_stream: the FINAL
+    emission per event type must equal the oracle-checked batch twin
+    (stream_quantile_bottomk) over the concatenated rows EXACTLY — the
+    deterministic sample makes a streaming APPROXIMATE operator
+    value-reconcilable with its batch form, which no order-dependent
+    sketch (EWMA, Misra-Gries) can claim. NULL event_id/value rows are
+    skipped identically on both sides."""
+    import datetime as dt
+    import random
+
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "qk_src")
+    cols = ("event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string")
+    all_rows = []
+    eid = 0
+    for b in range(3):
+        rows = []
+        for _ in range(300):
+            typ = rng.choice(["click", "error"])
+            val = None if rng.random() < 0.05 else rng.uniform(0, 500)
+            rows.append((eid, t0 + dt.timedelta(seconds=eid), 1, typ,
+                         val, None))
+            eid += 1
+        rows.append((None, t0, 1, "click", 1.0, None))  # NULL event_id
+        all_rows += rows
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            f"{src}/b{b}"
+        )
+    stream = (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        ST.quantile_bottomk_stream(stream)
+        .writeStream.format("memory")
+        .queryName("qk_mem")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {}
+    for r in spark.sql("SELECT * FROM qk_mem ORDER BY n_seen").collect():
+        final[r["event_type"]] = (r["n_sample"], r["p50"], r["p90"], r["p99"])
+    # batch twin over the identical rows via a synthetic sf_dir
+    sf_dir = str(tmp_path / "sf_qk")
+    spark.createDataFrame(all_rows, cols).coalesce(1).write.parquet(
+        f"{sf_dir}/events.parquet"
+    )
+    batch = {
+        r["event_type"]: (r["n_sample"], r["p50"], r["p90"], r["p99"])
+        for r in all_queries()["stream_quantile_bottomk"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert final == batch
+    # sanity: a 256-sample p50 of U(0,500) lands near 250
+    assert 150 < final["click"][1] < 350

@@ -912,3 +912,26 @@ def test_scalar_crossjoins_stay_broadcast_one_row(spark):
         assert "BroadcastNestedLoopJoin" in p, (
             f"{name}: scalar cross join lost its broadcast:\n{p}"
         )
+
+
+def test_quantile_bottomk_sample_is_window_group_limit(spark):
+    """stream_quantile_bottomk's rank<=k sample must compile to a
+    map-side WindowGroupLimit BEFORE the group exchange (each task
+    keeps its local k smallest priorities, then one merge per group) —
+    the property that makes one-pass bounded-memory quantiles true at
+    scale. A regression to a full per-group sort would still pass the
+    oracle, so the plan is locked here."""
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    df = all_queries()["stream_quantile_bottomk"].fn(spark, SF_DIR)
+    p = plan_of(df, mode="formatted")
+    limits = p.count("WindowGroupLimit")
+    assert limits >= 2, f"expected partial+final WindowGroupLimit:\n{p}"
+    # the PARTIAL limit is upstream of the group exchange: in the
+    # printed tree (downstream on top) a WindowGroupLimit line must
+    # appear BELOW the Exchange line
+    tree = p.split("\n\n")[0]
+    exch = tree.index("Exchange")
+    assert "WindowGroupLimit" in tree[exch:], (
+        f"no map-side partial limit below the exchange:\n{tree}"
+    )

@@ -81,6 +81,10 @@ def _advance(
     step_rank = {s: i for i, s in enumerate(FUNNEL_STEPS)}
     rows: list[tuple[str, int]] = []
     for pdf in pdfs:
+        # NULL-ts guard (round-7 hardening): NaT.astype('int64') raises
+        # in pandas 2 — and an event with no event time cannot place in
+        # an ordered funnel anyway, so it is dropped, not folded.
+        pdf = pdf[pdf["ts"].notna()]
         ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
         rows.extend(zip(pdf["event_type"].tolist(), ts_us))
     # One sort over the concatenated rows (per-chunk pre-sorting would

@@ -103,6 +103,11 @@ def _detect(
     rows: list[tuple[float, float]] = []
     for pdf in pdfs:
         rows.extend(zip(pdf["reading"], pdf["t_stamp"]))
+    # NULL/NaN guard (round-7 hardening, mirrors Holt/CUSUM/MG): a NaN
+    # reading would poison the EWMA state FOREVER (every later z-score
+    # NaN -> the detector goes permanently silent), and a NaN t_stamp
+    # makes the sort nondeterministic (NaN compares False both ways).
+    rows = [(r, t) for (r, t) in rows if r == r and t == t]
     rows.sort(key=lambda r: r[1])
     anomalies, new_state = ewma_step(rows, prev)
     state.update(new_state)

@@ -864,3 +864,58 @@ def test_streaming_quantile_bottomk_matches_batch_twin(spark, tmp_path):
     assert final == batch
     # sanity: a 256-sample p50 of U(0,500) lands near 250
     assert 150 < final["click"][1] < 350
+
+
+def test_ewma_and_funnel_survive_null_inputs(spark, tmp_path):
+    """Round-7 hardening sweep: a NULL reading must not poison the EWMA
+    state (a NaN folds into ewma forever -> detector permanently
+    silent), and a NULL ts must not crash the funnel's NaT->int64
+    conversion. Both operators drop the undefined rows and keep
+    working."""
+    import pandas as pd
+
+    # EWMA: calm -> NULL -> spike; spike must still alarm
+    src = str(tmp_path / "null_plc")
+    cols = "machine_id string, sensor string, reading double, t_stamp double"
+    calm = [("M1", "t", 50.0 + (i % 5) * 0.1, float(i)) for i in range(40)]
+    nulls = [("M1", "t", None, 40.0), ("M1", "t", 50.1, None)]
+    spike = [("M1", "t", 95.0, 41.0)]
+    spark.createDataFrame(calm + nulls + spike, cols).coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema(cols)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (ST.detect_anomalies(stream).writeStream.format("memory")
+         .queryName("null_ewma_mem").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM null_ewma_mem").collect()
+    assert len(rows) == 1 and rows[0].reading == 95.0
+    assert rows[0].n_seen == 41  # 40 calm + spike; the 2 NULL rows skipped
+
+    # funnel: a NULL-ts event among valid ones must not crash the fold
+    from plc_data_etl_pipeline_spark.streaming.funnel import track_funnel
+
+    fsrc = str(tmp_path / "null_funnel")
+    fcols = ("event_id long, ts timestamp, user_id long, "
+             "event_type string, value double, props string")
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    frows = [
+        (1, t0, 7, "view", 1.0, None),
+        (2, None, 7, "click", 1.0, None),            # NULL ts: dropped
+        (3, t0 + dt.timedelta(minutes=1), 7, "click", 1.0, None),
+        (4, t0 + dt.timedelta(minutes=2), 7, "purchase", 1.0, None),
+    ]
+    spark.createDataFrame(frows, fcols).coalesce(1).write.parquet(fsrc)
+    fq = (track_funnel(
+            spark.readStream.schema(fcols).parquet(fsrc))
+          .writeStream.format("memory").queryName("null_funnel_mem")
+          .outputMode("append").start())
+    try:
+        fq.processAllAvailable()
+    finally:
+        fq.stop()
+    out = spark.sql("SELECT * FROM null_funnel_mem ORDER BY stage").collect()
+    assert [r["stage"] for r in out] == [1, 2, 3]  # full funnel completed

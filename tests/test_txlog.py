@@ -1305,3 +1305,74 @@ def test_txlog_random_ops_match_python_model(spark, tmp_path):
         got = sorted(map(tuple, t.read(version=tv).collect()))
         assert got == sorted(snapshots[tv].values()), f"time travel v{tv}"
     assert len(model) > 0 and t.version() >= 20  # the walk did real work
+
+
+def test_four_writer_mixed_ops_contention_invariants(spark, tmp_path):
+    """Heavier optimistic-concurrency stress (round 7): FOUR real
+    threads interleave upserts, deletes and a compaction against one
+    partitioned table, each owning a disjoint key range. Invariants
+    that must survive any interleaving: contiguous version history, at
+    most one commit per txn marker, no lost updates (every thread's
+    final state is exactly its last write), and exact partition
+    envelopes on every committed file."""
+    import threading
+
+    path = str(tmp_path / "stress")
+    t = TransactionalParquetTable(spark, path, partition_by="p")
+    t.append(_pdf(spark, [(w, k, "seed") for w in range(4) for k in range(3)]))
+    errors: list[Exception] = []
+    barrier = threading.Barrier(4)
+
+    def worker(w: int) -> None:
+        try:
+            t2 = TransactionalParquetTable(spark, path)
+            barrier.wait(timeout=60)
+            # upsert own keys, delete one, compact once, upsert again
+            t2.merge_apply_changes(
+                spark.createDataFrame(
+                    [(w, k, f"w{w}r1", 1) for k in range(3)],
+                    "p int, k int, v string, _sign int",
+                ),
+                keys=["p", "k"], txn=(f"w{w}", 1),
+            )
+            t2.merge_apply_changes(
+                spark.createDataFrame(
+                    [(w, 2, -1)], "p int, k int, _sign int"
+                ),
+                keys=["p", "k"], txn=(f"w{w}", 2),
+            )
+            if w == 0:
+                t2.compact(target_file_bytes=1 << 30)
+            t2.merge_apply_changes(
+                spark.createDataFrame(
+                    [(w, 0, f"w{w}final", 1)],
+                    "p int, k int, v string, _sign int",
+                ),
+                keys=["p", "k"], txn=(f"w{w}", 3),
+            )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    got = sorted(map(tuple, t.read().collect()))
+    want = sorted(
+        [(w, 0, f"w{w}final") for w in range(4)]
+        + [(w, 1, f"w{w}r1") for w in range(4)]
+    )
+    assert got == want, "lost update under 4-writer contention"
+    hist = t.history()
+    versions = [m["version"] for m in hist]
+    assert versions == list(range(1, len(hist) + 1)), "history not contiguous"
+    markers = [
+        (m["txn"]["app"], m["txn"]["id"]) for m in hist if m.get("txn")
+    ]
+    assert len(markers) == len(set(markers)) == 12  # 3 commits x 4 writers
+    final = hist[-1]
+    for f in final["files"]:
+        env = final["stats"][f].get("p")
+        assert env and env[0] == env[1], f"{f}: non-exact envelope {env}"

@@ -91,6 +91,14 @@ SPOT = [
     # hub-cap projection at 10x degrees (the cap semantics must bound
     # the pair blowup identically in both engines at replica scale)
     "graph_bipartite_projection",
+    # round-7 additions: UniMax waterfilling (the cap/level boundary
+    # moves with 10x the corpus tokens), weighted SSSP against the
+    # recursive weighted closure on the replica graph, and the bottom-k
+    # quantile sample (hash-priority boundary stability across 10x the
+    # events — a different 256-sample, same deterministic selection).
+    "sample_unimax_budget",
+    "graph_sssp_weighted",
+    "stream_quantile_bottomk",
 ]
 
 

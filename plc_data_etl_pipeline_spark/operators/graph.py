@@ -75,13 +75,16 @@ def finalize_round_result(result: DataFrame, state: DataFrame) -> DataFrame:
 _unpersist_ckpt = release_local_checkpoint
 
 
-def undirected_edges(pairs: DataFrame) -> DataFrame:
+def undirected_edges(pairs: DataFrame, carry: tuple = ()) -> DataFrame:
     """(a, b) pair list -> (src, dst) with both directions — the shared
-    first step of every undirected iterative operator here."""
+    first step of every undirected iterative operator here. ``carry``
+    names extra pair columns (e.g. an edge weight) copied onto BOTH
+    directions."""
+    extra = [F.col(c) for c in carry]
     return pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
+        F.col("a").alias("src"), F.col("b").alias("dst"), *extra
     ).unionAll(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), *extra)
     )
 
 
@@ -452,16 +455,9 @@ def bfs_hops(
     if weight_col is None:
         edges = undirected_edges(pairs).withColumn("w", F.lit(1))
     else:
-        edges = pairs.select(
-            F.col("a").alias("src"),
-            F.col("b").alias("dst"),
-            F.col(weight_col).cast("bigint").alias("w"),
-        ).unionAll(
-            pairs.select(
-                F.col("b").alias("src"),
-                F.col("a").alias("dst"),
-                F.col(weight_col).cast("bigint").alias("w"),
-            )
+        edges = undirected_edges(
+            pairs.withColumn("w", F.col(weight_col).cast("bigint")),
+            carry=("w",),
         )
     selfloops = (
         edges.select("src")

@@ -896,29 +896,13 @@ class TransactionalParquetTable:
         p = self.partition_by
         if p is None or p not in keys:
             return files, []
-        # Type guard (ADVICE r6): delete-only feeds bypass the
-        # exact-schema validation (it runs only when the feed carries
-        # positive rows), so a type-divergent partition key — e.g. a
-        # string feed against an int-partitioned table — would reach
-        # _envelope_may_match where a Python cross-type comparison
-        # raises a raw TypeError mid-merge. Falling back to the full
-        # merge is no escape either: Spark 4's ANSI cast makes the
-        # cross-type anti-join throw CAST_INVALID_INPUT at runtime.
-        # Fail fast with a clear contract error instead.
-        from pyspark.sql.types import StructType
-
-        table_types = {
-            f.name: f.dataType
-            for f in StructType.fromDDL(manifest["schema"]).fields
-        }
-        feed_type = touched.schema[p].dataType
-        if table_types.get(p) != feed_type:
-            raise ValueError(
-                f"merge_apply_changes: partition key {p!r} is "
-                f"{feed_type.simpleString()} in the feed but "
-                f"{table_types.get(p).simpleString() if p in table_types else 'absent'} "
-                "in the table schema; cast the feed explicitly"
-            )
+        # Key TYPE safety: by the time this split runs, every caller
+        # path has validated the feed's key types against the table
+        # schema (has_ups feeds via the exact-schema check, delete-only
+        # feeds via the any-key guard in merge_apply_changes — round-7
+        # review replaced the narrower partition-key-only guard that
+        # lived here), so the stat-domain comparisons below never see
+        # cross-type values.
         vals = [
             r[0]
             for r in touched.select(p)
@@ -1054,9 +1038,8 @@ class TransactionalParquetTable:
                         rewrite += fs
                 if not rewrite:
                     return None  # one file per value: at the floor
-                carried = [
-                    f for f in old_files if f not in set(rewrite)
-                ]
+                rw = set(rewrite)  # hoisted: per-element set() is O(n^2)
+                carried = [f for f in old_files if f not in rw]
                 sub = self.spark.read.schema(manifest["schema"]).parquet(
                     *[os.path.join(self.path, f) for f in rewrite]
                 )

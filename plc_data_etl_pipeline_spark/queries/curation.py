@@ -1054,23 +1054,19 @@ _UNIMAX_BUDGET_X = 3  # train budget = 3x the corpus (exercises the cap)
       FROM ranked
       WHERE CAST(cap AS DOUBLE)
               >= CAST(b - prefix_prev AS DOUBLE) / (k - i + 1)
+    ), alloc AS (
+      SELECT ranked.*,
+             LEAST(CAST(cap AS DOUBLE),
+                   COALESCE(lvl, CAST('Infinity' AS DOUBLE))) AS a,
+             COALESCE(lvl, CAST('Infinity' AS DOUBLE)) AS level
+      FROM ranked, lv
     )
     SELECT lang, n_docs, tokens,
-           {sql_quant(
-               "LEAST(CAST(cap AS DOUBLE),"
-               " COALESCE(lvl, CAST('Infinity' AS DOUBLE)))", 2)}
-             AS alloc_tokens,
-           {sql_quant(
-               "LEAST(CAST(cap AS DOUBLE),"
-               " COALESCE(lvl, CAST('Infinity' AS DOUBLE)))"
-               " / CAST(tokens AS DOUBLE)", 4)} AS epochs,
-           {sql_quant(
-               "LEAST(CAST(cap AS DOUBLE),"
-               " COALESCE(lvl, CAST('Infinity' AS DOUBLE)))"
-               " / CAST(b AS DOUBLE)", 4)} AS budget_share,
-           CAST(cap AS DOUBLE)
-             <= COALESCE(lvl, CAST('Infinity' AS DOUBLE)) AS capped
-    FROM ranked, lv
+           {sql_quant("a", 2)} AS alloc_tokens,
+           {sql_quant("a / CAST(tokens AS DOUBLE)", 4)} AS epochs,
+           {sql_quant("a / CAST(b AS DOUBLE)", 4)} AS budget_share,
+           CAST(cap AS DOUBLE) <= level AS capped
+    FROM alloc
     """,
 )
 def sample_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -701,13 +701,16 @@ def _qk_group(
         prev, n = [], 0
     items: list[tuple[int, float]] = []
     for pdf in pdfs:
-        for eid, val in zip(pdf["event_id"], pdf["value"]):
-            # NULL event_id has no identity to sample by; NULL value
-            # is no observation (mirrors the batch twin's filters and
-            # the round's NULL hardening)
-            if eid is None or eid != eid or val is None or val != val:
-                continue
-            items.append((int(eid), float(val)))
+        # NULL event_id has no identity to sample by; NULL value is no
+        # observation (mirrors the batch twin's filters and the round's
+        # NULL hardening). Vectorized dropna beats a per-row guard.
+        sub = pdf[["event_id", "value"]].dropna()
+        items.extend(
+            zip(
+                sub["event_id"].astype("int64").tolist(),
+                sub["value"].astype(float).tolist(),
+            )
+        )
     sample = qk_step(items, prev)
     n += len(items)
     state.update(

@@ -470,6 +470,32 @@ def bfs_hops(
         .repartition(n_shuffle, "src")
         .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
+    if weight_col is not None:
+        # One cheap guard pass over the CHECKPOINTED relation (it doubles
+        # as the checkpoint's materializing action, so the expensive edge
+        # build still runs once; validation style of merge_apply_changes'
+        # key-type guard): a negative weight breaks the monotone-sum
+        # convergence certificate and the Bellman-Ford round bound
+        # (distances declared converged while still wrong), and a NULL
+        # weight makes its edge silently never relax — both must fail
+        # loudly, not converge quietly. Self-loop rows carry literal 0,
+        # so they can mask neither check.
+        chk = edges_p.agg(
+            F.min("w").alias("mn"),
+            (F.count("*") - F.count("w")).alias("n_null"),
+        ).collect()[0]
+        if chk["n_null"]:
+            raise ValueError(
+                f"bfs_hops: {chk['n_null']} NULL edge weight(s) in "
+                f"{weight_col!r} — a NULL weight never relaxes its edge; "
+                "filter or impute upstream"
+            )
+        if chk["mn"] is not None and chk["mn"] < 0:
+            raise ValueError(
+                f"bfs_hops: negative edge weight {chk['mn']} in "
+                f"{weight_col!r} — Bellman-Ford's monotone convergence "
+                "certificate requires non-negative weights"
+            )
     nodes = edges_p.select(F.col("src").alias("node")).distinct()
     if source is None:
         source = nodes.agg(F.min("node")).collect()[0][0]

@@ -970,6 +970,34 @@ class TransactionalParquetTable:
 
         return self._snapshot_retrying(compute, txn, "restore")
 
+    def _part_col_all_null(self, rel: str) -> bool:
+        """Footer-only check: does ``rel`` hold ONLY NULLs in the
+        partition column? True also when the column is absent from the
+        file's schema (pre-evolution file — reads back as NULL). Used by
+        compact() to split the no-envelope class (round-8 ADVICE): a
+        no-min/max footer means EITHER an all-NULL partition (floor = one
+        merged file) OR a legacy file that does hold non-NULL values and
+        must be re-clustered. Missing/unreadable statistics count as
+        NOT-all-NULL — the conservative side, since it only ever causes
+        one extra re-cluster of that file."""
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+        for rg in range(meta.num_row_groups):
+            row_group = meta.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                if col.path_in_schema != self.partition_by:
+                    continue
+                st = col.statistics
+                if (
+                    st is None
+                    or st.null_count is None
+                    or st.null_count != col.num_values
+                ):
+                    return False
+        return True  # all chunks all-NULL, or column absent entirely
+
     # ------------------------------------------------------------ compact
     def compact(self, target_file_bytes: int = 128 << 20) -> int:
         """OPTIMIZE: bin-pack the current snapshot's files into
@@ -1008,31 +1036,50 @@ class TransactionalParquetTable:
                 #     file's values would otherwise land next to their
                 #     carried exact twins and re-create multi-file
                 #     partitions — round-7 review);
-                #   * >=2 no-envelope files (all-NULL partitions) —
-                #     merged into one; a single one is already at its
-                #     floor, NOT a rewrite unit forever (the old code
-                #     counted every loose file as its own floor unit,
-                #     so legacy tables hit the no-op guard without
-                #     ever packing).
+                #   * no-envelope files, split by a footer null-count
+                #     probe (_part_col_all_null — round-8 ADVICE; the
+                #     r7 code assumed no-envelope == all-NULL, so a
+                #     LEGACY no-envelope file holding real values kept
+                #     its partitions multi-file forever):
+                #       - all-NULL partitions: >=2 merge into one, a
+                #         single one is already at its floor;
+                #       - LEGACY files (non-NULL values, no footer
+                #         stats): rewritten like a wide file whose span
+                #         covers EVERYTHING — every single-exact-file
+                #         partition is pulled in too, so one call
+                #         reaches the floor. Converges: the rewrite's
+                #         own outputs carry exact envelopes. Only
+                #         attempted when some file HAS an envelope
+                #         (proof the column type supports stats);
+                #         otherwise rewriting would re-produce
+                #         stat-less files and churn every call, so a
+                #         pure no-envelope table keeps the old
+                #         merge-NULLs-only behavior.
                 # Every other file is carried byte-identical.
                 p = self.partition_by
                 stats = manifest.get("stats", {})
                 by_val: dict = {}
-                wide, nullish = [], []
+                wide, nullish, legacy = [], [], []
                 for f in old_files:
                     env = stats.get(f, {}).get(p)
                     if env is None:
-                        nullish.append(f)
+                        (nullish if self._part_col_all_null(f)
+                         else legacy).append(f)
                     elif env[0] == env[1]:
                         by_val.setdefault(env[0], []).append(f)
                     else:
                         wide.append(f)
-                rewrite = list(wide)
-                if nullish and (wide or len(nullish) >= 2):
-                    rewrite += nullish  # wide files may hold NULLs too
+                if not (by_val or wide):
+                    # no envelope anywhere: stats-incapable partition
+                    # column type — legacy files are indistinguishable
+                    # from their own rewrite output, leave them be
+                    legacy = []
+                rewrite = wide + legacy
+                if nullish and (rewrite or len(nullish) >= 2):
+                    rewrite += nullish  # wide/legacy may hold NULLs too
                 spans = [stats[f][p] for f in wide]
                 for v, fs in by_val.items():
-                    if len(fs) > 1 or any(
+                    if len(fs) > 1 or legacy or any(
                         lo <= v <= hi for (lo, hi) in spans
                     ):
                         rewrite += fs

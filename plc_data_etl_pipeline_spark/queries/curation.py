@@ -1145,3 +1145,178 @@ def sample_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("capped"),
         )
     )
+
+
+# Temperature-based mixture sampling (the other standard LLM-corpus
+# allocator next to UniMax: Devlin et al. 2019 mBERT exponent-smoothed
+# sampling, Conneau et al. 2020 XLM-R alpha=0.3, Raffel et al. 2020 T5
+# mixing): sampling weight q_d ∝ n_d^alpha flattens the language/domain
+# distribution (alpha < 1 upweights the tail), and a repetition cap
+# bounds epochs over any single language. With the cap, the exact
+# allocation is the WEIGHTED waterfill alloc_d = min(cap_d, λ·q_d) where
+# λ solves Σ min(cap_d, λ·q_d) = B — UniMax is the q_d≡1 special case,
+# so the same one-ordered-scan closed form applies with caps sorted by
+# cap_d/q_d and the candidate level (B - prefix_cap)/(suffix q-mass).
+#
+# alpha is fixed at 0.5 so q_d = sqrt(tokens): IEEE-754 requires sqrt to
+# be CORRECTLY ROUNDED (unlike pow), so Spark and DuckDB produce the
+# bit-identical double, and flooring to integer micro-units makes every
+# prefix/suffix sum exact BIGINT arithmetic — no float-summation-order
+# divergence. cap_d/q_d = E·tokens/√tokens ∝ √tokens is strictly
+# increasing in tokens, so ORDER BY (tokens, lang) IS the ratio order.
+_TEMP_EPOCHS = 4      # same repetition ceiling as UniMax
+_TEMP_BUDGET_X = 2    # train budget = 2x the corpus
+_TEMP_Q_SCALE = 1_000_000  # micro-units for the floored sqrt weights
+
+
+@query(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH by_lang AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS tokens
+      FROM documents
+      WHERE text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
+      GROUP BY lang
+    ), weighted AS (
+      SELECT lang, n_docs, tokens,
+             {_TEMP_EPOCHS} * tokens AS cap,
+             CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE)) * {_TEMP_Q_SCALE})
+                  AS BIGINT) AS q
+      FROM by_lang
+    ), tot AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS t,
+             CAST(SUM(q) AS BIGINT) AS qt
+      FROM weighted
+    ), ranked AS (
+      SELECT w.*, {_TEMP_BUDGET_X} * t AS b, qt,
+             ROW_NUMBER() OVER (ORDER BY tokens, lang) AS i,
+             COALESCE(SUM(cap) OVER (
+                 ORDER BY tokens, lang
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS prefix_cap,
+             COALESCE(SUM(q) OVER (
+                 ORDER BY tokens, lang
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS prefix_q
+      FROM weighted w, tot
+    ), lv AS (
+      SELECT ARG_MIN(CAST(b - prefix_cap AS DOUBLE)
+                       / CAST(qt - prefix_q AS DOUBLE), i) AS lvl
+      FROM ranked
+      WHERE CAST(cap AS DOUBLE)
+              >= CAST(b - prefix_cap AS DOUBLE)
+                   / CAST(qt - prefix_q AS DOUBLE) * CAST(q AS DOUBLE)
+    ), alloc AS (
+      SELECT ranked.*,
+             COALESCE(lvl, CAST('Infinity' AS DOUBLE)) AS level,
+             LEAST(CAST(cap AS DOUBLE),
+                   COALESCE(lvl, CAST('Infinity' AS DOUBLE))
+                     * CAST(q AS DOUBLE)) AS a
+      FROM ranked, lv
+    )
+    SELECT lang, n_docs, tokens,
+           {sql_quant("a", 2)} AS alloc_tokens,
+           {sql_quant("a / CAST(tokens AS DOUBLE)", 4)} AS epochs,
+           {sql_quant("a / CAST(b AS DOUBLE)", 4)} AS budget_share,
+           CAST(cap AS DOUBLE) <= level * CAST(q AS DOUBLE) AS capped
+    FROM alloc
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed (alpha=0.5) language-budget allocation with a
+    4-epoch repetition cap — the weighted waterfill described in the
+    module comment above. Against UniMax on the same fixture: the tail
+    still caps at 4 epochs, but mid-size languages receive budget
+    ∝ √tokens instead of an equal share, the standard
+    flatten-but-don't-equalize mixture.
+
+    Scale shape: ONE corpus aggregation to (lang, tokens) — everything
+    downstream (global window, 1-row totals broadcast crossJoin,
+    min_by level pick) is roster-sized, identical to
+    sample_unimax_budget. Determinism: caps, q-weights (floored sqrt
+    micro-units — IEEE sqrt is correctly rounded, so both engines floor
+    the same double) and their prefix sums are exact BIGINT; the only
+    doubles are the level/alloc divisions, written in identical textual
+    order on both engines and floor-quantized per _conv conventions."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
+    by_lang = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("tokens"),
+    )
+    return temperature_mix_alloc(by_lang)
+
+
+def temperature_mix_alloc(by_lang: DataFrame, alpha: float = 0.5,
+                          max_epochs: int = _TEMP_EPOCHS,
+                          budget_x: int = _TEMP_BUDGET_X) -> DataFrame:
+    """Weighted waterfill alloc_d = min(cap_d, λ·q_d), q_d = tokens^alpha
+    (module comment above), over a (lang, n_docs, tokens) roster. The
+    registered query uses alpha=0.5 (bit-exact sqrt); the alpha-sweep
+    pytest exercises the generic pow path against a Python reference.
+    alpha must be in (0, 1]: the ordered scan caps languages in
+    cap/q ∝ tokens^(1-alpha) order, which is (tokens, lang) order only
+    for alpha <= 1."""
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    qcol = (
+        F.sqrt(F.col("tokens").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("tokens").cast("double"), F.lit(float(alpha)))
+    )
+    weighted = by_lang.withColumn(
+        "cap", (F.lit(max_epochs) * F.col("tokens")).cast("bigint")
+    ).withColumn(
+        "q", F.floor(qcol * _TEMP_Q_SCALE).cast("bigint")
+    )
+    tot = weighted.agg(
+        F.sum("tokens").cast("bigint").alias("t"),
+        F.sum("q").cast("bigint").alias("qt"),
+    )
+    w = Window.orderBy("tokens", "lang")  # roster-sized: single task is fine
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = (
+        weighted.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "b", (F.lit(budget_x) * F.col("t")).cast("bigint")
+        )
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "prefix_cap", F.coalesce(F.sum("cap").over(prev), F.lit(0))
+        )
+        .withColumn(
+            "prefix_q", F.coalesce(F.sum("q").over(prev), F.lit(0))
+        )
+        .withColumn(
+            "level",
+            (F.col("b") - F.col("prefix_cap")).cast("double")
+            / (F.col("qt") - F.col("prefix_q")).cast("double"),
+        )
+    )
+    lv = ranked.filter(
+        F.col("cap").cast("double")
+        >= F.col("level") * F.col("q").cast("double")
+    ).agg(F.min_by("level", "i").alias("lvl"))
+    lvl = F.coalesce(F.col("lvl"), F.lit(float("inf")))
+    alloc = F.least(
+        F.col("cap").cast("double"), lvl * F.col("q").cast("double")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(lv))
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            quant(alloc, 2).alias("alloc_tokens"),
+            quant(alloc / F.col("tokens").cast("double"), 4).alias("epochs"),
+            quant(alloc / F.col("b").cast("double"), 4).alias("budget_share"),
+            (
+                F.col("cap").cast("double")
+                <= lvl * F.col("q").cast("double")
+            ).alias("capped"),
+        )
+    )

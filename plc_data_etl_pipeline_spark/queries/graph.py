@@ -22,11 +22,29 @@ lineage; three unrolled iterations keep the demo plan bounded.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import query
+
+# Session-scoped materialized-edge cache: every iterative graph query
+# (PageRank, CC, LPA, BFS, SSSP, triangles, bipartite projection) starts
+# from the same repeat-trade pair build, and that build — a
+# lineitem⋈orders join + countDistinct — dominated every fixpoint wall
+# (~70 s of the 103 s sf50 connected-components run, BASELINE r7). The
+# OUTPUT is tiny (support-filtered pairs), so the first call per
+# (session, sf_dir, params) writes it to a session-keyed parquet and
+# later calls read that back — 2nd+ graph queries pay relaxation-only
+# cost. Same pattern as the persisted IVF index
+# (queries/extensions.py::sim_topk_ivf_indexed); results are unchanged
+# because the build is deterministic.
+_PAIR_CACHE: dict[tuple, str] = {}
+
 
 def _trade_pairs(spark, sf_dir, min_support: int | None = None,
                  with_weight: bool = False):
@@ -37,27 +55,45 @@ def _trade_pairs(spark, sf_dir, min_support: int | None = None,
     distinct orders (the sparse repeat-trade graph). ``with_weight``
     (requires min_support) also emits an integer DISTANCE weight
     w = GREATEST(1, 8 - n): more repeat orders = a stronger tie = a
-    shorter edge, clamped to [1, 8-min_support]."""
+    shorter edge, clamped to [1, 8-min_support]. First call per
+    (session, sf_dir, params) materializes; see _PAIR_CACHE above."""
+    if with_weight and min_support is None:
+        raise ValueError("with_weight requires min_support")
+    key = (
+        spark.sparkContext.applicationId, sf_dir, min_support, with_weight
+    )
+    cached = _PAIR_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return spark.read.parquet(cached)
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     j = li.join(o, li.l_orderkey == o.o_orderkey)
     a = (F.col("o_custkey") * 2).alias("a")
     b = (F.col("l_suppkey") * 2 + 1).alias("b")
     if min_support is None:
-        if with_weight:
-            raise ValueError("with_weight requires min_support")
-        return j.select(a, b).distinct()
-    g = (
-        j.groupBy(a, b)
-        .agg(F.countDistinct("l_orderkey").alias("n"))
-        .filter(F.col("n") >= min_support)
+        out = j.select(a, b).distinct()
+    else:
+        g = (
+            j.groupBy(a, b)
+            .agg(F.countDistinct("l_orderkey").alias("n"))
+            .filter(F.col("n") >= min_support)
+        )
+        if not with_weight:
+            out = g.select("a", "b")
+        else:
+            out = g.select(
+                "a", "b",
+                F.greatest(F.lit(1), F.lit(8) - F.col("n"))
+                .cast("bigint").alias("w"),
+            )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "plc_etl_trade_pairs_"
+        + hashlib.md5(repr(key).encode()).hexdigest()[:16],
     )
-    if not with_weight:
-        return g.select("a", "b")
-    return g.select(
-        "a", "b",
-        F.greatest(F.lit(1), F.lit(8) - F.col("n")).cast("bigint").alias("w"),
-    )
+    out.write.mode("overwrite").parquet(path)
+    _PAIR_CACHE[key] = path
+    return spark.read.parquet(path)
 
 
 def _node_label(col: str):
@@ -454,9 +490,19 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_round_result(hist, dist)
 
 
+# Shared distance cap for graph_sssp_weighted: the oracle's recursive
+# walk prunes paths at cumulative distance >= cap, so a node whose
+# shortest distance reaches the cap is indistinguishable from
+# unreachable on the oracle side — the engine clamps its converged
+# distances to the SAME cap (dist >= cap -> -1) so both sides agree by
+# construction, not by the test graph's small diameter (round-8 ADVICE:
+# the engine previously bounded ROUNDS while the oracle bounded
+# DISTANCE, silently diverging on any >=200-distance-but-<200-hop node).
+_SSSP_DIST_CAP = 200
+
 @query(
     "graph_sssp_weighted",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE pairs AS (
       SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b,
              GREATEST(1, 8 - COUNT(DISTINCT l_orderkey)) AS w
@@ -471,7 +517,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT e.dst, w.d + e.w
       FROM walk w JOIN edges e ON e.src = w.node
-      WHERE w.d + e.w < 200
+      WHERE w.d + e.w < {_SSSP_DIST_CAP}
     ), dist AS (
       SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY node
     ), allnodes AS (
@@ -493,16 +539,17 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     at weight 0 carry own distances, one shuffle-hash edge⋈distance
     join + map-side MIN per round, per-round monotone-sum convergence
     certificate, in-loop checkpoint release. The oracle walks the
-    identical weighted closure declaratively (DuckDB recursive CTE,
-    cumulative-distance bound 200 = the engine's max_rounds — with
-    weights >= 1 neither side can see a distance the other cannot).
-    Output: the distance histogram with -1 for other components;
-    materialized eagerly, round state released before return."""
-    from ..operators.graph import (
-        UNREACHED,
-        bfs_hops,
-        finalize_round_result,
-    )
+    identical weighted closure declaratively (DuckDB recursive CTE)
+    pruning paths at cumulative distance >= ``_SSSP_DIST_CAP``; the
+    engine runs to FULL convergence then clamps distances >= the same
+    cap to -1, so the two bounds are identical by construction (with
+    weights >= 1, every path of distance < cap has < cap edges, so the
+    oracle's bounded walk finds the true minimum for every surviving
+    node). -1 therefore means "other component OR farther than the
+    cap" on both sides — the distance-TTL contract. Output: the
+    distance histogram; materialized eagerly, round state released
+    before return."""
+    from ..operators.graph import bfs_hops, finalize_round_result
 
     pairs = _trade_pairs(spark, sf_dir, min_support=3, with_weight=True)
     dist = bfs_hops(
@@ -511,7 +558,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = (
         dist.select(
-            F.when(F.col("hops") >= UNREACHED, F.lit(-1))
+            F.when(F.col("hops") >= _SSSP_DIST_CAP, F.lit(-1))
             .otherwise(F.col("hops"))
             .cast("bigint")
             .alias("dist")

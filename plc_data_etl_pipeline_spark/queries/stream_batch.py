@@ -72,7 +72,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       >= INTERVAL 10 MINUTES
+                       > INTERVAL 10 MINUTES
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session,
              event_id
@@ -93,8 +93,10 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (10-minute gap) per user via session_window();
     oracle reproduces the merge semantics with gaps-and-islands (an event
-    exactly ``gap`` after its predecessor starts a NEW session — Spark's
-    window end is exclusive). NULL-ts rows are dropped identically on
+    exactly ``gap`` after its predecessor MERGES into the same session —
+    Spark's session merge condition is inclusive, empirically pinned by
+    tests/test_boundary_semantics.py and the round-7 hypothesis
+    falsifying example). NULL-ts rows are dropped identically on
     both sides (r6 hardening): a streaming run could never see them
     anyway — event-time sessionization watermarks on ts — and the
     DuckDB twin's NULLS-LAST window order would otherwise diverge from
@@ -119,7 +121,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), flagged AS (
       SELECT *,
              CASE WHEN MAX(eu) OVER prev IS NULL
-                    OR tu >= MAX(eu) OVER prev
+                    OR tu > MAX(eu) OVER prev
                   THEN 1 ELSE 0 END AS new_session
       FROM t
       WINDOW prev AS (PARTITION BY user_id ORDER BY tu, event_id
@@ -143,8 +145,9 @@ def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session_window with a Column gap) that static-gap sessionization
     can't express. The oracle reproduces interval-overlap merging with
     a running MAX of per-event window ends in exact integer
-    microseconds (an event starting exactly at the running end opens a
-    NEW session — Spark's window end is exclusive)."""
+    microseconds (an event starting exactly at the running end MERGES —
+    Spark's session merge condition is inclusive, empirically pinned by
+    tests/test_boundary_semantics.py)."""
     return W.session_dynamic(load(spark, sf_dir, "events"))
 
 
@@ -288,7 +291,7 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT event_type, value, event_id,
-             ROW_NUMBER() OVER (
+             DENSE_RANK() OVER (
                PARTITION BY event_type
                ORDER BY CAST(('0x' || substr(
                    md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT),
@@ -296,7 +299,8 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WHERE value IS NOT NULL AND event_id IS NOT NULL
     ), k AS (
-      SELECT event_type, value, event_id FROM s WHERE rn <= 256
+      SELECT event_type, event_id, MIN(value) AS value
+      FROM s WHERE rn <= 256 GROUP BY event_type, event_id
     ), o AS (
       SELECT event_type, value,
              ROW_NUMBER() OVER (
@@ -342,10 +346,19 @@ def stream_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = Window.partitionBy("event_type").orderBy(
         hash_u32(F.col("event_id").cast("string")), "event_id"
     )
+    # dense_rank (not row_number) + MIN per event_id: the sample is the
+    # first 256 DISTINCT event_ids by (hash, eid) with the minimum value
+    # observed per id — set-semantics identical to the streaming fold's
+    # duplicate merge (round-8 ADVICE; with unique event_ids, as in the
+    # driver testdata, the output is unchanged). dense_rank still
+    # compiles to WindowGroupLimit, and the dedup groupBy runs on <= 256
+    # ids x duplicate multiplicity per group, not the corpus.
     samp = (
         ev.select("event_type", "value", "event_id")
-        .withColumn("rn", F.row_number().over(wk))
+        .withColumn("rn", F.dense_rank().over(wk))
         .filter(F.col("rn") <= 256)
+        .groupBy("event_type", "event_id")
+        .agg(F.min("value").alias("value"))
     )
     wo = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")

@@ -107,7 +107,14 @@ def _detect(
     # reading would poison the EWMA state FOREVER (every later z-score
     # NaN -> the detector goes permanently silent), and a NaN t_stamp
     # makes the sort nondeterministic (NaN compares False both ways).
-    rows = [(r, t) for (r, t) in rows if r == r and t == t]
+    # `is not None` as well as self-equality (round-8 ADVICE, mirrors
+    # _mg_group): an object-dtype column delivers Python None, which
+    # passes the NaN check (None == None) and then crashes the sort.
+    rows = [
+        (r, t)
+        for (r, t) in rows
+        if r is not None and r == r and t is not None and t == t
+    ]
     rows.sort(key=lambda r: r[1])
     anomalies, new_state = ewma_step(rows, prev)
     state.update(new_state)
@@ -617,8 +624,9 @@ def heavy_hitters_stream(events_stream: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Bottom-k quantile sketch (deterministic uniform sample; Cohen & Kaplan
 # 2007 "Summarizing data using bottom-k sketches"). The sample is the k
-# rows with the SMALLEST md5-derived 32-bit hash of event_id — a pure
-# function of the row SET, so folding it per micro-batch is
+# DISTINCT event_ids with the SMALLEST md5-derived 32-bit hash, keeping
+# the MIN value per id — a pure function of the row SET (duplicates
+# merge deterministically), so folding it per micro-batch is
 # chunk-invariant by construction (set union then truncate), mergeable
 # across shards, and identical to the oracle-checked batch twin
 # (queries/stream_batch.py::stream_quantile_bottomk). Quantiles are row
@@ -663,12 +671,19 @@ def qk_step(
     k: int = QK_K,
 ) -> list[tuple[int, int, float]]:
     """Pure bottom-k fold: merge (event_id, value) items into the sample
-    of the k smallest (prio, event_id) entries. Set-semantics (an
-    event_id already in the sample is not duplicated), so any chunking
-    of the stream yields the identical final sample."""
+    of the k smallest (prio, event_id) entries. Set-semantics over
+    event_id with a MIN-value merge on duplicates (round-8 ADVICE: a
+    first-seen rule made the sample arrival-order-dependent for
+    non-unique event_ids), so any chunking AND any ordering of the
+    stream yields the identical final sample — min is associative and
+    commutative, and an eid in the final bottom-k is never evicted once
+    added (its fixed prio stays under the only-ever-shrinking k-th
+    prio), so it observes every duplicate. Matches the batch twin's
+    dense_rank + MIN(value) form exactly."""
     sample = {eid: (prio, eid, val) for (prio, eid, val) in (state or [])}
     for eid, val in items:
-        if eid not in sample:
+        cur = sample.get(eid)
+        if cur is None or val < cur[2]:
             sample[eid] = (qk_prio(eid), eid, val)
     return sorted(sample.values())[:k]
 

@@ -89,8 +89,11 @@ def sliding(df: DataFrame, duration: str = "1 hour", slide: str = "30 minutes",
 
 def session(df: DataFrame, gap: str = "10 minutes",
             watermark: str | None = None) -> DataFrame:
-    """Session windows per user: events closer than ``gap`` merge; a gap
-    >= ``gap`` starts a new session (session_window, Spark >= 3.2)."""
+    """Session windows per user: events at most ``gap`` apart merge
+    (inclusive — an event exactly ``gap`` after its predecessor joins the
+    same session); only a strictly larger gap starts a new session
+    (session_window, Spark >= 3.2; pinned empirically in
+    tests/test_boundary_semantics.py)."""
     if watermark:
         df = with_event_time(df).withWatermark("ts", watermark)
     return (

@@ -1493,3 +1493,122 @@ def test_unimax_waterfill_invariants(spark, tmp_path):
     assert abs(sum(r["alloc_tokens"] for r in out.values()) - budget) < 1e-6
     # head epochs strictly between 1 and the cap (overflow, not runaway)
     assert 1.0 < out["aa"]["epochs"] < 4.0
+
+
+def _py_temperature_waterfill(tokens: dict, alpha: float, epochs: int,
+                              budget_x: int) -> dict:
+    """Plain-Python reference for the weighted waterfill
+    alloc_d = min(cap_d, lam*q_d), sum = B: bisection on lam, mirroring
+    the engine's floored micro-unit q weights."""
+    import math
+
+    caps = {lg: epochs * t for lg, t in tokens.items()}
+    q = {
+        lg: math.floor(
+            (math.sqrt(t) if alpha == 0.5 else t ** alpha) * 1_000_000
+        )
+        for lg, t in tokens.items()
+    }
+    budget = budget_x * sum(tokens.values())
+    if budget >= sum(caps.values()):
+        return dict(caps)
+    lo, hi = 0.0, max(caps[lg] / q[lg] for lg in tokens) * 2
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        s = sum(min(caps[lg], mid * q[lg]) for lg in tokens)
+        if s < budget:
+            lo = mid
+        else:
+            hi = mid
+    lam = (lo + hi) / 2
+    return {lg: min(caps[lg], lam * q[lg]) for lg in tokens}
+
+
+def test_temperature_mix_invariants(spark, tmp_path):
+    """sample_temperature_mix on a planted skewed corpus: the 2x budget
+    with a 4-epoch cap must cap the TINY tail language (temperature
+    upweighting pushes it to the ceiling), conserve the budget exactly,
+    and give mid languages a budget share ABOVE proportional-to-size
+    (the flattening) while the head stays below the cap."""
+    import pandas as pd
+
+    from plc_data_etl_pipeline_spark.registry import all_queries
+
+    rows, did = [], 0
+    sizes = [("aa", 100, 100), ("bb", 10, 100), ("cc", 1, 100)]
+    for lang, n, chars in sizes:
+        for _ in range(n):
+            rows.append((did, "x" * chars, lang, "s0", chars))
+            did += 1
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["lang"]: r
+        for r in all_queries()["sample_temperature_mix"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    total = 111 * 100
+    budget = 2 * total
+    # sqrt-upweighting pushes BOTH tail languages to the 4-epoch cap
+    # (bb's uncapped share lam*q_bb ~ 4955 > cap 4000); the head absorbs
+    # the freed budget and stays under the cap
+    assert out["cc"]["capped"] is True and out["cc"]["epochs"] == 4.0
+    assert out["bb"]["capped"] is True and out["bb"]["epochs"] == 4.0
+    assert out["aa"]["capped"] is False
+    # budget conservation with at least one language uncapped
+    assert abs(sum(r["alloc_tokens"] for r in out.values()) - budget) < 0.05
+    # flattening, not equalizing: the tail trains more epochs than the
+    # head, but the head keeps the larger absolute budget share
+    assert out["cc"]["epochs"] > out["aa"]["epochs"]
+    assert out["bb"]["budget_share"] < out["aa"]["budget_share"]
+    # against the Python waterfill reference
+    ref = _py_temperature_waterfill(
+        {"aa": 10000, "bb": 1000, "cc": 100}, 0.5, 4, 2
+    )
+    for lg in ("aa", "bb", "cc"):
+        assert abs(out[lg]["alloc_tokens"] - ref[lg]) < 0.05, lg
+
+
+def test_temperature_mix_alpha_sweep(spark):
+    """temperature_mix_alloc across alpha in {0.3, 0.5, 0.7, 1.0} vs the
+    bisection reference: allocations agree everywhere, tail epochs rise
+    monotonically as alpha falls (more flattening), and alpha=1 is the
+    proportional allocator (equal epochs when nothing caps)."""
+    import pytest as _pytest
+
+    from plc_data_etl_pipeline_spark.queries.curation import (
+        temperature_mix_alloc,
+    )
+
+    tokens = {"aa": 640_000, "bb": 40_000, "cc": 2_500, "dd": 900}
+    roster = spark.createDataFrame(
+        [(lg, 1, t) for lg, t in tokens.items()],
+        "lang string, n_docs long, tokens long",
+    )
+    tail_epochs = {}
+    for alpha in (0.3, 0.5, 0.7, 1.0):
+        out = {
+            r["lang"]: r
+            for r in temperature_mix_alloc(roster, alpha=alpha).collect()
+        }
+        ref = _py_temperature_waterfill(tokens, alpha, 4, 2)
+        for lg in tokens:
+            assert abs(out[lg]["alloc_tokens"] - ref[lg]) <= max(
+                0.05, 1e-9 * ref[lg]
+            ), (alpha, lg)
+        tail_epochs[alpha] = out["dd"]["epochs"]
+    assert tail_epochs[0.3] >= tail_epochs[0.5] >= tail_epochs[0.7] \
+        >= tail_epochs[1.0]
+    # alpha=1: proportional => every uncapped language trains the same
+    # number of epochs (budget_x) when no cap binds
+    out1 = {
+        r["lang"]: r
+        for r in temperature_mix_alloc(roster, alpha=1.0).collect()
+    }
+    if not any(r["capped"] for r in out1.values()):
+        eps = {r["epochs"] for r in out1.values()}
+        assert max(eps) - min(eps) < 1e-3
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_mix_alloc(roster, alpha=1.5)

@@ -336,3 +336,24 @@ def test_weighted_sssp_prefers_light_path_over_fewer_hops(spark):
     assert got == {0: 0, 1: 2, 2: 5, 3: 12,
                    50: UNREACHED, 51: UNREACHED}
     assert dist._fixpoint_converged is True
+
+
+def test_bfs_hops_rejects_negative_and_null_weights(spark):
+    """Round-8 ADVICE: a negative weight breaks the Bellman-Ford
+    monotone-convergence certificate, a NULL weight silently never
+    relaxes its edge — both must fail fast, before the fixpoint loop."""
+    import pytest
+
+    from plc_data_etl_pipeline_spark.operators.graph import bfs_hops
+
+    neg = spark.createDataFrame(
+        [(0, 1, 2), (1, 2, -1)], "a long, b long, w long"
+    )
+    with pytest.raises(ValueError, match="negative edge weight"):
+        bfs_hops(neg, weight_col="w")
+
+    nul = spark.createDataFrame(
+        [(0, 1, 2), (1, 2, None)], "a long, b long, w long"
+    )
+    with pytest.raises(ValueError, match="NULL edge weight"):
+        bfs_hops(nul, weight_col="w")

@@ -919,3 +919,29 @@ def test_ewma_and_funnel_survive_null_inputs(spark, tmp_path):
         fq.stop()
     out = spark.sql("SELECT * FROM null_funnel_mem ORDER BY stage").collect()
     assert [r["stage"] for r in out] == [1, 2, 3]  # full funnel completed
+
+
+def test_qk_step_duplicate_eids_min_merge_order_invariant():
+    """Round-8 ADVICE: a duplicated event_id (at-least-once delivery with
+    differing payloads, or genuinely non-unique ids) must merge
+    DETERMINISTICALLY — the sample keeps the MIN value per id, so any
+    arrival order and any chunking fold to the identical sample."""
+    import random
+
+    rng = random.Random(13)
+    base = [(eid, float(eid)) for eid in range(100)]
+    dups = [(7, 0.5), (7, 99.0), (42, 3.25), (42, 200.0), (42, 1.125)]
+    stream = base + dups
+    expected_vals = {eid: float(eid) for eid in range(100)}
+    expected_vals[7] = 0.5
+    expected_vals[42] = 1.125
+    ref = ST.qk_step(stream, None, k=64)
+    for trial in range(5):
+        shuffled = stream[:]
+        rng.shuffle(shuffled)
+        cut = rng.randrange(len(shuffled) + 1)
+        mid = ST.qk_step(shuffled[:cut], None, k=64)
+        out = ST.qk_step(shuffled[cut:], mid, k=64)
+        assert out == ref, f"trial {trial}: order/chunk-dependent sample"
+    for (_p, eid, val) in ref:
+        assert val == expected_vals[eid], (eid, val)

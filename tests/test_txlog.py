@@ -4,6 +4,7 @@ transactional streaming sink mode."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -1376,3 +1377,55 @@ def test_four_writer_mixed_ops_contention_invariants(spark, tmp_path):
     for f in final["files"]:
         env = final["stats"][f].get("p")
         assert env and env[0] == env[1], f"{f}: non-exact envelope {env}"
+
+
+def test_partitioned_compact_lone_stripped_stats_legacy_file(spark, tmp_path):
+    """ADVICE r8: a SINGLE no-envelope file holding real (non-NULL)
+    partition values next to exact-envelope files used to persist
+    forever — it was treated as an all-NULL floor unit unless wide
+    files happened to exist, so its partitions never reached the
+    one-file-per-value floor. The footer null-count probe
+    (_part_col_all_null) now classifies it as LEGACY and one compact()
+    reaches the floor."""
+    path = str(tmp_path / "t")
+    legacy = TransactionalParquetTable(spark, path)
+    legacy.append(_pdf(spark, [(1, 1, "a"), (2, 1, "b")]).coalesce(1))
+    t = TransactionalParquetTable(spark, path, partition_by="p")
+    t.append(_pdf(spark, [(1, 2, "c"), (2, 2, "d")]))  # exact files
+    # Simulate the pre-stats-era manifest: strip the legacy file's
+    # partition envelope so it is indistinguishable from all-NULL at
+    # the manifest level (only the parquet footer can tell).
+    v = t.version()
+    mp = t._manifest_path(v)
+    with open(mp) as fh:
+        m = json.load(fh)
+    victims = [f for f, env in m["stats"].items() if env.get("p") == [1, 2]]
+    assert len(victims) == 1, "setup: exactly one wide legacy file"
+    del m["stats"][victims[0]]["p"]
+    with open(mp, "w") as fh:
+        json.dump(m, fh)
+    t2 = TransactionalParquetTable(spark, path, partition_by="p")
+    v2 = t2.compact(target_file_bytes=1 << 30)
+    assert v2 > v, "legacy no-envelope file must trigger a rewrite"
+    m2 = t2.history()[-1]
+    assert len(m2["files"]) == 2, "floor = one file per partition value"
+    for f in m2["files"]:
+        env = m2["stats"][f]["p"]
+        assert env[0] == env[1], f"{f} still not exact: {env}"
+    assert sorted(map(tuple, t2.read().collect())) == [
+        (1, 1, "a"), (1, 2, "c"), (2, 1, "b"), (2, 2, "d")]
+    assert t2.compact(target_file_bytes=1 << 30) == v2  # converged
+
+
+def test_partitioned_compact_single_allnull_file_stays_floor(spark, tmp_path):
+    """The counterpart boundary: ONE genuinely all-NULL-partition file
+    next to single-file exact partitions is already at its floor — the
+    footer probe keeps it in the all-NULL class and compact() stays a
+    no-op (no churn: rewriting it would reproduce an identical
+    stat-less file every call)."""
+    t = TransactionalParquetTable(spark, str(tmp_path / "t"), partition_by="p")
+    t.append(_pdf(spark, [(None, 1, "n"), (1, 1, "a"), (2, 1, "b")]))
+    v = t.version()
+    assert t.compact(target_file_bytes=1 << 30) == v
+    assert sorted(t.read().collect(), key=str) == sorted(
+        t.read(v).collect(), key=str)

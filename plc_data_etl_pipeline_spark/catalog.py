@@ -12,12 +12,47 @@ partitions. Nothing here materializes data on the driver.
 
 from __future__ import annotations
 
+import atexit
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .session import ensure_tuned
+
+# Scratch dirs handed out by session_tmp_path, removed at interpreter
+# exit so repeated driver/bench/pytest sessions don't accrete in /tmp.
+_SESSION_TMP: set[str] = set()
+
+
+def session_tmp_path(spark: SparkSession, name: str) -> str:
+    """Session-unique scratch dir for sink/roundtrip queries.
+
+    The appId suffix keeps two CONCURRENT Spark sessions on one box
+    (e.g. a driver sim next to a pytest run) from clobbering each
+    other's ``_temporary`` dirs mid-write — round-8: a fixed
+    ``/tmp/plc_etl_cdc_replica`` cost a whole driver-sim pass to a
+    vanished task attempt. Within one session the path is stable, so
+    re-running a query overwrites its own previous output (each caller
+    still rmtrees first); at exit every handed-out dir is removed."""
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"plc_etl_{name}_{spark.sparkContext.applicationId}",
+    )
+    _SESSION_TMP.add(path)
+    return path
+
+
+def _cleanup_session_tmp() -> None:  # pragma: no cover - exit hook
+    import shutil
+
+    for path in _SESSION_TMP:
+        shutil.rmtree(path, ignore_errors=True)
+    _SESSION_TMP.clear()
+
+
+atexit.register(_cleanup_session_tmp)
 
 TABLES = (
     "region",

@@ -419,6 +419,7 @@ def bfs_hops(
     checkpoint_every: int = 1,
     require_convergence: bool = False,
     weight_col: str | None = None,
+    dist_cap: int | None = None,
 ) -> DataFrame:
     """Single-source BFS hop distances over an UNDIRECTED pair list —
     the relaxation fixpoint ``dist_{t+1}(v) = min(dist_t(v),
@@ -451,7 +452,17 @@ def bfs_hops(
     max_rounds truncation; ``result._fixpoint_rounds`` /
     ``result._fixpoint_converged`` report what happened. Per round: one
     shuffle-hash join against the never-re-shuffled edge relation +
-    one map-side-combinable MIN."""
+    one map-side-combinable MIN.
+
+    ``dist_cap`` prunes the relaxation at a distance ceiling: any
+    relaxed value >= cap collapses to the UNREACHED sentinel, so nodes
+    farther than the cap read as unreachable AND the fixpoint converges
+    within <= cap rounds regardless of hop diameter (round-8 review: a
+    >max_rounds-hop chain otherwise keeps relaxing past the cap and
+    trips require_convergence even though every capped node's answer is
+    already decided). Sound because every node with true distance < cap
+    has a shortest path whose prefixes are all < cap (non-negative
+    weights), so pruning never cuts a surviving node's path."""
     if weight_col is None:
         edges = undirected_edges(pairs).withColumn("w", F.lit(1))
     else:
@@ -524,8 +535,14 @@ def bfs_hops(
             .select(
                 F.col("dst").alias("node"),
                 # relax through the edge; sentinel stays sentinel so
-                # unreached mass never inflates reachable distances
-                F.when(F.col("d") >= UNREACHED, F.lit(UNREACHED))
+                # unreached mass never inflates reachable distances,
+                # and values at/past dist_cap collapse to the sentinel
+                F.when(
+                    F.col("d") + F.col("w")
+                    >= F.lit(dist_cap if dist_cap is not None
+                             else UNREACHED),
+                    F.lit(UNREACHED),
+                )
                 .otherwise(F.col("d") + F.col("w"))
                 .cast("bigint")
                 .alias("d"),

@@ -428,10 +428,19 @@ def repetition_stats(
     words = F.split(F.col(text_col), " ")
     g2 = word_shingles(words, 2)
     dup2 = F.round(1 - F.size(F.array_distinct(g2)) / F.size(g2), 6)
-    exploded = df.filter(F.size(words) >= 2).select(
+    # Materialize dup2 (and the split) in a projection BELOW the
+    # explode: selecting them alongside explode() puts them in the
+    # Project ABOVE Generate, re-evaluating the whole
+    # split+shingle+array_distinct chain once per exploded WORD —
+    # quadratic per document (round-8 full-registry sweep: 12 s at
+    # sf0.1, the slowest registered query; 1.3 s after hoisting).
+    pre = df.filter(F.size(words) >= 2).select(
         F.col(id_col),
         dup2.alias("dup_2gram_frac"),
-        F.explode(words).alias("__w"),
+        words.alias("__ws"),
+    )
+    exploded = pre.select(
+        id_col, "dup_2gram_frac", F.explode("__ws").alias("__w")
     )
     per_word = exploded.groupBy(id_col, "__w").agg(
         F.count("*").alias("__c"), F.first("dup_2gram_frac").alias("dup_2gram_frac")

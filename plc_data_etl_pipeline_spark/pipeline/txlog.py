@@ -974,29 +974,33 @@ class TransactionalParquetTable:
         """Footer-only check: does ``rel`` hold ONLY NULLs in the
         partition column? True also when the column is absent from the
         file's schema (pre-evolution file — reads back as NULL). Used by
-        compact() to split the no-envelope class (round-8 ADVICE): a
-        no-min/max footer means EITHER an all-NULL partition (floor = one
-        merged file) OR a legacy file that does hold non-NULL values and
-        must be re-clustered. Missing/unreadable statistics count as
-        NOT-all-NULL — the conservative side, since it only ever causes
-        one extra re-cluster of that file."""
+        compact() to split the files whose footer yields NO usable
+        min/max envelope (round-8 ADVICE): all-NULL partitions have a
+        one-merged-file floor, while OPAQUE files (non-NULL values of a
+        stats-incapable type) must be left in place. Missing statistics
+        count as NOT-all-NULL — the conservative side: the file is then
+        merely never rewritten, same as before the probe existed."""
         import pyarrow.parquet as pq
 
-        meta = pq.ParquetFile(os.path.join(self.path, rel)).metadata
-        for rg in range(meta.num_row_groups):
-            row_group = meta.row_group(rg)
-            for ci in range(row_group.num_columns):
-                col = row_group.column(ci)
-                if col.path_in_schema != self.partition_by:
-                    continue
-                st = col.statistics
-                if (
-                    st is None
-                    or st.null_count is None
-                    or st.null_count != col.num_values
-                ):
-                    return False
-        return True  # all chunks all-NULL, or column absent entirely
+        pf = pq.ParquetFile(os.path.join(self.path, rel))
+        try:
+            meta = pf.metadata
+            for rg in range(meta.num_row_groups):
+                row_group = meta.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    if col.path_in_schema != self.partition_by:
+                        continue
+                    st = col.statistics
+                    if (
+                        st is None
+                        or st.null_count is None
+                        or st.null_count != col.num_values
+                    ):
+                        return False
+            return True  # all chunks all-NULL, or column absent entirely
+        finally:
+            pf.close()
 
     # ------------------------------------------------------------ compact
     def compact(self, target_file_bytes: int = 128 << 20) -> int:
@@ -1036,50 +1040,47 @@ class TransactionalParquetTable:
                 #     file's values would otherwise land next to their
                 #     carried exact twins and re-create multi-file
                 #     partitions — round-7 review);
-                #   * no-envelope files, split by a footer null-count
-                #     probe (_part_col_all_null — round-8 ADVICE; the
-                #     r7 code assumed no-envelope == all-NULL, so a
-                #     LEGACY no-envelope file holding real values kept
-                #     its partitions multi-file forever):
+                #   * files whose MANIFEST carries no envelope (written
+                #     before stats recording existed) get the envelope
+                #     recovered straight from the parquet FOOTER with
+                #     the same extraction the write path uses
+                #     (_collect_file_stats) — round-8 ADVICE+review: the
+                #     r7 code assumed manifest-no-envelope == all-NULL,
+                #     so a legacy file holding real values kept its
+                #     partitions multi-file forever. With the recovered
+                #     envelope such files classify as exact/wide and
+                #     the normal rules converge to the floor in one
+                #     call. Files with NO usable footer stats split by
+                #     a null-count probe into:
                 #       - all-NULL partitions: >=2 merge into one, a
                 #         single one is already at its floor;
-                #       - LEGACY files (non-NULL values, no footer
-                #         stats): rewritten like a wide file whose span
-                #         covers EVERYTHING — every single-exact-file
-                #         partition is pulled in too, so one call
-                #         reaches the floor. Converges: the rewrite's
-                #         own outputs carry exact envelopes. Only
-                #         attempted when some file HAS an envelope
-                #         (proof the column type supports stats);
-                #         otherwise rewriting would re-produce
-                #         stat-less files and churn every call, so a
-                #         pure no-envelope table keeps the old
-                #         merge-NULLs-only behavior.
+                #       - OPAQUE (non-NULL values of a stats-incapable
+                #         type): left in place — rewriting would
+                #         reproduce stat-less files and churn forever.
                 # Every other file is carried byte-identical.
                 p = self.partition_by
                 stats = manifest.get("stats", {})
                 by_val: dict = {}
-                wide, nullish, legacy = [], [], []
+                wide, spans, nullish, opaque = [], [], [], []
                 for f in old_files:
                     env = stats.get(f, {}).get(p)
                     if env is None:
+                        env = self._collect_file_stats([f]).get(
+                            f, {}
+                        ).get(p)
+                    if env is None:
                         (nullish if self._part_col_all_null(f)
-                         else legacy).append(f)
+                         else opaque).append(f)
                     elif env[0] == env[1]:
                         by_val.setdefault(env[0], []).append(f)
                     else:
                         wide.append(f)
-                if not (by_val or wide):
-                    # no envelope anywhere: stats-incapable partition
-                    # column type — legacy files are indistinguishable
-                    # from their own rewrite output, leave them be
-                    legacy = []
-                rewrite = wide + legacy
-                if nullish and (rewrite or len(nullish) >= 2):
-                    rewrite += nullish  # wide/legacy may hold NULLs too
-                spans = [stats[f][p] for f in wide]
+                        spans.append(env)
+                rewrite = list(wide)
+                if nullish and (wide or len(nullish) >= 2):
+                    rewrite += nullish  # wide files may hold NULLs too
                 for v, fs in by_val.items():
-                    if len(fs) > 1 or legacy or any(
+                    if len(fs) > 1 or any(
                         lo <= v <= hi for (lo, hi) in spans
                     ):
                         rewrite += fs

@@ -12,7 +12,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, session_tmp_path
 from ..registry import query
 from ._conv import dsum, sql_dsum
 
@@ -151,7 +151,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + source with explicit schema (header, typed read-back) —
     the engine's non-parquet batch format surface."""
     n = load(spark, sf_dir, "nation")
-    out = os.path.join(tempfile.gettempdir(), "plc_etl_csv_roundtrip")
+    out = session_tmp_path(spark, "csv_roundtrip")
     n.write.mode("overwrite").option("header", True).csv(out)
     return (
         spark.read.option("header", True)
@@ -169,7 +169,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink + source with explicit schema."""
     r = load(spark, sf_dir, "region")
-    out = os.path.join(tempfile.gettempdir(), "plc_etl_json_roundtrip")
+    out = session_tmp_path(spark, "json_roundtrip")
     r.write.mode("overwrite").json(out)
     return spark.read.schema("r_regionkey int, r_name string").json(out)
 
@@ -184,7 +184,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + source (self-describing schema read-back) — the
     columnar non-parquet batch format surface."""
     s = load(spark, sf_dir, "supplier")
-    out = os.path.join(tempfile.gettempdir(), "plc_etl_orc_roundtrip")
+    out = session_tmp_path(spark, "orc_roundtrip")
     s.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
 
@@ -277,7 +277,7 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     conflating NULL with ''), so the contract excludes them — matching
     the oracle's IS NOT NULL."""
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    out = os.path.join(tempfile.gettempdir(), "plc_etl_text_roundtrip")
+    out = session_tmp_path(spark, "text_roundtrip")
     d.select(F.col("text").alias("value")).write.mode("overwrite").text(out)
     return spark.read.text(out)
 
@@ -298,7 +298,7 @@ def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this source partitions by file and never materializes a
     blob on the driver."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    out = os.path.join(tempfile.gettempdir(), "plc_etl_binaryfiles")
+    out = session_tmp_path(spark, "binaryfiles")
     os.makedirs(out, exist_ok=True)
     # bounded fixture write (50 files) — the READ below is the operator
     for r in d.select("doc_id", "text").collect():
@@ -369,7 +369,7 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     records): typed schema read-back through the markup round trip —
     doubles survive exactly (shortest-repr write, exact parse)."""
     p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
-    out = os.path.join(tempfile.gettempdir(), "plc_etl_xml_roundtrip")
+    out = session_tmp_path(spark, "xml_roundtrip")
     (
         p.select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
         .write.mode("overwrite")
@@ -549,7 +549,7 @@ def source_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").where(
         F.to_date("ts") <= F.lit("2024-01-07").cast("date")
     )
-    path = os.path.join(tempfile.gettempdir(), "plc_etl_file_meta")
+    path = session_tmp_path(spark, "file_meta")
     shutil.rmtree(path, ignore_errors=True)
     ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(
         path

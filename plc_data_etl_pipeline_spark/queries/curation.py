@@ -1035,6 +1035,7 @@ _UNIMAX_BUDGET_X = 3  # train budget = 3x the corpus (exercises the cap)
       FROM documents
       WHERE text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
       GROUP BY lang
+      HAVING SUM(n_chars) > 0
     ), tot AS (
       SELECT CAST(SUM(tokens) AS BIGINT) AS t, COUNT(*) AS k FROM by_lang
     ), ranked AS (
@@ -1091,10 +1092,12 @@ def sample_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("lang").isNotNull()
         & F.col("n_chars").isNotNull()
     )
+    # tokens > 0: a zero-token language would divide 0/0 into NaN epochs
+    # on both engines (round-8 review; it can receive no budget anyway)
     by_lang = d.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("tokens"),
-    )
+    ).filter(F.col("tokens") > 0)
     tot = by_lang.agg(
         F.sum("tokens").cast("bigint").alias("t"),
         F.count("*").alias("k"),
@@ -1178,6 +1181,7 @@ _TEMP_Q_SCALE = 1_000_000  # micro-units for the floored sqrt weights
       FROM documents
       WHERE text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
       GROUP BY lang
+      HAVING SUM(n_chars) > 0
     ), weighted AS (
       SELECT lang, n_docs, tokens,
              {_TEMP_EPOCHS} * tokens AS cap,
@@ -1260,9 +1264,13 @@ def temperature_mix_alloc(by_lang: DataFrame, alpha: float = 0.5,
     pytest exercises the generic pow path against a Python reference.
     alpha must be in (0, 1]: the ordered scan caps languages in
     cap/q ∝ tokens^(1-alpha) order, which is (tokens, lang) order only
-    for alpha <= 1."""
+    for alpha <= 1. Zero-token languages are excluded up front (round-8
+    review): a q=0, cap=0 row passes its own stop test vacuously
+    (0 >= level*0), corrupting the water level and yielding 0/0 NaN
+    epochs — and it can receive no budget anyway."""
     if not 0 < alpha <= 1:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    by_lang = by_lang.filter(F.col("tokens") > 0)
     qcol = (
         F.sqrt(F.col("tokens").cast("double"))
         if alpha == 0.5

@@ -162,7 +162,7 @@ def event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
              LAG(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
              ) AS prev_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT prev_type AS from_type, event_type AS to_type,
            CAST(COUNT(*) AS BIGINT) AS n
@@ -175,8 +175,11 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence (the path-analysis primitive behind sankey/flow reports).
     One window shuffle on ``user_id`` with a (ts, event_id) sort —
     event_id breaks timestamp ties identically in both engines — then
-    a partial-aggregated count over a 5×5 key domain."""
-    ev = load(spark, sf_dir, "events")
+    a partial-aggregated count over a 5×5 key domain. NULL-ts rows
+    have no position in the sequence (Spark sorts them first, DuckDB
+    last — they would inject phantom transitions at opposite ends) and
+    are dropped identically on both sides (round-8 NULL-ts sweep)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("to_type"),
@@ -316,12 +319,13 @@ def win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              LEAST(CAST(FLOOR(value / 50.0) AS INT), 9) AS bin,
              CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS half
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), bins AS (
       SELECT t.event_type, b.bin,
              1 + COALESCE(SUM(CASE WHEN half = 1 THEN 1 END), 0) AS ca,
              1 + COALESCE(SUM(CASE WHEN half = 0 THEN 1 END), 0) AS cb
-      FROM (SELECT DISTINCT event_type FROM events) t
+      FROM (SELECT DISTINCT event_type FROM events
+            WHERE ts IS NOT NULL) t
       CROSS JOIN (SELECT UNNEST(range(10)) AS bin) b
       LEFT JOIN binned USING (event_type, bin)
       GROUP BY t.event_type, b.bin
@@ -349,8 +353,11 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional partial aggregation — the per-type totals join touches
     only the (types × bins) frame, never the event log again. PSI is
     an order-independent SUM over 10 exact-rational terms, rounded to
-    4dp on both sides."""
-    ev = load(spark, sf_dir, "events")
+    4dp on both sides. NULL-ts rows belong to NEITHER half — Spark's
+    NULL comparison summed to neither bucket while the oracle's CASE
+    ELSE routed them to 'after' (round-8 NULL-ts sweep); both sides
+    now drop them."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     binned = ev.select(
         "event_type",
         # floor, not cast: cast truncates toward zero, so a negative
@@ -851,7 +858,7 @@ def dq_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, value,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     conv AS (
       SELECT user_id,
@@ -903,8 +910,11 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel rollups shuffle k rows. NULL event types drop out of both the touch and conversion
     sides identically in both engines (<> and = are NULL-rejecting);
     NULL purchase values are skipped by SUM on both sides. Money follows
-    the exact integer-cents convention (queries/_conv.py)."""
-    ev = load(spark, sf_dir, "events")
+    the exact integer-cents convention (queries/_conv.py). NULL-ts rows
+    have no journey position (Spark ranks them first, DuckDB last —
+    flipping which touch is 'first') and are dropped identically on
+    both sides (round-8 NULL-ts sweep)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     j = ev.select(
         "user_id", "event_type", "value", F.row_number().over(w).alias("rn")
@@ -1094,7 +1104,7 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type,
              LAG(event_type, 2) OVER w AS p1,
              LAG(event_type, 1) OVER w AS p2
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT p1 || '>' || p2 || '>' || event_type AS path,
@@ -1115,9 +1125,11 @@ def event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle to the user window (the LAGs share it), one
     partial-aggregated shuffle on the path key (cardinality <=
     |event_type|^3), and the top-10 is a TakeOrderedAndProject — no
-    global sort ever materializes.
+    global sort ever materializes. NULL-ts rows have no sequence
+    position and are dropped identically on both sides (round-8
+    NULL-ts sweep).
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -22,6 +22,7 @@ lineage; three unrolled iterations keep the demo plan bounded.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 import tempfile
@@ -42,8 +43,23 @@ from ..registry import query
 # later calls read that back — 2nd+ graph queries pay relaxation-only
 # cost. Same pattern as the persisted IVF index
 # (queries/extensions.py::sim_topk_ivf_indexed); results are unchanged
-# because the build is deterministic.
+# because the build is deterministic. Paths are appId-keyed (two
+# concurrent sessions must not clobber each other's _temporary dirs —
+# the IVF lesson) and removed at interpreter exit so repeated
+# driver/bench sessions don't accrete orphaned multi-GB dirs in /tmp
+# (round-8 review).
 _PAIR_CACHE: dict[tuple, str] = {}
+
+
+def _cleanup_pair_cache() -> None:  # pragma: no cover - exit hook
+    import shutil
+
+    for path in _PAIR_CACHE.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _PAIR_CACHE.clear()
+
+
+atexit.register(_cleanup_pair_cache)
 
 
 def _trade_pairs(spark, sf_dir, min_support: int | None = None,
@@ -59,41 +75,42 @@ def _trade_pairs(spark, sf_dir, min_support: int | None = None,
     (session, sf_dir, params) materializes; see _PAIR_CACHE above."""
     if with_weight and min_support is None:
         raise ValueError("with_weight requires min_support")
-    key = (
-        spark.sparkContext.applicationId, sf_dir, min_support, with_weight
-    )
+    # Cache key deliberately EXCLUDES with_weight: the materialized
+    # relation keeps the support count n, so the weighted and
+    # unweighted projections share one edge build (SSSP reuses the
+    # CC/LPA/BFS materialization).
+    key = (spark.sparkContext.applicationId, sf_dir, min_support)
     cached = _PAIR_CACHE.get(key)
-    if cached is not None and os.path.isdir(cached):
-        return spark.read.parquet(cached)
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    j = li.join(o, li.l_orderkey == o.o_orderkey)
-    a = (F.col("o_custkey") * 2).alias("a")
-    b = (F.col("l_suppkey") * 2 + 1).alias("b")
-    if min_support is None:
-        out = j.select(a, b).distinct()
-    else:
-        g = (
-            j.groupBy(a, b)
-            .agg(F.countDistinct("l_orderkey").alias("n"))
-            .filter(F.col("n") >= min_support)
+    if cached is None or not os.path.isdir(cached):
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
         )
-        if not with_weight:
-            out = g.select("a", "b")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        a = (F.col("o_custkey") * 2).alias("a")
+        b = (F.col("l_suppkey") * 2 + 1).alias("b")
+        if min_support is None:
+            out = j.select(a, b).distinct()
         else:
-            out = g.select(
-                "a", "b",
-                F.greatest(F.lit(1), F.lit(8) - F.col("n"))
-                .cast("bigint").alias("w"),
+            out = (
+                j.groupBy(a, b)
+                .agg(F.countDistinct("l_orderkey").alias("n"))
+                .filter(F.col("n") >= min_support)
             )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "plc_etl_trade_pairs_"
-        + hashlib.md5(repr(key).encode()).hexdigest()[:16],
+        cached = os.path.join(
+            tempfile.gettempdir(),
+            "plc_etl_trade_pairs_"
+            + hashlib.md5(repr(key).encode()).hexdigest()[:16],
+        )
+        out.write.mode("overwrite").parquet(cached)
+        _PAIR_CACHE[key] = cached
+    g = spark.read.parquet(cached)
+    if min_support is None or not with_weight:
+        return g.select("a", "b")
+    return g.select(
+        "a", "b",
+        F.greatest(F.lit(1), F.lit(8) - F.col("n")).cast("bigint").alias("w"),
     )
-    out.write.mode("overwrite").parquet(path)
-    _PAIR_CACHE[key] = path
-    return spark.read.parquet(path)
 
 
 def _node_label(col: str):
@@ -541,20 +558,26 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     certificate, in-loop checkpoint release. The oracle walks the
     identical weighted closure declaratively (DuckDB recursive CTE)
     pruning paths at cumulative distance >= ``_SSSP_DIST_CAP``; the
-    engine runs to FULL convergence then clamps distances >= the same
-    cap to -1, so the two bounds are identical by construction (with
-    weights >= 1, every path of distance < cap has < cap edges, so the
-    oracle's bounded walk finds the true minimum for every surviving
-    node). -1 therefore means "other component OR farther than the
-    cap" on both sides — the distance-TTL contract. Output: the
-    distance histogram; materialized eagerly, round state released
-    before return."""
+    engine prunes its relaxation at the SAME cap (bfs_hops dist_cap)
+    and reports >= cap as -1, so the two bounds are identical by
+    construction (with weights >= 1, every path of distance < cap has
+    < cap edges, so both bounded explorations find the true minimum
+    for every surviving node, and the engine converges within cap
+    rounds regardless of hop diameter). -1 therefore means "other
+    component OR farther than the cap" on both sides — the
+    distance-TTL contract. Output: the distance histogram;
+    materialized eagerly, round state released before return."""
     from ..operators.graph import bfs_hops, finalize_round_result
 
     pairs = _trade_pairs(spark, sf_dir, min_support=3, with_weight=True)
+    # dist_cap prunes relaxation at the shared cap, so convergence is
+    # bounded by cap rounds (weights >= 1) — a >200-hop graph no longer
+    # trips require_convergence while the oracle's pruned walk succeeds
+    # (round-8 review); max_rounds has one round of certificate headroom.
     dist = bfs_hops(
-        pairs, source=None, max_rounds=200, require_convergence=True,
-        weight_col="w",
+        pairs, source=None, max_rounds=_SSSP_DIST_CAP + 1,
+        require_convergence=True, weight_col="w",
+        dist_cap=_SSSP_DIST_CAP,
     )
     hist = (
         dist.select(

@@ -15,7 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load, shuffle_partitions
+from ..catalog import load, session_tmp_path, shuffle_partitions
 from ..registry import query
 from ._conv import dsum, sql_dsum
 
@@ -626,7 +626,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.scale import write_bucketed
 
-    base = os.path.join(tempfile.gettempdir(), "plc_etl_bucketed")
+    base = session_tmp_path(spark, "bucketed")
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     for name, df, key in (
@@ -678,7 +678,7 @@ def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = load(spark, sf_dir, "events")
-    path = os.path.join(tempfile.gettempdir(), "plc_etl_dpp_fact")
+    path = session_tmp_path(spark, "dpp_fact")
     shutil.rmtree(path, ignore_errors=True)
     ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(
         path

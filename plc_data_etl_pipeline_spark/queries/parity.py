@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
-from ..catalog import load
+from ..catalog import load, session_tmp_path
 from ..pipeline import avro_codec as A
 from ..pipeline import generator as G
 from ..pipeline import sink as K
@@ -92,7 +92,7 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
-    out = os.path.join(tempfile.gettempdir(), "plc_etl_sink_roundtrip")
+    out = session_tmp_path(spark, "sink_roundtrip")
     K.write_batch(li, out, mode="overwrite")
     return spark.read.parquet(out)
 
@@ -319,7 +319,7 @@ def sink_txn_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.txlog import TransactionalParquetTable
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    path = os.path.join(tempfile.gettempdir(), "plc_etl_txn_upsert")
+    path = session_tmp_path(spark, "txn_upsert")
     shutil.rmtree(path, ignore_errors=True)
     t = TransactionalParquetTable(spark, path)
     t.overwrite(o)
@@ -359,7 +359,7 @@ def sink_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.txlog import TransactionalParquetTable
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    path = os.path.join(tempfile.gettempdir(), "plc_etl_txn_timetravel")
+    path = session_tmp_path(spark, "txn_timetravel")
     shutil.rmtree(path, ignore_errors=True)
     t = TransactionalParquetTable(spark, path)
     v_seed = t.overwrite(o)
@@ -403,7 +403,7 @@ def sink_txn_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    path = os.path.join(tempfile.gettempdir(), "plc_etl_txn_delete")
+    path = session_tmp_path(spark, "txn_delete")
     shutil.rmtree(path, ignore_errors=True)
     t = TransactionalParquetTable(spark, path)
     t.overwrite(o.repartitionByRange(8, "o_totalprice"))
@@ -436,7 +436,7 @@ def sink_txn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.txlog import TransactionalParquetTable
 
     o = load(spark, sf_dir, "orders")
-    path = os.path.join(tempfile.gettempdir(), "plc_etl_txn_evolve")
+    path = session_tmp_path(spark, "txn_evolve")
     shutil.rmtree(path, ignore_errors=True)
     t = TransactionalParquetTable(spark, path)
     t.overwrite(o.select("o_orderkey", "o_orderpriority"))
@@ -455,6 +455,7 @@ def sink_txn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
            {sql_dsum("value", "sum_value")}
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY CAST(ts AS DATE), event_type
     """,
 )
@@ -467,13 +468,17 @@ def sink_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the full recompute over all events, so
     incremental-equals-recompute is value-checked — the invariant every
     continuously-maintained rollup must keep. The batch boundary cuts
-    MID-day on purpose, so boundary keys exercise the additive path."""
+    MID-day on purpose, so boundary keys exercise the additive path.
+    NULL-ts rows belong to NEITHER batch of a time-split feed (both
+    `ts < cut` and `ts >= cut` are NULL-false) — they are excluded on
+    both sides (round-8 NULL-ts sweep; the oracle's full recompute
+    otherwise kept a NULL-day group the incremental path never saw)."""
     import shutil
 
     from ..pipeline.txlog import TransactionalParquetTable
     from ._conv import cents
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     cut = "2024-01-20 12:00:00"
 
     def rollup(df: DataFrame) -> DataFrame:
@@ -484,7 +489,7 @@ def sink_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("value")).alias("sum_cents"),
         )
 
-    path = os.path.join(tempfile.gettempdir(), "plc_etl_incr_rollup")
+    path = session_tmp_path(spark, "incr_rollup")
     shutil.rmtree(path, ignore_errors=True)
     t = TransactionalParquetTable(spark, path)
     t.overwrite(rollup(ev.filter(F.col("ts") < cut)))
@@ -529,7 +534,7 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     ev = load(spark, sf_dir, "events")
-    path = os.path.join(tempfile.gettempdir(), "plc_etl_part_prune")
+    path = session_tmp_path(spark, "part_prune")
     shutil.rmtree(path, ignore_errors=True)
     ev.select("event_id", "ts", "value", "event_type").write.partitionBy(
         "event_type"
@@ -627,7 +632,7 @@ def sink_txn_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    path = os.path.join(tempfile.gettempdir(), "plc_etl_txn_compact")
+    path = session_tmp_path(spark, "txn_compact")
     shutil.rmtree(path, ignore_errors=True)
     t = TransactionalParquetTable(spark, path)
     for i in range(6):
@@ -671,7 +676,7 @@ def sink_txn_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    path = os.path.join(tempfile.gettempdir(), "plc_etl_txn_skipping")
+    path = session_tmp_path(spark, "txn_skipping")
     shutil.rmtree(path, ignore_errors=True)
     t = TransactionalParquetTable(spark, path)
     t.overwrite(o.repartitionByRange(8, "o_totalprice"))
@@ -717,7 +722,7 @@ def sink_cdc_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    path = os.path.join(tempfile.gettempdir(), "plc_etl_cdc_replica")
+    path = session_tmp_path(spark, "cdc_replica")
     shutil.rmtree(path, ignore_errors=True)
     t = TransactionalParquetTable(spark, path)
     v1 = t.overwrite(o.filter(F.col("o_orderkey") % 3 == 0))
@@ -779,8 +784,13 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- NOTE: an IN-list of DATEs against CAST(ts AS DATE) silently
       -- matches nothing in DuckDB 1.0 when ts is parquet TIMESTAMP_NS;
       -- explicit equalities compare correctly.
+      -- ts IS NULL: the NULL-day Hive partition is an UNTOUCHED
+      -- partition (isin() never selects it for revision) and must
+      -- survive the dynamic overwrite — NOT(NULL) would silently drop
+      -- it from the oracle (round-8 NULL-ts sweep)
       SELECT event_type, value FROM events
-      WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-10'
+      WHERE ts IS NULL
+         OR NOT (CAST(ts AS DATE) = DATE '2024-01-10'
                  OR CAST(ts AS DATE) = DATE '2024-01-11')
       UNION ALL
       SELECT event_type, value * 2 AS value FROM events
@@ -807,7 +817,7 @@ def sink_partition_overwrite_dynamic(
     ev = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value", F.to_date("ts").alias("day")
     )
-    path = os.path.join(tempfile.gettempdir(), "plc_etl_dyn_overwrite")
+    path = session_tmp_path(spark, "dyn_overwrite")
     shutil.rmtree(path, ignore_errors=True)
     ev.write.partitionBy("day").parquet(path)
     revised = (
@@ -860,7 +870,7 @@ def sink_txn_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    path = os.path.join(tempfile.gettempdir(), "plc_etl_txn_history")
+    path = session_tmp_path(spark, "txn_history")
     shutil.rmtree(path, ignore_errors=True)
     t = TransactionalParquetTable(spark, path)
     t.overwrite(o.filter(F.col("o_orderkey") % 2 == 0))
@@ -908,7 +918,7 @@ def plc_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "machine_id", "sensor", "reading",
         F.timestamp_seconds("t_stamp").alias("event_time"),
     )
-    out = os.path.join(tempfile.gettempdir(), "plc_etl_e2e_sink")
+    out = session_tmp_path(spark, "e2e_sink")
     shutil.rmtree(out, ignore_errors=True)
     K.write_batch(landed, out, mode="overwrite")
     warehouse = spark.read.parquet(out)
@@ -1120,7 +1130,7 @@ def sink_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("seg"),
         )
 
-    path = os.path.join(tempfile.gettempdir(), "plc_etl_incr_join")
+    path = session_tmp_path(spark, "incr_join")
     shutil.rmtree(path, ignore_errors=True)
     t = TransactionalParquetTable(spark, path)
 
@@ -1226,7 +1236,7 @@ def sink_partitioned_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("o_totalprice").alias("price_cents"),
     )
 
-    path = os.path.join(tempfile.gettempdir(), "plc_etl_part_maint")
+    path = session_tmp_path(spark, "part_maint")
     shutil.rmtree(path, ignore_errors=True)
     t = TransactionalParquetTable(spark, path, partition_by="omonth")
     keys = ["omonth", "o_orderkey"]
@@ -1295,7 +1305,7 @@ def sink_txn_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seed = o.filter(F.col("o_orderkey") % 5 != 4)
 
-    path = os.path.join(tempfile.gettempdir(), "plc_etl_restore")
+    path = session_tmp_path(spark, "restore")
     shutil.rmtree(path, ignore_errors=True)
     t = TransactionalParquetTable(spark, path)
     t.overwrite(seed)                                     # v1: good state

@@ -34,13 +34,23 @@ _AGG_SQL = """
            event_type,
            {_AGG_SQL}
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
     """,
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows per event_type — identical
-    expression runs streaming with a watermark (streaming/windows.py)."""
-    return W.tumbling(load(spark, sf_dir, "events"), "1 hour")
+    expression runs streaming with a watermark (streaming/windows.py).
+    NULL-ts rows are dropped identically on both sides (round-8: Spark's
+    window() silently drops them, the oracle's time_bucket grouped them
+    under a NULL window — same class as the session twins; the sliding
+    form's WHERE already excluded them structurally)."""
+    from pyspark.sql import functions as F
+
+    return W.tumbling(
+        load(spark, sf_dir, "events").filter(F.col("ts").isNotNull()),
+        "1 hour",
+    )
 
 
 @query(
@@ -117,7 +127,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_us(ts) AS tu,
              epoch_us(ts) + CASE WHEN event_type = 'purchase'
                                  THEN 1200000000 ELSE 600000000 END AS eu
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), flagged AS (
       SELECT *,
              CASE WHEN MAX(eu) OVER prev IS NULL
@@ -147,8 +157,16 @@ def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     a running MAX of per-event window ends in exact integer
     microseconds (an event starting exactly at the running end MERGES —
     Spark's session merge condition is inclusive, empirically pinned by
-    tests/test_boundary_semantics.py)."""
-    return W.session_dynamic(load(spark, sf_dir, "events"))
+    tests/test_boundary_semantics.py). NULL-ts rows are dropped
+    identically on both sides (round-8: Spark's session_window silently
+    drops them, but the oracle's NULL tu rode the running-max window
+    into a phantom session — the r6 hardening had covered only the
+    static-gap form; hypothesis property + planted boundary test)."""
+    from pyspark.sql import functions as F
+
+    return W.session_dynamic(
+        load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    )
 
 
 @query(
@@ -297,7 +315,8 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                    md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT),
                  event_id) AS rn
       FROM events
-      WHERE value IS NOT NULL AND event_id IS NOT NULL
+      WHERE value IS NOT NULL AND NOT isnan(value)
+        AND event_id IS NOT NULL
     ), k AS (
       SELECT event_type, event_id, MIN(value) AS value
       FROM s WHERE rn <= 256 GROUP BY event_type, event_id
@@ -340,8 +359,13 @@ def stream_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ._conv import hash_u32
 
+    # NOT isnan: SQL NULL filters keep NaN, but the streaming twin's
+    # pandas dropna removes it — and NaN breaks the min-merge's
+    # order-invariance (round-8 review). Both sides exclude it.
     ev = load(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & F.col("event_id").isNotNull()
     )
     wk = Window.partitionBy("event_type").orderBy(
         hash_u32(F.col("event_id").cast("string")), "event_id"

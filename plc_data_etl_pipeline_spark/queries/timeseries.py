@@ -489,7 +489,7 @@ def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT event_id, user_id, ts, value,
              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), w AS (
       SELECT event_id, user_id, value, x,
              COUNT(*) OVER win AS n,
@@ -513,8 +513,10 @@ def dq_rolling_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     condition multiplied through by n^2 — so no float division or sqrt
     ever happens and both engines agree bit-exactly. One shuffle on
     user_id; bounded 25-row frame state. Integer envelope: cents <=
-    6e4, so every term stays far below 2^63."""
-    ev = load(spark, sf_dir, "events")
+    6e4, so every term stays far below 2^63. NULL-ts rows have no
+    position in the trailing frame and are dropped identically on both
+    sides (round-8 NULL-ts sweep)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     x = F.floor(F.col("value") * 100 + 0.5)
     w = (
         Window.partitionBy("user_id")

@@ -65,13 +65,17 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            value - LAG(value) OVER w AS delta,
            FIRST_VALUE(value) OVER w AS first_value
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead/first_value per user timeline (sessionized sensor deltas —
-    the reference's per-machine reading stream, analyzed)."""
-    ev = load(spark, sf_dir, "events")
+    the reference's per-machine reading stream, analyzed). NULL-ts rows
+    have no position in the timeline (Spark sorts them first, DuckDB
+    last) and are dropped identically on both sides (round-8 NULL-ts
+    sweep)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "event_id",
@@ -97,13 +101,15 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS running_n
     FROM events
+    WHERE ts IS NOT NULL
     """,
 )
 def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running (cumulative) sum per user over event time; integer-cents
     sum so the cumulative sum is order-exact on both engines; explicit
-    ROWS frame (the default RANGE frame differs on ties)."""
-    ev = load(spark, sf_dir, "events")
+    ROWS frame (the default RANGE frame differs on ties). NULL-ts rows
+    are dropped identically on both sides (round-8 NULL-ts sweep)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -127,14 +133,18 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(value) OVER w AS moving_min,
            MAX(value) OVER w AS moving_max
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """,
 )
 def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving 4-row average/min/max per user — the classic sensor-smoothing
-    query over the reference's reading stream (FIXTURES.md §1 mapping)."""
-    ev = load(spark, sf_dir, "events")
+    query over the reference's reading stream (FIXTURES.md §1 mapping).
+    NULL-ts rows have no position in the moving order (Spark windows
+    sort them first, DuckDB last) and are dropped identically on both
+    sides (round-8 NULL-ts sweep — same r6 hardening class)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -292,6 +302,7 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
            ) AS prev_purchase_value
     FROM events
+    WHERE ts IS NOT NULL
     """,
 )
 def win_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,8 +312,10 @@ def win_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature pipeline needs. Expressed as last_value IGNORE NULLS over
     an exclusive trailing frame, the portable form of
     ``LAG(...) IGNORE NULLS``; one shuffle on user_id, bounded
-    per-partition state."""
-    ev = load(spark, sf_dir, "events")
+    per-partition state. NULL-ts rows have no position in the carry
+    order and are dropped identically on both sides (round-8 NULL-ts
+    sweep)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
     w = (
         Window.partitionBy("user_id")

@@ -679,9 +679,14 @@ def qk_step(
     commutative, and an eid in the final bottom-k is never evicted once
     added (its fixed prio stays under the only-ever-shrinking k-th
     prio), so it observes every duplicate. Matches the batch twin's
-    dense_rank + MIN(value) form exactly."""
+    dense_rank + MIN(value) form exactly. NaN values are skipped here
+    as well as at the group-fn boundary (round-8 review: `val < NaN`
+    comparisons would make the merge arrival-order-dependent; the batch
+    twin filters NOT isnan identically)."""
     sample = {eid: (prio, eid, val) for (prio, eid, val) in (state or [])}
     for eid, val in items:
+        if val != val:  # NaN
+            continue
         cur = sample.get(eid)
         if cur is None or val < cur[2]:
             sample[eid] = (qk_prio(eid), eid, val)

@@ -4,7 +4,11 @@ massive timestamp ties (minute-quantized events), a bot user holding
 ~40% of the log, a constant-valued sensor stream (zero variance), exact
 duplicate documents, single-word documents, a zero-norm embedding —
 and NULLs everywhere the driver fixtures have none (value, props,
-text, lang, whole embeddings).
+text, lang, whole embeddings — and, since round 8, event TIMESTAMPS:
+the v3 fixture's NULL coverage skipped ts, which is exactly where 13
+engine/oracle divergences hid until the round-8 NULL-ts sweep;
+fixture bumped to v4 so the full multi-table sweep covers the class
+the events-only sweep in test_null_ts_sweep.py pins).
 
 The star-schema tables are copied from the sf0.001 fixtures (the
 relational queries keep their referential structure); only the three
@@ -31,7 +35,7 @@ from .conftest import flatten_parquet_dir as _flatten
 from .conftest import SF_DIR
 from .oracle_compare import compare
 
-ADV_DIR = "/tmp/plc_etl_adversarial_sf_v3"
+ADV_DIR = "/tmp/plc_etl_adversarial_sf_v4"
 
 _STAR = (
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem"
@@ -53,8 +57,10 @@ def _build(spark) -> str:
     for i in range(5000):
         # bot user 7 owns ~40% of events; 30 users total
         user = 7 if rng.random() < 0.4 else rng.randrange(30)
-        # minute quantization => heavy equal-timestamp collisions
-        ts = base + datetime.timedelta(minutes=rng.randrange(0, 43200, 30))
+        # minute quantization => heavy equal-timestamp collisions;
+        # ~3% NULL event times (round-8: the class 13 oracles missed)
+        ts = (None if rng.random() < 0.03 else
+              base + datetime.timedelta(minutes=rng.randrange(0, 43200, 30)))
         etype = types[rng.randrange(5)]
         # 'error' stream is CONSTANT (zero variance); rest 2-decimal
         value = 100.0 if etype == "error" else round(rng.uniform(0, 500), 2)

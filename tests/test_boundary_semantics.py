@@ -162,6 +162,9 @@ def test_stream_session_dynamic_exact_end_merges(spark, tmp_path_factory):
         # user 3: 10-min default gap, exactly at 00:10 -> merged
         (4, _ts(0, 0), 3, "view", 1.0),
         (5, _ts(0, 10), 3, "click", 2.0),
+        # NULL-ts rows: dropped identically on both sides (r8 hardening)
+        (6, None, 1, "view", 9.0),
+        (7, None, 4, "click", 9.0),
     ])
     rows = _run_both(spark, str(tmp), "stream_session_dynamic")
     by_user = {}

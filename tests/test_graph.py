@@ -357,3 +357,36 @@ def test_bfs_hops_rejects_negative_and_null_weights(spark):
     )
     with pytest.raises(ValueError, match="NULL edge weight"):
         bfs_hops(nul, weight_col="w")
+
+
+def test_bfs_hops_dist_cap_prunes_and_converges_early(spark):
+    """Round-8 review: with dist_cap, nodes at distance >= cap read as
+    UNREACHED and the fixpoint converges within <= cap rounds even when
+    the hop diameter exceeds max_rounds — an uncapped run on the same
+    chain would trip require_convergence. 10-edge weight-1 chain,
+    cap=5, max_rounds=6."""
+    import pytest
+
+    from plc_data_etl_pipeline_spark.operators.graph import (
+        UNREACHED,
+        bfs_hops,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(10)], "a long, b long, w long"
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        bfs_hops(chain, source=0, max_rounds=6,
+                 require_convergence=True, weight_col="w")
+    dist = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(
+            chain, source=0, max_rounds=6, require_convergence=True,
+            weight_col="w", dist_cap=5,
+        ).collect()
+    }
+    for node in range(11):
+        if node < 5:
+            assert dist[node] == node
+        else:
+            assert dist[node] >= UNREACHED, node

@@ -980,3 +980,55 @@ def test_stl_decompose_property(spark, tmp_path_factory, rows):
     minutes, negative readings): the exact-integer trend/seasonal
     pipeline must match the oracle on every generated corpus."""
     _check_events_query(spark, tmp_path_factory, rows, "ts_stl_decompose")
+
+
+@given(rows=EVENT_ROWS)
+@_SETTINGS
+def test_stream_session_dynamic_null_ts_property(spark, tmp_path_factory, rows):
+    """Round-8: the dynamic-gap twin gets the same NULL-ts hardening the
+    static form got in r6 — Spark's session_window silently drops NULL
+    timestamps while the oracle's NULL epoch rode the running-max window
+    into phantom sessions (found by a planted probe, pinned here over
+    the same tie-heavy NULL-generating domain)."""
+    _check_events_query(spark, tmp_path_factory, rows, "stream_session_dynamic")
+
+
+@given(rows=EVENT_ROWS)
+@_SETTINGS
+def test_stream_tumbling_null_ts_property(spark, tmp_path_factory, rows):
+    """Round-8: window() drops NULL timestamps, the tumbling oracle
+    grouped them under a NULL bucket — pinned after a planted probe."""
+    _check_events_query(spark, tmp_path_factory, rows, "stream_tumbling")
+
+
+@given(rows=EVENT_ROWS)
+@_SETTINGS
+def test_stream_sliding_null_ts_property(spark, tmp_path_factory, rows):
+    """stream_sliding's oracle drops NULL ts structurally (ts >= s is
+    NULL-false); pinned so a future oracle rewrite can't regress it."""
+    _check_events_query(spark, tmp_path_factory, rows, "stream_sliding")
+
+
+@given(rows=EVENT_ROWS)
+@_SETTINGS
+def test_win_moving_avg_null_ts_property(spark, tmp_path_factory, rows):
+    """Round-8 NULL-ts sweep: a ts-ordered moving frame places NULL-ts
+    rows first (Spark) vs last (DuckDB); both sides drop them now."""
+    _check_events_query(spark, tmp_path_factory, rows, "win_moving_avg")
+
+
+@given(rows=EVENT_ROWS)
+@_SETTINGS
+def test_event_transitions_null_ts_property(spark, tmp_path_factory, rows):
+    """Round-8 NULL-ts sweep: NULL-ts rows injected phantom transitions
+    at opposite ends of each user's sequence; both sides drop them."""
+    _check_events_query(spark, tmp_path_factory, rows, "event_transitions")
+
+
+@given(rows=EVENT_ROWS)
+@_SETTINGS
+def test_dq_drift_psi_null_ts_property(spark, tmp_path_factory, rows):
+    """Round-8 NULL-ts sweep: a NULL ts belongs to neither time half —
+    Spark's NULL comparison dropped it from both sums while the
+    oracle's CASE ELSE counted it as 'after'; both sides drop it now."""
+    _check_events_query(spark, tmp_path_factory, rows, "dq_drift_psi")

@@ -915,3 +915,77 @@ def test_outer_interval_join_drops_data_past_watermark(spark, tmp_path):
     # late error dropped entirely (u3 never appears)
     assert got2 == {(1, 1), (2, None)}, got2
     assert len(rows2) == len(rows1) == 2, "late data must add no rows"
+
+
+def test_session_dynamic_watermark_drops_late_events(spark, tmp_path):
+    """Round-8 (VERDICT item 7): the dynamic-gap session operator under a
+    WATERMARK with real disorder. Append mode only emits a session once
+    the watermark proves it can no longer grow; an event arriving after
+    the watermark passed its timestamp must be dropped — it can neither
+    extend an already-finalized session (even though its event time
+    falls inside one) nor open a new one. The ordered-feed convergence
+    test (test_session_dynamic_stream_matches_batch) proves values; this
+    pins the state-eviction half of the contract, mirroring the r7
+    disorder proof for the outer interval join."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    files_dir = tmp_path / "dyn_disorder"
+    files_dir.mkdir()
+    # f0: u1 purchase (20-min gap) + view exactly at the window end
+    # (inclusive merge -> one session [base, base+30m)); u99 far in the
+    # future pushes the watermark hours past base so u1's session
+    # finalizes and emits in append mode.
+    f0 = [
+        (0, base, 1, "purchase", 10.0, None),
+        (1, base + datetime.timedelta(minutes=20), 1, "view", 2.0, None),
+        (2, base + datetime.timedelta(hours=3), 99, "view", 1.0, None),
+    ]
+    spark.createDataFrame(f0, schema).coalesce(1).write.parquet(
+        str(files_dir / "f0")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(files_dir / "f*"))
+    )
+    q = (
+        W.session_dynamic(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dyn_late_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows1 = spark.sql(
+            "SELECT * FROM dyn_late_mem WHERE user_id < 90"
+        ).collect()
+        assert {(r["user_id"], r["n_events"]) for r in rows1} == {(1, 2)}, (
+            "exact-gap pair must emit as ONE finalized session"
+        )
+        assert rows1[0]["session_start"] == "2024-03-01 00:00:00"
+
+        # f1: LATE data — u1 at base+25m (inside the finalized session)
+        # and a new user u3 at base; both far below the watermark.
+        f1 = [
+            (3, base + datetime.timedelta(minutes=25), 1, "view", 3.0, None),
+            (4, base, 3, "view", 1.0, None),
+        ]
+        spark.createDataFrame(f1, schema).coalesce(1).write.parquet(
+            str(files_dir / "f1")
+        )
+        q.processAllAvailable()
+        rows2 = spark.sql(
+            "SELECT * FROM dyn_late_mem WHERE user_id < 90"
+        ).collect()
+    finally:
+        q.stop()
+    assert {(r["user_id"], r["n_events"]) for r in rows2} == {(1, 2)}, (
+        "late events must not extend a finalized session or open a new one"
+    )
+    assert len(rows2) == len(rows1) == 1

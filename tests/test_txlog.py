@@ -432,8 +432,10 @@ def test_incremental_join_view_equals_recompute(spark):
 
     # run the registered query (it builds + maintains the view)
     all_queries()["sink_incremental_join"].fn(spark, SF_DIR).collect()
+    from plc_data_etl_pipeline_spark.catalog import session_tmp_path
+
     t = TransactionalParquetTable(
-        spark, _os.path.join(tempfile.gettempdir(), "plc_etl_incr_join")
+        spark, session_tmp_path(spark, "incr_join")
     )
 
     orders = load(spark, SF_DIR, "orders").filter(
@@ -776,8 +778,10 @@ def test_sink_partitioned_maintenance_carries_untouched_months(spark):
     all_queries()["sink_partitioned_maintenance"].fn(
         spark, "/root/testdata/sf0.001"
     ).collect()
+    from plc_data_etl_pipeline_spark.catalog import session_tmp_path
+
     t = TransactionalParquetTable(
-        spark, os.path.join(tempfile.gettempdir(), "plc_etl_part_maint")
+        spark, session_tmp_path(spark, "part_maint")
     )
     assert t.partition_by == "omonth"
     h = t.history()
@@ -1429,3 +1433,33 @@ def test_partitioned_compact_single_allnull_file_stays_floor(spark, tmp_path):
     assert t.compact(target_file_bytes=1 << 30) == v
     assert sorted(t.read().collect(), key=str) == sorted(
         t.read(v).collect(), key=str)
+
+
+def test_partitioned_compact_fully_legacy_table_reaches_floor(spark, tmp_path):
+    """Round-8 review: a table whose EVERY file predates manifest stats
+    (stats map empty) must still re-cluster — the envelope is recovered
+    from the parquet footers, so 'no manifest envelope anywhere' no
+    longer reads as 'stats-incapable type, never compact'."""
+    path = str(tmp_path / "t")
+    legacy = TransactionalParquetTable(spark, path)
+    legacy.append(_pdf(spark, [(1, 1, "a"), (2, 1, "b")]).coalesce(1))
+    legacy.append(_pdf(spark, [(1, 2, "c"), (2, 2, "d")]).coalesce(1))
+    t = TransactionalParquetTable(spark, path, partition_by="p")
+    v = t.version()
+    mp = t._manifest_path(v)
+    with open(mp) as fh:
+        m = json.load(fh)
+    m["stats"] = {}
+    with open(mp, "w") as fh:
+        json.dump(m, fh)
+    t2 = TransactionalParquetTable(spark, path, partition_by="p")
+    v2 = t2.compact(target_file_bytes=1 << 30)
+    assert v2 > v, "footer-recovered envelopes must trigger the rewrite"
+    m2 = t2.history()[-1]
+    assert len(m2["files"]) == 2, "floor = one file per partition value"
+    for f in m2["files"]:
+        env = m2["stats"][f]["p"]
+        assert env[0] == env[1]
+    assert sorted(map(tuple, t2.read().collect())) == [
+        (1, 1, "a"), (1, 2, "c"), (2, 1, "b"), (2, 2, "d")]
+    assert t2.compact(target_file_bytes=1 << 30) == v2  # converged

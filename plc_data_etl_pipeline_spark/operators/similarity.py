@@ -108,6 +108,12 @@ def cosine_topk(
         .collect()
     )
     qids = [r[id_col] for r in qrows]
+    if not qrows:
+        # empty query set (round-8 empty-input sweep): nothing to rank
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, "
+                "rank int"
+        )
     qmat = np.array([[float(x) for x in r[vec_col]] for r in qrows])
 
     def _seq_norm(mat: np.ndarray) -> np.ndarray:
@@ -120,6 +126,8 @@ def cosine_topk(
 
     def score(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             cmat = np.stack(pdf[vec_col].values).astype(np.float64)
             cnorm = _seq_norm(cmat)
             nbr = pdf[id_col].values.astype(np.int64)
@@ -452,8 +460,18 @@ def _seeded_centroids(emb: DataFrame, n_cells: int, id_col: str, vec_col: str,
         .limit(max(n_cells * 32, 256))
         .collect()
     )
+    if not sample:
+        # empty corpus (round-8 empty-input sweep): deterministic
+        # placeholder centroids keep every downstream expression valid;
+        # with no corpus there are no probes either, so results are
+        # empty regardless of the centroid values
+        return [[0.0] * dim for _ in range(n_cells)]
     X = np.array([list(r[0]) for r in sample], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    if len(X) < n_cells:
+        # fewer sample rows than cells: pad with zero centroids so the
+        # no-replacement choice below stays valid
+        X = np.vstack([X, np.zeros((n_cells - len(X), X.shape[1]))])
     rng = np.random.default_rng(42)
     cents = X[rng.choice(len(X), size=n_cells, replace=False)]
     for _ in range(5):  # a few Lloyd iterations; cosine == dot on unit sphere
@@ -593,8 +611,13 @@ def _pq_codebooks(
         .limit(max(n_codes * 32, 256))
         .collect()
     )
-    X = np.array([list(r[0]) for r in sample], dtype=np.float64)
     d_sub = dim // m
+    if not sample:
+        # empty corpus (round-8 empty-input sweep) — see _seeded_centroids
+        return [[[0.0] * d_sub for _ in range(n_codes)] for _ in range(m)]
+    X = np.array([list(r[0]) for r in sample], dtype=np.float64)
+    if len(X) < n_codes:
+        X = np.vstack([X, np.zeros((n_codes - len(X), X.shape[1]))])
     rng = np.random.default_rng(42)
     books: list[list[list[float]]] = []
     for j in range(m):
@@ -933,10 +956,20 @@ def ivf_ann_topk_indexed(
         for c in cells:
             probe_rows.append((qid, list(vec), int(c)))
             probed_cells.add(int(c))
+    if not probed_cells:
+        # no queries (round-8 empty-input sweep): nothing to serve
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, "
+                "rank int"
+        )
     probes = spark.createDataFrame(
         probe_rows, "query_id long, qvec array<float>, cell int"
     ).withColumn("qnorm", norm_fold(F.col("qvec")))
-    corpus = spark.read.parquet(f"{path}/assignments").filter(
+    # explicit schema: an EMPTY corpus's partitionBy write leaves no
+    # data files, so inference fails (round-8 empty-input sweep)
+    corpus = spark.read.schema(
+        "neighbor_id long, cvec array<float>, cnorm double, cell int"
+    ).parquet(f"{path}/assignments").filter(
         F.col("cell").isin(*sorted(probed_cells))
     )
     scored = (

@@ -551,10 +551,11 @@ def source_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = session_tmp_path(spark, "file_meta")
     shutil.rmtree(path, ignore_errors=True)
-    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(
-        path
-    )
-    back = spark.read.parquet(path).select(
+    staged = ev.withColumn("day", F.to_date("ts"))
+    staged.write.partitionBy("day").parquet(path)
+    # explicit schema: empty-write inference guard (round-8 sweep);
+    # the _metadata pseudo-column is still served alongside it
+    back = spark.read.schema(staged.schema).parquet(path).select(
         "user_id", F.col("_metadata.file_path").alias("fp")
     )
     day_from_path = F.to_date(

@@ -137,10 +137,18 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_dsum('o_totalprice', 'sum_price')}
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP: hierarchical subtotals (status, status+priority, grand)."""
+    """ROLLUP: hierarchical subtotals (status, status+priority, grand).
+
+    Empty-input semantics: Spark's grouping-set aggregates (Expand +
+    hash agg) emit ZERO rows on an empty relation, while ANSI engines
+    emit the grand-total () group once. The oracle's HAVING COUNT(*)>0
+    is a no-op on any non-empty input (every emitted group covers >= 1
+    row) and removes exactly that phantom row on empty — pinned by
+    tests/test_empty_input_sweep.py."""
     o = load(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
@@ -156,10 +164,14 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_dsum('l_quantity', 'sum_qty')}
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all grouping-set combinations incl. grand total."""
+    """CUBE: all grouping-set combinations incl. grand total.
+
+    HAVING COUNT(*)>0 in the oracle: see agg_rollup — aligns the ANSI
+    grand-total-on-empty row with Spark's zero-rows-on-empty."""
     li = load(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_items"),
@@ -209,11 +221,13 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_dsum('o_totalprice', 'sum_price')}
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (by status, by priority, grand total) —
-    the general form behind rollup/cube, via the SQL entry point."""
+    the general form behind rollup/cube, via the SQL entry point.
+    Oracle HAVING COUNT(*)>0: see agg_rollup (empty-input alignment)."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs_v")
     return spark.sql(
         """
@@ -323,6 +337,7 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,7 +345,8 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL key from a subtotal row — every BI tool's cube reader depends
     on it. COALESCE folds the subtotal NULLs to a sentinel so the flags
     carry the distinction. One Expand + partial/final agg, same cost
-    envelope as agg_rollup."""
+    envelope as agg_rollup; oracle HAVING COUNT(*)>0 likewise (see
+    agg_rollup's empty-input note)."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
@@ -479,12 +495,18 @@ def agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-aggregate over the pair plus a tiny pivot of the distinct
     statuses; the oracle states the pivoted counts directly. The status
     domain is the TPC-H constant {F,O,P}, so the pivoted schema is
-    stable across scale factors."""
+    stable across scale factors — crosstab() itself derives columns
+    from the DATA, so absent statuses (e.g. an empty partition's
+    replica of this table) are padded with zero columns here to keep
+    the schema stable by construction (round-8 empty-input sweep)."""
     o = load(spark, sf_dir, "orders")
     ct = o.stat.crosstab("o_orderpriority", "o_orderstatus")
+    for c in ("F", "O", "P"):
+        if c not in ct.columns:
+            ct = ct.withColumn(c, F.lit(0).cast("bigint"))
     return ct.select(
         "o_orderpriority_o_orderstatus",
-        *[F.col(c).alias(c) for c in sorted(ct.columns[1:])],
+        *[F.col(c).alias(c) for c in ("F", "O", "P")],
     )
 
 

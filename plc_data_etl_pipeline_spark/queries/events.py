@@ -1192,8 +1192,10 @@ def event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT col,
-           CAST(nuls_h1 * 10000 // n_h1 AS BIGINT) AS null_bps_h1,
-           CAST(nuls_h2 * 10000 // n_h2 AS BIGINT) AS null_bps_h2,
+           CAST(nuls_h1 * 10000 // NULLIF(n_h1, 0) AS BIGINT)
+             AS null_bps_h1,
+           CAST(nuls_h2 * 10000 // NULLIF(n_h2, 0) AS BIGINT)
+             AS null_bps_h2,
            CAST(d_h1 AS BIGINT) AS n_distinct_h1,
            CAST(d_h2 AS BIGINT) AS n_distinct_h2,
            CAST(d_h2 - d_h1 AS BIGINT) AS distinct_delta
@@ -1253,10 +1255,12 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stacked.select(
         "col",
-        F.expr("CAST(nuls_h1 * 10000 div n_h1 AS BIGINT)").alias(
+        # NULLIF: an empty half (e.g. an empty snapshot) must report
+        # NULL bps, not crash ANSI division (round-8 empty-input sweep)
+        F.expr("CAST(nuls_h1 * 10000 div nullif(n_h1, 0) AS BIGINT)").alias(
             "null_bps_h1"
         ),
-        F.expr("CAST(nuls_h2 * 10000 div n_h2 AS BIGINT)").alias(
+        F.expr("CAST(nuls_h2 * 10000 div nullif(n_h2, 0) AS BIGINT)").alias(
             "null_bps_h2"
         ),
         F.col("d_h1").cast("long").alias("n_distinct_h1"),

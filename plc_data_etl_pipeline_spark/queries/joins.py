@@ -680,10 +680,11 @@ def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     path = session_tmp_path(spark, "dpp_fact")
     shutil.rmtree(path, ignore_errors=True)
-    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(
-        path
-    )
-    fact = spark.read.parquet(path)
+    staged = ev.withColumn("day", F.to_date("ts"))
+    staged.write.partitionBy("day").parquet(path)
+    # explicit schema: an EMPTY frame's partitionBy write leaves no
+    # data files and inference fails (round-8 empty-input sweep)
+    fact = spark.read.schema(staged.schema).parquet(path)
     dim = (
         spark.sql(
             "SELECT explode(sequence(DATE'2024-01-01', DATE'2024-01-31')) AS day"

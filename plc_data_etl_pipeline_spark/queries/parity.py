@@ -536,10 +536,12 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     path = session_tmp_path(spark, "part_prune")
     shutil.rmtree(path, ignore_errors=True)
-    ev.select("event_id", "ts", "value", "event_type").write.partitionBy(
-        "event_type"
-    ).parquet(path)
-    back = spark.read.parquet(path).filter(F.col("event_type") == "error")
+    staged = ev.select("event_id", "ts", "value", "event_type")
+    staged.write.partitionBy("event_type").parquet(path)
+    # explicit schema: empty-write inference guard (round-8 sweep)
+    back = spark.read.schema(staged.schema).parquet(path).filter(
+        F.col("event_type") == "error"
+    )
     return back.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count("*").alias("n"), dsum("value", "sum_value")
     )
@@ -770,8 +772,11 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
+    # SUM over zero rows observes NULL, not 0 (round-8 empty-input
+    # sweep) — propagate NULL revenue exactly like the oracle's SUM
+    rev = m["rev_cents"]
     return spark.createDataFrame(
-        [(int(m["n_rows"]), float(m["rev_cents"]) / 100.0)],
+        [(int(m["n_rows"]), None if rev is None else float(rev) / 100.0)],
         "n_rows bigint, revenue double",
     )
 
@@ -830,7 +835,8 @@ def sink_partition_overwrite_dynamic(
         revised.write.mode("overwrite").partitionBy("day").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
-    out = spark.read.parquet(path)
+    # explicit schema: empty-write inference guard (round-8 sweep)
+    out = spark.read.schema(ev.schema).parquet(path)
     return out.groupBy("event_type").agg(
         F.count("*").alias("n"), dsum("value", "sum_value")
     )
@@ -1027,6 +1033,11 @@ def sink_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_partkey"), F.max("l_partkey"),
         F.min("l_suppkey"), F.max("l_suppkey"),
     ).first()
+    if stats[0] is None:
+        # empty table (round-8 empty-input sweep): MIN/MAX are NULL and
+        # the Morton range-partitioner has no span — degenerate bounds
+        # keep the write path valid; the band read-back is empty anyway
+        stats = (0, 1, 0, 1)
     # applicationId scope (same precedent as the persisted IVF index):
     # a fixed path lets a concurrent session's rmtree race this one
     # between write and read-back. Prune OTHER applications' leftovers

@@ -409,6 +409,151 @@ def min_label_propagation_fixpoint(
     return out
 
 
+def connected_components_altstar(
+    pairs: DataFrame,
+    max_rounds: int = 40,
+    require_convergence: bool = False,
+) -> DataFrame:
+    """Connected components via ALTERNATING large-star / small-star
+    edge rewriting (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    O(log n)-round counterpart of :func:`min_label_propagation_fixpoint`,
+    whose round count is the component DIAMETER. On the small-diameter
+    trade graph LPA wins (2-3 certified rounds, one edge⋈label shuffle
+    each); on a high-diameter graph (chains, lattices, road networks —
+    routine in entity-resolution dedup graphs) LPA needs diameter
+    rounds while star rewriting collapses any component in logarithmic
+    rounds. Both are registered so the A/B is measured, not assumed
+    (BASELINE.md round-8).
+
+    Per round (one L then one S step):
+
+    * **large-star(u)**: with m(u) = min(N(u) ∪ {u}), emit (v, m(u))
+      for every neighbor v > u — strictly-larger neighbors re-hang
+      under the local minimum.
+    * **small-star(u)**: emit (v, m(u)) for every v ∈ {u} ∪
+      {n ∈ N(u) : n < u}, v ≠ m(u) — path-halving over the
+      parent-pointer edges large-star leaves behind.
+
+    Both steps preserve connectivity (paper lemmas 3.1/3.2) and their
+    common fixpoint is a star forest rooted at each component's
+    minimum node id. Each step is one groupBy(center) for the local
+    minima + one co-keyed join + DISTINCT — three shuffles per round,
+    every one keyed on the node id, nothing driver-sized. Edge
+    multiplicity is bounded by the DISTINCT; the transient edge count
+    never exceeds O(n + m) (paper Thm 4).
+
+    Convergence: a (count, Σnode, Σparent) scalar fingerprint per
+    round (exact decimal sums — no float ties) pre-filters, and a
+    fingerprint match is then CERTIFIED by an exact set-equality
+    anti-join plus a star-forest check (no parent may itself be a
+    child) — so a fingerprint collision or a hypothetical L/S
+    oscillation raises instead of silently mislabeling. Returns
+    (node, lbl) with ``_fixpoint_rounds`` / ``_fixpoint_converged``
+    like the LPA twin.
+    """
+    all_edges = undirected_edges(pairs)
+    # node set BEFORE dropping self-loops: a self-loop-only node is a
+    # singleton component (label = itself), exactly as the LPA twin's
+    # self-loop augmentation treats it (equivalence pytest-locked).
+    nodes_p = (
+        all_edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    edges = all_edges.filter(F.col("src") != F.col("dst"))
+    # canonical working set: one row per undirected edge {x, y} as
+    # (node, parent) with parent < node — both L and S emit edges in
+    # exactly this orientation, so round 0 just canonicalizes.
+    work = (
+        edges.filter(F.col("src") > F.col("dst"))
+        .select(F.col("src").alias("node"), F.col("dst").alias("parent"))
+        .distinct()
+    )
+
+    def fingerprint(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("node").cast("decimal(38,0)")).alias("sn"),
+            F.sum(F.col("parent").cast("decimal(38,0)")).alias("sp"),
+        ).collect()[0]
+        return (row["n"], row["sn"], row["sp"])
+
+    def star_step(df: DataFrame, large: bool) -> DataFrame:
+        adj = df.select(
+            F.col("node").alias("u"), F.col("parent").alias("n")
+        ).unionAll(
+            df.select(F.col("parent").alias("u"), F.col("node").alias("n"))
+        )
+        mmin = adj.groupBy("u").agg(
+            F.least(F.min("n"), F.first("u")).alias("m")
+        )
+        if large:
+            out = (
+                adj.filter(F.col("n") > F.col("u"))
+                .join(mmin, "u")
+                .select(F.col("n").alias("node"), F.col("m").alias("parent"))
+            )
+        else:
+            out = (
+                adj.filter(F.col("n") < F.col("u"))
+                .select("u", F.col("n").alias("v"))
+                .unionAll(adj.select("u", F.col("u").alias("v")).distinct())
+                .join(mmin, "u")
+                .filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("node"), F.col("m").alias("parent"))
+            )
+        return out.distinct()
+
+    work_ckpt = work.localCheckpoint(eager=False)
+    prev_fp = fingerprint(work_ckpt)
+    work = work_ckpt
+    rounds_run = 0
+    converged = False
+    for r in range(1, max_rounds + 1):
+        new = star_step(star_step(work, large=True), large=False)
+        new_ckpt = new.localCheckpoint(eager=False)
+        fp = fingerprint(new_ckpt)  # the materializing action
+        rounds_run = r
+        if fp == prev_fp:
+            # certify: equal counts + empty one-sided difference of two
+            # DISTINCT sets => set equality; then star-forest shape.
+            diff = new_ckpt.join(
+                work, ["node", "parent"], "left_anti"
+            ).count()
+            two_level = new_ckpt.alias("c").join(
+                new_ckpt.alias("p"),
+                F.col("c.parent") == F.col("p.node"),
+                "left_semi",
+            ).count()
+            if diff == 0 and two_level == 0:
+                _unpersist_ckpt(work)
+                work = new_ckpt
+                converged = True
+                break
+        _unpersist_ckpt(work)
+        work = new_ckpt
+        prev_fp = fp
+    if require_convergence and not converged:
+        _unpersist_ckpt(work)
+        _unpersist_ckpt(nodes_p)
+        raise RuntimeError(
+            f"connected_components_altstar: not converged after "
+            f"{max_rounds} alternating rounds — raise max_rounds; "
+            "returning a non-star edge set would mislabel components"
+        )
+    labels = (
+        nodes_p.join(work, "node", "left")
+        .select("node", F.coalesce("parent", "node").alias("lbl"))
+        .groupBy("node")
+        .agg(F.min("lbl").alias("lbl"))
+    )
+    out = _register_round_state(labels, nodes_p, work)
+    out._fixpoint_rounds = rounds_run
+    out._fixpoint_converged = converged
+    return out
+
+
 UNREACHED = 1 << 40  # sentinel distance: > any real hop count
 
 

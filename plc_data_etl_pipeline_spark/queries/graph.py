@@ -343,9 +343,11 @@ def _lpa_lazy(spark: SparkSession, sf_dir: str):
     )
 
 
-@query(
-    "graph_components_fixpoint",
-    oracle=f"""
+# Shared by graph_components_fixpoint and graph_components_altstar:
+# the DECLARATIVE fixpoint (DuckDB's recursive reachability closure +
+# MIN root per node), so both iterative algorithms are value-checked
+# against an engine computing the closure a completely different way.
+_CC_TOP20_ORACLE = f"""
     WITH RECURSIVE pairs AS (
       SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -374,8 +376,10 @@ def _lpa_lazy(spark: SparkSession, sf_dir: str):
                 ELSE 's' || (lbl // 2) END AS component,
            n_nodes, n_customers, n_suppliers
     FROM comp
-    """,
-)
+    """
+
+
+@query("graph_components_fixpoint", oracle=_CC_TOP20_ORACLE)
 def graph_components_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RUN-TO-CONVERGENCE connected components over the repeat-trade
     customer—supplier graph — the fixpoint counterpart of
@@ -432,6 +436,52 @@ def _components_fixpoint_lazy(spark: SparkSession, sf_dir: str):
         ),
         labels,
     )
+
+
+@query("graph_components_altstar", oracle=_CC_TOP20_ORACLE)
+def graph_components_altstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by ALTERNATING large-star/small-star edge
+    rewriting (Kiveris et al., SoCC 2014;
+    operators/graph.py::connected_components_altstar) over the same
+    repeat-trade graph and against the same recursive-closure oracle as
+    graph_components_fixpoint — the two canonical distributed-CC
+    algorithms side by side. Min-label propagation pays one edge⋈label
+    shuffle per round but needs DIAMETER rounds; star rewriting pays
+    three shuffles per round but collapses any component in O(log n)
+    rounds (pytest: a 300-chain converges in 10 alternating rounds vs
+    301 label rounds). On the small-diameter trade graph LPA wins the
+    wall clock; on the high-diameter graphs entity-resolution dedup
+    produces, this is the one that survives — both are registered so
+    the A/B stays measured (BASELINE.md round-8), and both share the
+    session-scoped _trade_pairs edge cache."""
+    from ..operators.graph import (
+        connected_components_altstar as _cc_altstar,
+        finalize_round_result,
+    )
+
+    pairs = _trade_pairs(spark, sf_dir, min_support=3)
+    labels = _cc_altstar(pairs, max_rounds=40, require_convergence=True)
+    comp = (
+        labels.groupBy("lbl")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0)).alias(
+                "n_customers"
+            ),
+            F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0)).alias(
+                "n_suppliers"
+            ),
+        )
+        .orderBy(F.desc("n_nodes"), "lbl")
+        .limit(20)
+    )
+    out = comp.select(
+        _node_label("lbl").alias("component"),
+        "n_nodes",
+        "n_customers",
+        "n_suppliers",
+    )
+    return finalize_round_result(out, labels)
 
 
 @query(

@@ -126,6 +126,7 @@ def test_registered_graph_queries_leave_no_resident_state(spark):
         "graph_triangle_count",
         "graph_label_propagation",
         "graph_components_fixpoint",
+        "graph_components_altstar",
         "graph_bfs_hops",
         "graph_sssp_weighted",
         "multimodal_phash_clusters",
@@ -390,3 +391,87 @@ def test_bfs_hops_dist_cap_prunes_and_converges_early(spark):
             assert dist[node] == node
         else:
             assert dist[node] >= UNREACHED, node
+
+
+def test_altstar_cc_matches_lpa_on_random_and_planted_graphs(spark):
+    """Alternating large-star/small-star CC (Kiveris'14) must produce
+    EXACTLY the min-label fixpoint labels on planted shapes (chain,
+    triangle, isolated pairs, self-loop singleton, duplicate edges) and
+    on seeded random multigraphs — two different algorithms, one
+    answer."""
+    import random
+
+    from plc_data_etl_pipeline_spark.operators.graph import (
+        connected_components_altstar,
+        min_label_propagation_fixpoint,
+        release_round_state,
+    )
+
+    cases = [
+        ("planted", [(100 + i, 100 + i + 1) for i in range(22)]
+         + [(10, 11), (11, 12), (10, 12), (1, 2), (5, 6), (7, 7),
+            (3, 9), (3, 9), (9, 3)]),
+    ]
+    for seed in (1, 2, 3, 4):
+        rng = random.Random(seed)
+        n = rng.randint(5, 150)
+        m = rng.randint(3, 250)
+        cases.append(
+            (f"rand{seed}",
+             [(rng.randrange(n), rng.randrange(n)) for _ in range(m)])
+        )
+    for tag, pairs_py in cases:
+        pairs = spark.createDataFrame(pairs_py, "a long, b long")
+        a = connected_components_altstar(pairs, require_convergence=True)
+        b = min_label_propagation_fixpoint(
+            pairs, max_rounds=400, require_convergence=True
+        )
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        release_round_state(a)
+        release_round_state(b)
+        assert ra == rb, f"{tag}: altstar != LPA fixpoint"
+
+
+def test_altstar_cc_logarithmic_rounds_on_chain(spark):
+    """THE reason the operator exists: a 300-edge chain (diameter 300)
+    must collapse in O(log n) alternating rounds where min-label
+    propagation needs one round per hop. Locks the round count so a
+    semantics regression (e.g. a broken small-star) that still
+    converges slowly gets caught."""
+    from plc_data_etl_pipeline_spark.operators.graph import (
+        connected_components_altstar,
+        release_round_state,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "a long, b long"
+    )
+    labels = connected_components_altstar(pairs, require_convergence=True)
+    got = {r["node"]: r["lbl"] for r in labels.collect()}
+    release_round_state(labels)
+    assert got == {i: 0 for i in range(301)}
+    assert labels._fixpoint_converged
+    assert labels._fixpoint_rounds <= 12, (
+        f"chain300 took {labels._fixpoint_rounds} rounds — star "
+        "rewriting should be logarithmic"
+    )
+
+
+def test_altstar_cc_require_convergence_raises_on_truncation(spark):
+    """max_rounds too small for the graph: a silent non-star edge set
+    must RAISE under require_convergence (the registered query's mode),
+    never return partial labels against the true-closure oracle."""
+    import pytest
+
+    from plc_data_etl_pipeline_spark.operators.graph import (
+        connected_components_altstar,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components_altstar(
+            pairs, max_rounds=2, require_convergence=True
+        )

@@ -1388,6 +1388,101 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bigram_kn_logprob",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bz AS (
+      SELECT doc_id, unnest(list_zip(list_slice(ws, 1, len(ws) - 1),
+                                     list_slice(ws, 2, len(ws)))) AS pr
+      FROM w WHERE len(ws) >= 2
+    ),
+    b AS (SELECT doc_id, pr[1] AS w1, pr[2] AS w2 FROM bz),
+    c2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c2 FROM b GROUP BY w1, w2
+    ),
+    fw AS (
+      SELECT w1, CAST(SUM(c2) AS DOUBLE) AS c1,
+             CAST(COUNT(*) AS DOUBLE) AS n1fw
+      FROM c2 GROUP BY w1
+    ),
+    bw AS (
+      SELECT w2, CAST(COUNT(*) AS DOUBLE) AS n1bw FROM c2 GROUP BY w2
+    ),
+    d AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nbig FROM c2)
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(LN(
+             (GREATEST(c2.c2 - 0.75, 0.0)
+              + 0.75 * fw.n1fw * (bw.n1bw / d.nbig)) / fw.c1
+           )), 4) AS avg_logprob
+    FROM b JOIN c2 USING (w1, w2) JOIN fw USING (w1)
+           JOIN bw USING (w2), d
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM quality score (Kneser & Ney
+    1995; Chen & Goodman 1999 absolute discounting, d=0.75) — the
+    CCNet-style perplexity filter one rung above text_unigram_logprob:
+
+        P(w2|w1) = (max(c(w1 w2) - d, 0)
+                    + d * N1+(w1 .) * Pcont(w2)) / c(w1 .)
+        Pcont(w2) = N1+(. w2) / |distinct bigrams|
+
+    Per doc: mean ln P over its adjacent word pairs (trained on the
+    scoring corpus itself, so every scored bigram is in-model; a
+    held-out bigram would still get the continuation mass — the
+    formula needs no special OOV branch). The per-context
+    normalization Σ_w2 P(w2|w1) = 1 is pytest-locked exactly.
+
+    Scale shape: bigram explode is one corpus scan (transform over the
+    split array — no per-word self-join); the model is three keyed
+    aggregates over the bigram table (by pair, by w1, by w2) plus a
+    one-row distinct-bigram total (broadcast); scoring re-joins the
+    exploded pairs against the model on (w1, w2) then w1 then w2 —
+    shuffle joins, because a web-scale bigram vocabulary outgrows any
+    broadcast. Both engines evaluate the identical double-precision
+    formula; ROUND(4) on the per-doc mean absorbs summation order
+    (the unigram precedent)."""
+    d = fan_out(load(spark, sf_dir, "documents"))
+    w = d.select("doc_id", F.split("text", " ").alias("ws"))
+    b = w.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2), "
+                "i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c2 = b.groupBy("w1", "w2").agg(
+        F.count("*").cast("double").alias("c2")
+    )
+    fw = c2.groupBy("w1").agg(
+        F.sum("c2").cast("double").alias("c1"),
+        F.count("*").cast("double").alias("n1fw"),
+    )
+    bw = c2.groupBy("w2").agg(F.count("*").cast("double").alias("n1bw"))
+    nbig = c2.agg(F.count("*").cast("double").alias("nbig"))
+    prob = (
+        F.greatest(F.col("c2") - F.lit(0.75), F.lit(0.0))
+        + F.lit(0.75) * F.col("n1fw") * (F.col("n1bw") / F.col("nbig"))
+    ) / F.col("c1")
+    return (
+        b.join(c2, ["w1", "w2"])
+        .join(fw, "w1")
+        .join(bw, "w2")
+        .join(F.broadcast(nbig))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(prob)), 4).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
     "pipeline_corpus_curation",
     oracle="""
     WITH norm AS (

@@ -1612,3 +1612,78 @@ def test_temperature_mix_alpha_sweep(spark):
         assert max(eps) - min(eps) < 1e-3
     with _pytest.raises(ValueError, match="alpha"):
         temperature_mix_alloc(roster, alpha=1.5)
+
+
+def test_bigram_kn_logprob_matches_hand_model_and_normalizes(spark, tmp_path):
+    """Round-8 KN bigram LM: (1) the engine's per-doc mean log-prob
+    equals a pure-Python reimplementation of the interpolated
+    absolute-discount formula on a planted corpus (to the query's
+    ROUND 4); (2) the smoothed distribution normalizes EXACTLY:
+    sum over the model vocabulary of P(w2|w1) == 1 for every context
+    w1 — the property that distinguishes Kneser-Ney's continuation
+    weighting from ad-hoc discounting."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a cat and a dog",
+        "solo",                      # 1 word -> no bigrams, must be absent
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+
+    # hand model: identical arithmetic to the query
+    d = 0.75
+    bigrams = []
+    per_doc: dict[int, list[tuple[str, str]]] = {}
+    for i, t in enumerate(texts, start=1):
+        ws = t.split(" ")
+        prs = list(zip(ws, ws[1:]))
+        per_doc[i] = prs
+        bigrams.extend(prs)
+    c2 = Counter(bigrams)
+    c1 = Counter()
+    n1fw = Counter()
+    n1bw = Counter()
+    for (w1, w2), c in c2.items():
+        c1[w1] += c
+        n1fw[w1] += 1
+        n1bw[w2] += 1
+    nbig = float(len(c2))
+
+    def p(w1, w2):
+        return (
+            max(c2.get((w1, w2), 0) - d, 0.0)
+            + d * n1fw[w1] * (n1bw[w2] / nbig)
+        ) / c1[w1]
+
+    # normalization: over every (context, vocab-word) pair, incl. zeros
+    vocab = {w for pr in c2 for w in pr}
+    for w1 in c1:
+        assert abs(sum(p(w1, w2) for w2 in vocab) - 1.0) < 1e-12, w1
+
+    from plc_data_etl_pipeline_spark.queries.extensions import (
+        text_bigram_kn_logprob,
+    )
+
+    got = {r["doc_id"]: r for r in text_bigram_kn_logprob(spark, sf).collect()}
+    assert set(got) == {1, 2, 3}, "the 1-word doc must produce no row"
+    for doc_id, prs in per_doc.items():
+        if not prs:
+            continue
+        want = round(sum(math.log(p(*pr)) for pr in prs) / len(prs), 4)
+        assert got[doc_id]["n_bigrams"] == len(prs)
+        assert abs(got[doc_id]["avg_logprob"] - want) <= 1e-4, doc_id

@@ -266,16 +266,19 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "source_text_lines",
     oracle="""
-    SELECT text AS value FROM documents WHERE text IS NOT NULL
+    SELECT unnest(string_split_regex(text, '\\r\\n|\\r|\\n')) AS value
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Plain-text sink + line source (spark.read.text): one row per line.
-    Documents contain no newlines, so the roundtrip is the identity.
-    NULL rows are filtered BEFORE the write: a line-oriented format has
-    no NULL representation (Spark would write an empty line, silently
-    conflating NULL with ''), so the contract excludes them — matching
-    the oracle's IS NOT NULL."""
+    """Plain-text sink + line source (spark.read.text): one row per
+    PHYSICAL line — a document containing embedded newlines lands as
+    several rows, exactly as Hadoop's line reader splits them (\\n,
+    \\r\\n, or bare \\r; the oracle unnests the same split, round-8
+    unicode/control-char sweep). NULL rows are filtered BEFORE the write: a
+    line-oriented format has no NULL representation (Spark would write
+    an empty line, silently conflating NULL with ''), so the contract
+    excludes them — matching the oracle's IS NOT NULL."""
     d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     out = session_tmp_path(spark, "text_roundtrip")
     d.select(F.col("text").alias("value")).write.mode("overwrite").text(out)

@@ -47,10 +47,18 @@ _ENT4_SQL = "-(" + " + ".join(
 
 def _char_class_counts(src_col: str) -> list[F.Column]:
     """The three translate()-based char-class counts over ``src_col``
-    (c_other = n - sum, derived by the caller)."""
+    (c_other = n - sum, derived by the caller).
+
+    c_alpha measures against length(lower(text)), NOT length(text):
+    full Unicode lowercasing can CHANGE the length (JVM lower('İ') is
+    i + U+0307, two codepoints), and mixing the raw length with a
+    translate over the lowered string undercounted letters by the
+    expansion delta (round-8 unicode sweep). Both the engine and the
+    oracles use the lowered length so the a-z count is measured on one
+    consistent string."""
     return [
         (
-            F.length(src_col)
+            F.length(F.lower(F.col(src_col)))
             - F.length(
                 F.translate(
                     F.lower(F.col(src_col)), "abcdefghijklmnopqrstuvwxyz", ""
@@ -83,7 +91,7 @@ def _ent4() -> F.Column:
     oracle="""
     WITH c AS (
       SELECT doc_id, LENGTH(text) AS n,
-             LENGTH(text) - LENGTH(regexp_replace(lower(text), '[a-z]', '', 'g')) AS c_alpha,
+             LENGTH(lower(text)) - LENGTH(regexp_replace(lower(text), '[a-z]', '', 'g')) AS c_alpha,
              LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS c_digit,
              LENGTH(text) - LENGTH(replace(text, ' ', '')) AS c_space
       FROM documents WHERE LENGTH(text) > 0
@@ -489,7 +497,7 @@ def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, main,
              COALESCE(main = norm_src, FALSE) AS keep_extract,
              COALESCE(LENGTH(main), 0) AS n,
-             LENGTH(main) - LENGTH(regexp_replace(lower(main), '[a-z]', '', 'g')) AS c_alpha,
+             LENGTH(lower(main)) - LENGTH(regexp_replace(lower(main), '[a-z]', '', 'g')) AS c_alpha,
              LENGTH(main) - LENGTH(regexp_replace(main, '[0-9]', '', 'g')) AS c_digit,
              LENGTH(main) - LENGTH(replace(main, ' ', '')) AS c_space
       FROM x

@@ -1014,18 +1014,28 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_normalize",
+    # replace(İ -> i + U+0307): Unicode's ONLY one-to-many LOWERCASE
+    # special casing. The JVM applies it in full (lower('İ') is two
+    # codepoints), DuckDB's utf8proc does the simple one-to-one map —
+    # pre-substituting the full expansion makes both engines produce
+    # the Unicode-correct form (round-8 unicode sweep).
     oracle="""
-    SELECT doc_id,
-           TRIM(LOWER(regexp_replace(regexp_replace(text,
-             '[\\x00-\\x1f]', ' ', 'g'), ' +', ' ', 'g'))) AS norm,
-           LENGTH(TRIM(LOWER(regexp_replace(regexp_replace(text,
-             '[\\x00-\\x1f]', ' ', 'g'), ' +', ' ', 'g')))) AS n_chars_norm
-    FROM documents
+    WITH s AS (
+      SELECT doc_id,
+             TRIM(LOWER(regexp_replace(regexp_replace(
+               replace(text, chr(304), 'i' || chr(775)),
+               '[\\x00-\\x1f]', ' ', 'g'), ' +', ' ', 'g'))) AS norm
+      FROM documents
+    )
+    SELECT doc_id, norm, LENGTH(norm) AS n_chars_norm FROM s
     """,
 )
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text form for dedup/matching (lowercase, control chars
-    and whitespace runs collapsed, trimmed) + normalized length."""
+    and whitespace runs collapsed, trimmed) + normalized length. The
+    lowercase step follows full Unicode special casing (İ becomes
+    i + combining dot above — see the oracle comment); pinned by the
+    round-8 unicode sweep."""
     d = load(spark, sf_dir, "documents")
     norm = T.normalize_text("text")
     return d.select(

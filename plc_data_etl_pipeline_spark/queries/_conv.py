@@ -50,6 +50,16 @@ def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+# Exact-cents domain: |x| <= 1e15 keeps floor(x*10^s + 0.5) far inside
+# BIGINT at every scale used (true envelope ~9.2e16 at scale 2). A value
+# outside it — NaN, +/-Inf, or a runaway magnitude — maps to NULL on
+# BOTH engines, so exact-cents aggregates skip it instead of one
+# poisoned sensor reading killing a 100 TB rollup with an ANSI overflow
+# (round-8 extreme-float sweep). The dq_* family is the place that
+# COUNTS such rows; the money/measure rollups exclude them by contract.
+CENTS_CAP = 1.0e15
+
+
 def cents(col: str | Column, scale: int = 2) -> Column:
     """Exact scaled-integer (BIGINT) of a fixed-scale double column.
 
@@ -57,9 +67,20 @@ def cents(col: str | Column, scale: int = 2) -> Column:
     ~1e-6 of an integer (never near the .5 boundary), so both forms yield
     the exact integer — but floor stays in whole-stage codegen while
     Spark's ROUND allocates a BigDecimal per value (~0.15 s per 600k-row
-    column). The oracle twin uses the same formula.
+    column). The oracle twin uses the same formula. Values outside the
+    exact-cents domain (see CENTS_CAP) yield NULL.
     """
-    return F.floor(_c(col) * (10**scale) + 0.5)
+    x = _c(col)
+    return F.when(
+        ~F.isnan(x) & (F.abs(x) <= F.lit(CENTS_CAP)),
+        F.floor(x * (10**scale) + 0.5),
+    )
+
+
+def _quant_cap(m: float) -> float:
+    """Quantization domain bound: |x|*m + 0.5 must stay inside BIGINT
+    for the floor; 9e17/m leaves ~10x margin under 2^63."""
+    return 9.0e17 / m
 
 
 def quant(col: str | Column, digits: int = 6) -> Column:
@@ -69,14 +90,69 @@ def quant(col: str | Column, digits: int = 6) -> Column:
     where Spark rounds the shortest-repr string and DuckDB the binary
     value), and ~5x faster than Spark's BigDecimal-backed ROUND. Use for
     presentation-rounding of order-independent doubles in hot paths; the
-    oracle twin is ``sql_quant``."""
+    oracle twin is ``sql_quant``. NaN/Inf/out-of-envelope inputs yield
+    NULL on both engines (round-8 extreme-float sweep — the floor cast
+    would otherwise ANSI-overflow on a single poisoned value)."""
     m = float(10**digits)
-    return F.floor(_c(col) * m + 0.5).cast("double") / m
+    x = _c(col)
+    return F.when(
+        ~F.isnan(x) & (F.abs(x) <= F.lit(_quant_cap(m))),
+        F.floor(x * m + 0.5).cast("double") / m,
+    )
 
 
 def sql_quant(expr: str, digits: int = 6) -> str:
     m = float(10**digits)
-    return f"CAST(FLOOR(({expr}) * {m} + 0.5) AS DOUBLE) / {m}"
+    return (
+        f"CASE WHEN NOT isnan({expr}) AND abs({expr}) <= {_quant_cap(m)!r} "
+        f"THEN CAST(FLOOR(({expr}) * {m} + 0.5) AS DOUBLE) / {m} END"
+    )
+
+
+# Tighter envelope for INTEGER-PRODUCT statistics (windowed squares,
+# autocorrelation/periodogram cross-products, micro-unit interpolation):
+# |value| <= 1e6 keeps cents <= 1e8, so squares and products with
+# window counts / minute deltas stay far inside BIGINT. Same exclusion
+# contract as CENTS_CAP, tighter bound (round-8 extreme-float sweep).
+MOMENT_CAP = 1.0e6
+
+
+def cents_m(col: str | Column, scale: int = 2) -> Column:
+    """cents() under the integer-product envelope MOMENT_CAP."""
+    x = _c(col)
+    return F.when(
+        ~F.isnan(x) & (F.abs(x) <= F.lit(MOMENT_CAP)),
+        F.floor(x * (10**scale) + 0.5),
+    )
+
+
+def sql_cents_m(expr: str, scale: int = 2) -> str:
+    return (
+        f"CASE WHEN NOT isnan({expr}) AND abs({expr}) <= {MOMENT_CAP!r} "
+        f"THEN CAST(FLOOR(({expr}) * {10**scale} + 0.5) AS BIGINT) END"
+    )
+
+
+def fbucket(col: str | Column, width: float) -> Column:
+    """Fixed-width histogram bucket ``floor(x / width)`` with the
+    exact-cents domain guard: NaN/Inf/out-of-envelope values land in
+    the NULL bucket (one degenerate class, identical on both engines)
+    instead of ANSI-overflowing the long floor (round-8 extreme-float
+    sweep). A NULL bucket is the RIGHT privacy/monitoring semantics
+    too: a 1e308 reading is its own tiny, flaggable equivalence class.
+    Oracle twin: :func:`sql_fbucket`."""
+    x = _c(col)
+    return F.when(
+        ~F.isnan(x) & (F.abs(x) <= F.lit(CENTS_CAP)),
+        F.floor(x / F.lit(width)),
+    )
+
+
+def sql_fbucket(expr: str, width: float) -> str:
+    return (
+        f"CASE WHEN NOT isnan({expr}) AND abs({expr}) <= {CENTS_CAP!r} "
+        f"THEN CAST(FLOOR(({expr}) / {width}) AS BIGINT) END"
+    )
 
 
 def dsum(col: str | Column, alias: str, scale: int = 2) -> Column:
@@ -91,18 +167,29 @@ def davg(col: str | Column, alias: str, scale: int = 2) -> Column:
 
     Divisions are done in double on bit-identical operands in a fixed
     order ((sum/10^s)/count), so the quotient is bit-identical too.
+    The count is over IN-DOMAIN values (COUNT(cents(x)), not COUNT(x)):
+    a NaN/Inf reading is excluded from numerator AND denominator, so
+    the mean stays a mean of what was actually summed (round-8
+    extreme-float sweep).
     """
     c = _c(col)
     if DECIMAL_MODE:
         return (F.sum(c.cast(_PREC)).cast("double") / F.count(c)).alias(alias)
     return (
-        (F.sum(cents(col, scale)).cast("double") / (10**scale) / F.count(c))
+        (
+            F.sum(cents(col, scale)).cast("double")
+            / (10**scale)
+            / F.count(cents(col, scale))
+        )
         .alias(alias)
     )
 
 
 def sql_cents(expr: str, scale: int = 2) -> str:
-    return f"CAST(FLOOR(({expr}) * {10**scale} + 0.5) AS BIGINT)"
+    return (
+        f"CASE WHEN NOT isnan({expr}) AND abs({expr}) <= {CENTS_CAP!r} "
+        f"THEN CAST(FLOOR(({expr}) * {10**scale} + 0.5) AS BIGINT) END"
+    )
 
 
 def sql_dsum(expr: str, alias: str, scale: int = 2) -> str:
@@ -122,7 +209,7 @@ def sql_davg(expr: str, alias: str, scale: int = 2) -> str:
         )
     return (
         f"CAST(SUM({sql_cents(expr, scale)}) AS DOUBLE) / {10**scale}"
-        f" / COUNT({expr}) AS {alias}"
+        f" / COUNT({sql_cents(expr, scale)}) AS {alias}"
     )
 
 

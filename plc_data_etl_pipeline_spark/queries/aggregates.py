@@ -408,7 +408,9 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
            ARG_MIN(user_id, event_id) AS first_user,
            ARG_MAX(user_id, event_id) AS last_user,
            ARG_MAX(event_id,
-                   {sql_cents("value")} * 10000000000 + event_id)
+                   CASE WHEN NOT isnan(value) AND abs(value) <= 1000000.0
+                        THEN {sql_cents("value")} * 10000000000 + event_id
+                   END)
              AS peak_value_event
     FROM events
     GROUP BY event_type
@@ -422,7 +424,15 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_id; value packed with event_id for the tiebreak) so the
     answer is deterministic in both engines."""
     ev = load(spark, sf_dir, "events")
-    peak_key = cents("value") * F.lit(10000000000) + F.col("event_id")
+    # Packing envelope: cents*1e10 + event_id needs |cents| < 9.2e8,
+    # i.e. |value| <= 1e6 (the shared exact-moment envelope). Readings
+    # beyond it have a NULL key and are skipped by max_by/ARG_MAX
+    # identically on both engines (round-8 extreme-float sweep).
+    v = F.col("value")
+    peak_key = F.when(
+        ~F.isnan(v) & (F.abs(v) <= F.lit(1000000.0)),
+        cents("value") * F.lit(10000000000) + F.col("event_id"),
+    )
     return ev.groupBy("event_type").agg(
         F.min_by("user_id", "event_id").alias("first_user"),
         F.max_by("user_id", "event_id").alias("last_user"),

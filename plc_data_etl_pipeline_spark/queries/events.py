@@ -41,6 +41,19 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import query
+from ._conv import CENTS_CAP, cents, fbucket
+
+
+def _moment_domain() -> F.Column:
+    """Exact-moment input envelope shared by the power-sum statistics
+    (regression, skew/kurtosis, seasonal 3-sigma): value is non-NULL,
+    finite, and |value| <= 1e6, so cents fit DECIMAL(9/10,0) and fourth
+    powers stay far inside DECIMAL(38)/HUGEINT. Rows outside it (incl.
+    NaN/Inf — round-8 extreme-float sweep) are excluded as incomplete/
+    unrepresentable observations on BOTH engines; beyond this envelope
+    widen the casts as each docstring prescribes."""
+    v = F.col("value")
+    return v.isNotNull() & ~F.isnan(v) & (F.abs(v) <= F.lit(1000000.0))
 
 
 @query(
@@ -317,7 +330,7 @@ def win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH binned AS (
       SELECT event_type,
-             LEAST(CAST(FLOOR(value / 50.0) AS INT), 9) AS bin,
+             CAST(GREATEST(LEAST(CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN CAST(FLOOR(value / 50.0) AS BIGINT) END, 9), -1) AS INT) AS bin,
              CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS half
       FROM events WHERE ts IS NOT NULL
     ), bins AS (
@@ -362,9 +375,16 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         # floor, not cast: cast truncates toward zero, so a negative
         # reading would bin differently than the oracle's FLOOR.
-        F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias(
-            "bin"
-        ),
+        # clamp in BIGINT before the narrow cast: a mid-range reading
+        # (1e12 is inside the cents domain) makes a bucket far outside
+        # INT on both engines; bins < 0 never match the dense 0..9 grid
+        # so -1 is a faithful representative (round-8 sweep). An
+        # out-of-domain NULL bucket rides LEAST's NULL-skipping into
+        # bin 9 identically on both engines.
+        F.greatest(
+            F.least(fbucket("value", 50.0), F.lit(9).cast("bigint")),
+            F.lit(-1).cast("bigint"),
+        ).cast("int").alias("bin"),
         (F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
         .cast("int")
         .alias("half"),
@@ -533,7 +553,7 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
       FROM events
-      WHERE ts IS NOT NULL AND value IS NOT NULL
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value) AND abs(value) <= 1000000.0
     ), s AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
@@ -569,7 +589,7 @@ def agg_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # OLS is defined on complete (x, y) pairs: a NULL ts or value row
     # must drop from EVERY sum (n, sx, sy, sxy, sxx) together, else the
     # slope mixes an all-rows count with pairwise-deleted sums.
-    ev = ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+    ev = ev.filter(F.col("ts").isNotNull() & _moment_domain())
     pts = ev.select(
         "event_type",
         F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
@@ -651,7 +671,8 @@ def win_islands_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(y AS HUGEINT) * y * y * y) AS DOUBLE) AS s4
       FROM (SELECT event_type,
                    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
-            FROM events)
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value) AND abs(value) <= 1000000.0)
       GROUP BY event_type
     )
     SELECT event_type, n,
@@ -679,7 +700,7 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewness()/kurtosis() aggregates fold doubles in partition order —
     unusable under a cross-engine hash; exact-moments-then-derive is
     the mergeable form an incremental pipeline stores anyway."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(_moment_domain())
     y = F.floor(F.col("value") * 100 + 0.5).cast("decimal(9,0)")
     m = ev.select("event_type", y.alias("y")).groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -800,7 +821,7 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pts AS (
       SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
              CAST(floor(value * 100 + 0.5) AS HUGEINT) AS y
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND abs(value) <= 1000000.0
     ), cell AS (
       SELECT event_type, hod, COUNT(*) AS n,
              SUM(y) AS s1, SUM(y * y) AS s2
@@ -830,7 +851,7 @@ def dq_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg pass builds the 5×24-cell profile, the join back
     broadcasts it, and the verdict rollup is co-partitioned — events
     scan twice, shuffle fractions of a KB."""
-    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = load(spark, sf_dir, "events").where(_moment_domain())
     pts = ev.select(
         "event_type",
         F.hour("ts").alias("hod"),
@@ -862,7 +883,7 @@ def dq_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     conv AS (
       SELECT user_id,
-             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS conv_cents,
+             SUM(CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END) AS conv_cents,
              MIN(rn) AS fp_rn
       FROM j WHERE event_type = 'purchase' GROUP BY user_id
     ),
@@ -921,9 +942,7 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_p = F.col("event_type") == "purchase"
     conv = j.filter(is_p).groupBy("user_id").agg(
-        F.sum(
-            F.floor(F.col("value") * 100 + 0.5).cast("bigint")
-        ).alias("conv_cents"),
+        F.sum(cents("value").cast("bigint")).alias("conv_cents"),
         F.min("rn").alias("fp_rn"),
     )
     pre = (
@@ -965,7 +984,7 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH classes AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(FLOOR(value / 50) AS BIGINT) AS vbin,
+             CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN CAST(FLOOR(value / 50) AS BIGINT) END AS vbin,
              COUNT(*) AS n
       FROM events GROUP BY 1, 2, 3
     )
@@ -1001,7 +1020,7 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes = ev.groupBy(
         "event_type",
         F.to_date("ts").alias("day"),
-        F.floor(F.col("value") / 50).alias("vbin"),
+        fbucket("value", 50).alias("vbin"),
     ).agg(F.count("*").alias("n"))
     small = F.when(F.col("n") < 5, F.col("n")).otherwise(F.lit(0))
     return classes.groupBy("event_type").agg(
@@ -1022,7 +1041,7 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_benford",
     oracle="""
     WITH c0 AS (
-      SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      SELECT CASE WHEN NOT isnan(value) AND abs(value) <= 1e15 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS cents
       FROM events WHERE value IS NOT NULL
     ), c AS (
       SELECT CAST(SUBSTRING(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
@@ -1062,7 +1081,7 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     share window runs over the 9-row aggregate.
     """
     ev = load(spark, sf_dir, "events")
-    cents = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+    cents = F.expr("CASE WHEN NOT isnan(value) AND abs(value) <= 1e15 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END")
     # gate on the SCALED value: 0 < value < 0.005 rounds to zero cents,
     # whose leading '0' is not a significant digit and would both take
     # digit 9's expected bps and inflate every share's denominator
@@ -1372,7 +1391,7 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH classes AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(FLOOR(value / 50) AS BIGINT) AS vbin,
+             CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN CAST(FLOOR(value / 50) AS BIGINT) END AS vbin,
              COUNT(*) AS n,
              COUNT(DISTINCT user_id) AS l
       FROM events GROUP BY 1, 2, 3
@@ -1411,7 +1430,7 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes = ev.groupBy(
         "event_type",
         F.to_date("ts").alias("day"),
-        F.floor(F.col("value") / 50).alias("vbin"),
+        fbucket("value", 50).alias("vbin"),
     ).agg(
         F.count("*").alias("n"),
         F.countDistinct("user_id").alias("l"),

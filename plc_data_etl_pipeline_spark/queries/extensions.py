@@ -1651,13 +1651,16 @@ def agg_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dq_outlier_mad",
     oracle="""
-    WITH m AS (
+    WITH ev AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND abs(value) <= 1e+15
+    ),
+    m AS (
       SELECT event_type, quantile_cont(value, 0.5) AS med
-      FROM events GROUP BY event_type
+      FROM ev GROUP BY event_type
     ),
     d AS (
       SELECT e.event_type, m.med, ABS(e.value - m.med) AS dev
-      FROM events e JOIN m USING (event_type)
+      FROM ev e JOIN m USING (event_type)
     ),
     s AS (
       SELECT event_type, quantile_cont(dev, 0.5) AS mad
@@ -1685,7 +1688,16 @@ def dq_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quantile_cont``; the 3*MAD comparison runs on bit-identical doubles
     in both engines, so the outlier COUNT is exact (rounding is
     presentation-only)."""
-    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    v = F.col("value")
+    # in-domain readings only (NULL/NaN/Inf/out-of-envelope excluded on
+    # BOTH engines — round-8 extreme-float sweep): a non-finite reading
+    # has no meaningful |v - median| and is a dq_profile problem, not a
+    # MAD outlier.
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(v.isNotNull() & ~F.isnan(v) & (F.abs(v) <= F.lit(1.0e15)))
+    )
     med = ev.groupBy("event_type").agg(
         F.percentile(F.col("value"), F.lit(0.5)).alias("med")
     )

@@ -83,7 +83,9 @@ def sensor_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     ).agg(
         F.count("*").alias("c_all"),
-        F.count("value").alias("c_val"),
+        # in-domain count to pair with the guarded cents sum, matching
+        # davg()'s denominator (round-8 extreme-float sweep)
+        F.count(cents("value")).alias("c_val"),
         F.sum(cents("value")).alias("sc"),
         F.min("value").alias("mn"),
         F.max("value").alias("mx"),

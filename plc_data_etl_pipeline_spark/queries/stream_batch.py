@@ -17,10 +17,14 @@ from ..catalog import load
 from ..registry import query
 from ..streaming import windows as W
 
-_AGG_SQL = """
+from ._conv import sql_cents
+
+# cents-guard + in-domain count: see queries/_conv.py CENTS_CAP
+# (round-8 extreme-float sweep).
+_AGG_SQL = f"""
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
-         / COUNT(value) AS avg_value,
+       CAST(SUM({sql_cents('value')}) AS DOUBLE) / 100
+         / COUNT({sql_cents('value')}) AS avg_value,
        MIN(value) AS min_value,
        MAX(value) AS max_value
 """
@@ -171,10 +175,10 @@ def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_enrich_static",
-    oracle="""
+    oracle=f"""
     SELECT c.c_mktsegment, e.event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           CAST(SUM({sql_cents('e.value')}) AS DOUBLE)
              / 100 AS sum_value
     FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment, e.event_type

@@ -18,7 +18,15 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import query
-from ._conv import davg, sql_davg
+from ._conv import CENTS_CAP, cents, cents_m, davg, fbucket, sql_davg
+
+def _dom(col: str) -> F.Column:
+    """In-domain projection for order-statistic aggregates: NaN/Inf/
+    out-of-envelope readings become NULL (aggregates skip them) — the
+    same exclusion contract as cents(), see _conv.CENTS_CAP."""
+    x = F.col(col)
+    return F.when(~F.isnan(x) & (F.abs(x) <= F.lit(CENTS_CAP)), x)
+
 
 
 @query(
@@ -27,8 +35,8 @@ from ._conv import davg, sql_davg
     WITH hourly AS (
       SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS h,
              COUNT(*) AS n_events,
-             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
-               / 100 / COUNT(value) AS avg_value
+             CAST(SUM(CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END) AS DOUBLE)
+               / 100 / COUNT(CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END) AS avg_value
       FROM events WHERE user_id < 40 GROUP BY user_id, h
     ), bounds AS (
       SELECT user_id, MIN(h) AS h_min, MAX(h) AS h_max FROM hourly GROUP BY user_id
@@ -64,9 +72,9 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_events"),
         (
-            F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("double")
+            F.sum(cents("value")).cast("double")
             / 100
-            / F.count("value")
+            / F.count(cents("value"))
         ).alias("avg_value"),
     )
     bounds = hourly.groupBy("user_id").agg(
@@ -102,7 +110,7 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_mode_per_group",
     oracle="""
     WITH counts AS (
-      SELECT event_type, CAST(FLOOR(value / 50) AS BIGINT) AS value_bucket,
+      SELECT event_type, CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN CAST(FLOOR(value / 50) AS BIGINT) END AS value_bucket,
              COUNT(*) AS n
       FROM events GROUP BY event_type, value_bucket
     ), ranked AS (
@@ -121,10 +129,14 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     differs between engines."""
     ev = load(spark, sf_dir, "events")
     counts = ev.groupBy(
-        "event_type", F.floor(F.col("value") / 50).alias("value_bucket")
+        "event_type", fbucket("value", 50).alias("value_bucket")
     ).agg(F.count("*").alias("n"))
+    # asc_nulls_last: the degenerate NULL bucket (NaN/Inf/out-of-
+    # envelope readings — see _conv.fbucket) loses count ties to every
+    # real bucket; Spark's default NULLS FIRST would flip the winner
+    # vs DuckDB's NULLS LAST (round-8 extreme-float sweep).
     w = Window.partitionBy("event_type").orderBy(
-        F.col("n").desc(), F.col("value_bucket")
+        F.col("n").desc(), F.col("value_bucket").asc_nulls_last()
     )
     return (
         counts.withColumn("rn", F.row_number().over(w))
@@ -141,8 +153,8 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_histogram",
     oracle="""
     SELECT event_type,
-           CAST(FLOOR(value / 25) AS BIGINT) AS bin,
-           CAST(FLOOR(value / 25) AS BIGINT) * 25 AS bin_low,
+           CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN CAST(FLOOR(value / 25) AS BIGINT) END AS bin,
+           CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN CAST(FLOOR(value / 25) AS BIGINT) END * 25 AS bin_low,
            COUNT(*) AS n
     FROM events WHERE value IS NOT NULL
     GROUP BY event_type, bin
@@ -153,7 +165,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     type — exact integer bin arithmetic, single partial-aggregated
     group-by; the building block for distribution monitoring at scale."""
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    bin_ = F.floor(F.col("value") / 25)
+    bin_ = fbucket("value", 25)
     return ev.groupBy(
         "event_type",
         bin_.alias("bin"),
@@ -165,11 +177,11 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentiles",
     oracle="""
     SELECT event_type,
-           ROUND(QUANTILE_CONT(value, 0.25), 4) AS p25,
-           ROUND(QUANTILE_CONT(value, 0.50), 4) AS p50,
-           ROUND(QUANTILE_CONT(value, 0.75), 4) AS p75,
-           ROUND(QUANTILE_CONT(value, 0.95), 4) AS p95,
-           ROUND(QUANTILE_CONT(value, 0.99), 4) AS p99
+           ROUND(QUANTILE_CONT(CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN value END, 0.25), 4) AS p25,
+           ROUND(QUANTILE_CONT(CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN value END, 0.50), 4) AS p50,
+           ROUND(QUANTILE_CONT(CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN value END, 0.75), 4) AS p75,
+           ROUND(QUANTILE_CONT(CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN value END, 0.95), 4) AS p95,
+           ROUND(QUANTILE_CONT(CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN value END, 0.99), 4) AS p99
     FROM events
     GROUP BY event_type
     """,
@@ -182,7 +194,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     judged against (cf. agg_approx_distinct)."""
     ev = load(spark, sf_dir, "events")
     cols = [
-        F.round(F.percentile(F.col("value"), F.lit(q)), 4).alias(name)
+        F.round(F.percentile(_dom("value"), F.lit(q)), 4).alias(name)
         for q, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"),
                         (0.95, "p95"), (0.99, "p99")]
     ]
@@ -369,8 +381,8 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS h,
              CAST(FLOOR(
-               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
-                 / 100 / COUNT(value) * 1000000 + 0.5) AS BIGINT) AS v_micro
+               CAST(SUM(CASE WHEN NOT isnan(value) AND abs(value) <= 1000000.0 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END) AS DOUBLE)
+                 / 100 / COUNT(CASE WHEN NOT isnan(value) AND abs(value) <= 1000000.0 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END) * 1000000 + 0.5) AS BIGINT) AS v_micro
       FROM events WHERE user_id < 40 GROUP BY user_id, h
     ), bounds AS (
       SELECT user_id, MIN(h) AS h_min, MAX(h) AS h_max
@@ -424,9 +436,9 @@ def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(
         F.floor(
-            F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("double")
+            F.sum(cents_m("value")).cast("double")
             / 100
-            / F.count("value")
+            / F.count(cents_m("value"))
             * 1000000
             + 0.5
         ).alias("v_micro")
@@ -488,7 +500,7 @@ def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT event_id, user_id, ts, value,
-             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+             CASE WHEN NOT isnan(value) AND abs(value) <= 1000000.0 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS x
       FROM events WHERE ts IS NOT NULL
     ), w AS (
       SELECT event_id, user_id, value, x,
@@ -517,7 +529,7 @@ def dq_rolling_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     position in the trailing frame and are dropped identically on both
     sides (round-8 NULL-ts sweep)."""
     ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    x = F.floor(F.col("value") * 100 + 0.5)
+    x = cents_m("value")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -646,7 +658,7 @@ def ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pts AS (
       SELECT event_type, ts, event_id,
-             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+             CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS cents
       FROM events WHERE value IS NOT NULL
     ), base AS (
       SELECT event_type, ts, event_id,
@@ -728,7 +740,7 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "ts",
             "event_id",
-            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+            cents("value").cast("long").alias("cents"),
         )
     )
     # full-partition frames carry the SAME (ts, event_id) ordering as
@@ -834,7 +846,7 @@ def _acf_formula(k: int) -> str:
     oracle=f"""
     WITH pts AS (
       SELECT event_type, ts, event_id,
-             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+             CASE WHEN NOT isnan(value) AND abs(value) <= 1000000.0 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS y
       FROM events WHERE value IS NOT NULL
     ), lagged AS (
       SELECT event_type, y,
@@ -898,7 +910,7 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "ts",
             "event_id",
-            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"),
+            cents_m("value").cast("long").alias("y"),
         )
     )
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
@@ -980,8 +992,8 @@ _HC = _harmonic_consts()
     oracle=f"""
     WITH cell AS (
       SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
-             COUNT(value) AS n,
-             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             COUNT(CASE WHEN NOT isnan(value) AND abs(value) <= 1000000.0 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END) AS n,
+             CAST(SUM(CASE WHEN NOT isnan(value) AND abs(value) <= 1000000.0 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END) AS BIGINT)
                AS s1
       FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
       GROUP BY event_type, hod
@@ -1051,7 +1063,7 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.hour("ts").alias("hod"),
-            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+            cents_m("value").cast("long").alias("cents"),
         )
     )
     cell = ev.groupBy("event_type", "hod").agg(
@@ -1097,8 +1109,8 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS h,
-             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_cents,
-             COUNT(value) AS n
+             SUM(CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END) AS sum_cents,
+             COUNT(CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END) AS n
       FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
       GROUP BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
     ), with_trend AS (
@@ -1159,10 +1171,10 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "event_type", hour.alias("h")
     ).agg(
-        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias(
+        F.sum(cents("value").cast("bigint")).alias(
             "sum_cents"
         ),
-        F.count("value").alias("n"),
+        F.count(cents("value")).alias("n"),
     )
     w = (
         Window.partitionBy("event_type")

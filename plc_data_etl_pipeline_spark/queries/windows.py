@@ -15,12 +15,15 @@ from pyspark.sql.window import Window
 
 from ..catalog import load
 from ..registry import query
+from ._conv import cents
 
 
 def _csum(col: str, w) -> "F.Column":
     """Windowed order-exact sum of a 2-decimal double: exact integer-cents
-    sum over the frame, divided back in double (queries/_conv.py)."""
-    return F.sum(F.floor(F.col(col) * 100 + 0.5)).over(w).cast("double") / 100
+    sum over the frame, divided back in double (queries/_conv.py). The
+    cents() guard NULLs NaN/Inf/out-of-envelope values so one poisoned
+    row cannot ANSI-overflow a whole frame (round-8 sweep)."""
+    return F.sum(cents(col)).over(w).cast("double") / 100
 
 
 @query(
@@ -92,7 +95,7 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_running_sum",
     oracle=f"""
     SELECT event_id, user_id, value,
-           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+           CAST(SUM(CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) / 100 AS running_sum,
@@ -128,8 +131,8 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_moving_avg",
     oracle="""
     SELECT event_id, user_id, value,
-           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
-             / 100 / COUNT(value) OVER w AS moving_avg,
+           CAST(SUM(CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END) OVER w AS DOUBLE)
+             / 100 / COUNT(CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END) OVER w AS moving_avg,
            MIN(value) OVER w AS moving_min,
            MAX(value) OVER w AS moving_max
     FROM events
@@ -154,7 +157,7 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "value",
-        (_csum("value", w) / F.count("value").over(w)).alias("moving_avg"),
+        (_csum("value", w) / F.count(cents("value")).over(w)).alias("moving_avg"),
         F.min("value").over(w).alias("moving_min"),
         F.max("value").over(w).alias("moving_max"),
     )
@@ -164,7 +167,7 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_range_interval",
     oracle="""
     SELECT event_id, user_id, value,
-           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+           CAST(SUM(CASE WHEN NOT isnan(value) AND abs(value) <= 1e+15 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END) OVER (
              PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
            ) AS DOUBLE) / 100 AS hour_sum,

@@ -36,13 +36,18 @@ def with_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
 
 def _agg_cols() -> list[Column]:
     # avg via exact integer-cents sum (order-independent, oracle
-    # bit-parity — queries/_conv.py rationale).
+    # bit-parity — queries/_conv.py rationale). cents() NULLs NaN/Inf/
+    # out-of-envelope readings so one poisoned value cannot ANSI-
+    # overflow the fold; the count is over in-domain values to match
+    # (round-8 extreme-float sweep).
+    from ..queries._conv import cents
+
     return [
         F.count("*").alias("n_events"),
         (
-            F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("double")
+            F.sum(cents("value")).cast("double")
             / 100
-            / F.count("value")
+            / F.count(cents("value"))
         ).alias("avg_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),

@@ -300,8 +300,15 @@ def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distributed read: path -> doc_id, content length, content md5.
     At 100 TB this source partitions by file and never materializes a
     blob on the driver."""
+    import shutil
+
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     out = session_tmp_path(spark, "binaryfiles")
+    # clear first: the session-scoped path persists across calls, so a
+    # smaller/different corpus (e.g. the empty-table sweep after an
+    # adversarial run) must not read the previous call's stale .bin
+    # files (round-8 full-suite ordering failure)
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     # bounded fixture write (50 files) — the READ below is the operator
     for r in d.select("doc_id", "text").collect():

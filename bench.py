@@ -6,16 +6,23 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <sf>}
 
 Execution is measured to a noop sink (full plan runs, no driver-side
-row serialization): the DataFrame is built in Python ONCE per query,
-then every measured pass calls ``.write.format("noop").save()`` — each
-save wraps the logical plan in a fresh WriteToDataSourceV2, so Catalyst
-re-optimizes and NEW ShuffleExchangeExec instances re-execute every
-shuffle (honest full execution; the re-optimize is Spark's real
+row serialization): the DataFrame is REBUILT from the query fn for
+every measured pass (construction/analysis outside the timer), then
+the pass times ``.write.format("noop").save()`` on the fresh frame —
+a fresh logical plan per pass means Catalyst re-optimizes and NEW
+ShuffleExchangeExec instances re-execute every shuffle, and any
+localCheckpoint inside an operator re-materializes inside the timed
+save (honest full execution; the re-optimize is Spark's real
 per-statement cost, the analog of DuckDB's per-pass re-plan). Do NOT
-"optimize" this to re-collecting a prepared DataFrame:
+"optimize" this to re-collecting or re-saving a prepared DataFrame:
 ShuffleExchangeExec memoizes its shuffle RDD, so repeated collects
 reuse the map outputs and re-run only the final stage (measured: every
-headline query collapses to a uniform ~0.02 s floor — not executing).
+headline query collapses to a uniform ~0.02 s floor — not executing),
+and a prepared frame's localCheckpoint blocks persist across saves
+(round-8 fix: dedup_minhash's exact-first group frame was computed
+once and reused by all five warm passes). Base tables are NOT
+Spark-cached anywhere in this harness: every pass scans the parquet
+inputs through the OS page cache, same as the DuckDB twin.
 The DuckDB twin materializes each oracle SQL into a temp table per
 pass — both sides re-plan and touch every output value.
 
@@ -124,18 +131,18 @@ def main() -> None:
         spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
         )
-    # Warmup: JVM/codegen + parquet reader + Python worker pool, and one
-    # shared in-memory columnar scan per table (catalog.enable_table_cache)
-    # so per-query numbers measure steady-state execution — the DuckDB
-    # baseline likewise reads OS-page-cached parquet and excludes process
-    # start.
-    from plc_data_etl_pipeline_spark.catalog import (
-        TABLES,
-        enable_table_cache,
-        load,
-    )
+    # Warmup: JVM/codegen + parquet reader + Python worker pool. Each
+    # table is read once so the OS page cache is hot — the DuckDB
+    # baseline likewise reads OS-page-cached parquet and excludes
+    # process start. Round-8 measurement fix: the in-memory columnar
+    # per-table Spark cache the r01-r07 bench enabled is GONE —
+    # every measured pass now scans the parquet inputs (through the OS
+    # page cache, exactly like the DuckDB twin's read_parquet views),
+    # so FileScan pruning/pushdown is part of what is timed instead of
+    # being absorbed by a pre-timed .cache(). Old (cached-table)
+    # numbers: BENCH_r07.json / OPTIMIZATION_r08.md.
+    from plc_data_etl_pipeline_spark.catalog import TABLES, load
 
-    enable_table_cache()
     spark.range(1000).selectExpr("sum(id)").collect()
     for t in TABLES:
         load(spark, sf_dir, t).count()
@@ -159,20 +166,27 @@ def main() -> None:
     # Measured passes: pass 1 builds the DataFrame and executes it —
     # that pays Python plan construction + Catalyst analysis/optimization
     # (fixed per query regardless of data size; reported as "cold").
-    # Steady state re-SAVES the same Python-built DataFrame (fresh write
-    # plan per pass -> fresh exchanges; see module docstring) and takes
-    # the MIN of the repeat passes (timeit-style — robust to transient
-    # scheduler/GC jitter, which at these sub-second times is +-15%
-    # run to run).
+    # Steady state REBUILDS the DataFrame from the query fn each pass
+    # (construction/analysis outside the timer, exactly the plan-time
+    # cost the cold number already reports) and times the noop save of
+    # the fresh frame. Round-8 measurement fix: re-saving ONE prepared
+    # DataFrame (the r01-r07 form) let any localCheckpoint inside an
+    # operator (e.g. dedup_minhash's shared exact-first group frame)
+    # materialize on the first save and be REUSED by every later pass —
+    # the same cross-pass leak the module docstring bans for shuffle
+    # RDDs. A fresh frame per pass gets fresh exchanges AND fresh
+    # checkpoints: every timed save executes the full plan from the
+    # parquet inputs. The MIN of the repeat passes is kept
+    # (timeit-style — robust to transient scheduler/GC jitter, which at
+    # these sub-second times is +-15% run to run). Old (prepared-frame)
+    # numbers: BENCH_r07.json / OPTIMIZATION_r08.md.
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
-    prepared = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         df = qs[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
-        prepared[name] = df
         warm[name] = float("inf")
     # Two temporally-separated full sweeps, 3 passes each, min across
     # all: a single sweep is exposed to phase-correlated slowdowns
@@ -185,8 +199,9 @@ def main() -> None:
         for name in HEADLINE:
             times = []
             for _ in range(3):
+                df = qs[name].fn(spark, sf_dir)
                 t0 = time.perf_counter()
-                prepared[name].write.format("noop").mode("overwrite").save()
+                df.write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
             warm[name] = round(min(warm[name], *times[1:]), 3)
 

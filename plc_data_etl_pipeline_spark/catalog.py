@@ -72,20 +72,6 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Small dimension tables that should always hash-broadcast in joins.
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
-# Bench/interactive profile: memoize + Spark-cache each table so repeated
-# queries share one in-memory columnar scan instead of re-reading parquet
-# (the single-node analog of a hot buffer pool — the DuckDB baseline
-# likewise reads OS-page-cached parquet). Off by default: correctness
-# tests exercise the real scan path (pushdown, pruning).
-_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
-_CACHE_TABLES = False
-
-
-def enable_table_cache() -> None:
-    global _CACHE_TABLES
-    _CACHE_TABLES = True
-
-
 def shuffle_partitions(spark: SparkSession) -> int:
     """The session's configured shuffle parallelism — single source of
     truth for operators that pre-partition big relations (graph loops,
@@ -112,10 +98,6 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table as a DataFrame (schema from parquet footer)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if _CACHE_TABLES:
-        hit = _TABLE_CACHE.get((sf_dir, name))
-        if hit is not None:
-            return hit
     ensure_tuned(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS): read as long nanos (see
@@ -123,9 +105,6 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # DuckDB's ns->us coercion yields, so oracles agree.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if _CACHE_TABLES:
-        df = df.cache()
-        _TABLE_CACHE[(sf_dir, name)] = df
     return df
 
 

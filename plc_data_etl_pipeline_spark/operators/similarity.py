@@ -803,8 +803,21 @@ def pq_ann_topk(
     raw = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
+    # Round-8 (guide §8 "move big rows once"): the exact re-rank joins
+    # the TINY candidate set (Q * rerank_factor * k rows — bounded by
+    # the same query-set contract that already collects the queries)
+    # back to the raw vectors. Unhinted, the build side was a SIZE
+    # ESTIMATE decision: at test SF the raw corpus slips under the
+    # broadcast threshold (BuildRight of the FULL vector payload —
+    # backwards even when it fits), and past the threshold the join
+    # degrades to shuffling the whole raw-vector corpus by neighbor_id —
+    # re-moving exactly the heavy payload the 8-byte PQ codes exist to
+    # avoid. Pinning the broadcast to the candidates side keeps the
+    # raw-vector scan in place at EVERY scale: only bounded candidate
+    # rows move (plans/r08/sim_topk_pq_{before,after}.txt — BuildRight
+    # raw-corpus broadcast -> BuildLeft bounded-candidates broadcast).
     return (
-        candidates.join(raw, "neighbor_id")
+        candidates.hint("broadcast").join(raw, "neighbor_id")
         .withColumn(
             "cosine_sim",
             F.try_divide(

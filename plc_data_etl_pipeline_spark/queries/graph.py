@@ -62,6 +62,38 @@ def _cleanup_pair_cache() -> None:  # pragma: no cover - exit hook
 atexit.register(_cleanup_pair_cache)
 
 
+def _trade_pairs_build(spark, sf_dir, min_support: int | None = None):
+    """The raw edge-build frame (no cache) — split out so the plan-lock
+    test can assert the join strategy of what actually executes on the
+    first call per session."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Round-8 optimization (guide §3.1): hint the orders side into a
+    # SHUFFLED-HASH join — the planner's default sort-merge paid a
+    # full sort of BOTH shuffled sides, and those two sorts dominated
+    # the build (the residual wall of every iterative graph query:
+    # 376 s of the 457 s sf100 CC run). Probe
+    # scripts/probe_edge_build_ab.py at factor-50, bit-identical
+    # output, interleaved reps: SMJ 23.8/134.1 s -> SHJ 6.4/20.2 s
+    # (3.7-6.6x). Pre-dedup variants (dropDuplicates / collect_set
+    # before the join) measured SLOWER again — countDistinct's
+    # map-side partial already dedups, confirming the r7 A/B.
+    # Scale posture: the build side is the per-partition slice of
+    # orders (the SMALLER keyed relation, ~1:4 vs lineitem), whose
+    # size is bounded by the shuffle-partition count that scales
+    # with the cluster conf + AQE; no broadcast, no driver state.
+    j = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    a = (F.col("o_custkey") * 2).alias("a")
+    b = (F.col("l_suppkey") * 2 + 1).alias("b")
+    if min_support is None:
+        return j.select(a, b).distinct()
+    return (
+        j.groupBy(a, b)
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .filter(F.col("n") >= min_support)
+    )
+
+
 def _trade_pairs(spark, sf_dir, min_support: int | None = None,
                  with_weight: bool = False):
     """Shared (a, b) customer—supplier pair builder with the even/odd
@@ -82,21 +114,7 @@ def _trade_pairs(spark, sf_dir, min_support: int | None = None,
     key = (spark.sparkContext.applicationId, sf_dir, min_support)
     cached = _PAIR_CACHE.get(key)
     if cached is None or not os.path.isdir(cached):
-        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-        li = load(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_suppkey"
-        )
-        j = li.join(o, li.l_orderkey == o.o_orderkey)
-        a = (F.col("o_custkey") * 2).alias("a")
-        b = (F.col("l_suppkey") * 2 + 1).alias("b")
-        if min_support is None:
-            out = j.select(a, b).distinct()
-        else:
-            out = (
-                j.groupBy(a, b)
-                .agg(F.countDistinct("l_orderkey").alias("n"))
-                .filter(F.col("n") >= min_support)
-            )
+        out = _trade_pairs_build(spark, sf_dir, min_support)
         cached = os.path.join(
             tempfile.gettempdir(),
             "plc_etl_trade_pairs_"

@@ -122,6 +122,22 @@ def test_similarity_arrow_scan_posture(spark):
     assert "BroadcastNestedLoopJoin" in pf or "BroadcastHashJoin" in pf
 
 
+def test_pq_rerank_broadcasts_candidates_not_corpus(spark):
+    """sim_topk_pq's exact re-rank must BUILD on the bounded candidate
+    set (Q * rerank_factor * k rows), never on the raw-vector corpus:
+    unhinted, the planner's size estimate broadcast the WHOLE raw
+    corpus at test SF and would shuffle it by neighbor_id past the
+    broadcast threshold — re-moving exactly the heavy payload the
+    8-byte PQ codes exist to avoid (round-8; guide §8). The candidates
+    subtree is the one holding the ADC Window, so the rerank join must
+    be BuildLeft."""
+    p = plan(spark, "sim_topk_pq")
+    assert "BroadcastHashJoin Inner BuildLeft" in p, p.split("\n\n")[0]
+    assert "BroadcastHashJoin Inner BuildRight" not in p, (
+        "rerank join builds on the raw-vector corpus side"
+    )
+
+
 def _n_exchanges(spark, name: str) -> int:
     """Shuffle exchanges only — BroadcastExchange is the cheap kind we
     WANT and must not count against the budget."""
@@ -501,6 +517,22 @@ def test_sample_quality_bins_no_global_sort(spark):
         "n_chars" in p and "SinglePartition" in p
     )
     assert "TakeOrderedAndProject" not in p
+
+
+def test_trade_pairs_edge_build_shuffled_hash_join(spark):
+    """The shared repeat-trade edge build (the residual wall of every
+    iterative graph query — 376 s of the 457 s sf100 CC run) must
+    attach orders via a SHUFFLED-HASH join, never sort-merge: the two
+    SMJ sorts of the shuffled fact streams dominated the build
+    (round-8 probe scripts/probe_edge_build_ab.py, bit-identical
+    output: 23.8/134.1 s SMJ -> 6.4/20.2 s SHJ at factor-50). Small
+    inputs may legitimately broadcast instead (also sort-free)."""
+    from plc_data_etl_pipeline_spark.queries.graph import _trade_pairs_build
+
+    for ms in (None, 3):
+        p = plan_of(_trade_pairs_build(spark, SF_DIR, ms))
+        assert "SortMergeJoin" not in p, p
+        assert "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
 
 
 def test_pagerank_iterations_join_not_cartesian(spark):

@@ -68,20 +68,27 @@ def _trade_pairs_build(spark, sf_dir, min_support: int | None = None):
     first call per session."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # Round-8 optimization (guide §3.1): hint the orders side into a
-    # SHUFFLED-HASH join — the planner's default sort-merge paid a
-    # full sort of BOTH shuffled sides, and those two sorts dominated
-    # the build (the residual wall of every iterative graph query:
-    # 376 s of the 457 s sf100 CC run). Probe
-    # scripts/probe_edge_build_ab.py at factor-50, bit-identical
-    # output, interleaved reps: SMJ 23.8/134.1 s -> SHJ 6.4/20.2 s
-    # (3.7-6.6x). Pre-dedup variants (dropDuplicates / collect_set
-    # before the join) measured SLOWER again — countDistinct's
-    # map-side partial already dedups, confirming the r7 A/B.
-    # Scale posture: the build side is the per-partition slice of
-    # orders (the SMALLER keyed relation, ~1:4 vs lineitem), whose
-    # size is bounded by the shuffle-partition count that scales
-    # with the cluster conf + AQE; no broadcast, no driver state.
+    # Round-8 optimization (guide §3.1: pick the strategy deliberately).
+    # Unhinted, the strategy was a SIZE-ESTIMATE decision with two bad
+    # regimes: (a) while the column-pruned orders estimate slips under
+    # the 64 MB broadcast threshold the planner BROADCASTS a relation
+    # that grows with the fact table — at factor-50 that is a
+    # driver-built 7.5M-row hash relation per build (probe: 23.8 s,
+    # inflating to 134.1 s as accumulated broadcasts GC-thrash the
+    # driver); (b) past the threshold it degrades to sort-merge, whose
+    # two full sorts of the shuffled fact streams dominated the sf100
+    # build (376 s of the 457 s CC run). The SHUFFLE_HASH hint removes
+    # both: no driver-side relation, no sorts — factor-50 probe
+    # (scripts/probe_edge_build_ab.py, bit-identical output,
+    # interleaved reps): 23.8/134.1 s -> 6.4/20.2 s (3.7-6.6x).
+    # Pre-dedup variants (dropDuplicates / collect_set before the join)
+    # measured SLOWER again — countDistinct's map-side partial already
+    # dedups, confirming the r7 A/B. Scale posture: the build side is
+    # the per-partition slice of orders (the SMALLER keyed relation,
+    # ~1:4 vs lineitem), bounded by the shuffle-partition count that
+    # scales with the cluster conf + AQE. At tiny SF the hint trades a
+    # legitimate broadcast for one shuffle of ~600k narrow rows —
+    # ~0.1 s, paid once per session thanks to the pair cache.
     j = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
     a = (F.col("o_custkey") * 2).alias("a")
     b = (F.col("l_suppkey") * 2 + 1).alias("b")

@@ -31,6 +31,22 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / mapInPandas path (10-100x over row UDFs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Bound the bytes in flight per Arrow batch (guide §4.2: Spark 4's
+    # direct knob; lower it for wide rows / large text cells). Round-8
+    # measurement: on this environment the JVM->Python worker feed
+    # exhibits intermittent multi-second stalls PROPORTIONAL to the
+    # in-flight batch bytes (full diagnostic chain in
+    # OPTIMIZATION_r08.md: not the UDF body — inner-timed at 0.2 s
+    # while the task walls 3-15 s; not GC — gc log clean; not worker
+    # re-forks — pids stable; vanishes when batches shrink). The
+    # default 64 MB cap let a 5k-document text column travel as one
+    # multi-MB batch: dedup_minhash's noop wall was 6-15 s on 6 of 8
+    # passes vs 1.1-2.6 s on 8 of 8 with this cap. 256 KB also bounds
+    # per-worker memory at scale (wide text rows can't balloon a
+    # batch); retune upward on clusters whose local sockets are
+    # healthy if per-batch Python overhead ever dominates (measured
+    # here: sub-10% on the embedding/numeric Arrow paths).
+    "spark.sql.execution.arrow.maxBytesPerBatch": str(256 * 1024),
     # Dimension tables (region/nation/supplier/customer/part at test SF)
     # must broadcast; 64 MB is still safe on 4 GB executors.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

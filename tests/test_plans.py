@@ -522,17 +522,18 @@ def test_sample_quality_bins_no_global_sort(spark):
 def test_trade_pairs_edge_build_shuffled_hash_join(spark):
     """The shared repeat-trade edge build (the residual wall of every
     iterative graph query — 376 s of the 457 s sf100 CC run) must
-    attach orders via a SHUFFLED-HASH join, never sort-merge: the two
-    SMJ sorts of the shuffled fact streams dominated the build
-    (round-8 probe scripts/probe_edge_build_ab.py, bit-identical
-    output: 23.8/134.1 s SMJ -> 6.4/20.2 s SHJ at factor-50). Small
-    inputs may legitimately broadcast instead (also sort-free)."""
+    attach orders via a SHUFFLED-HASH join: unhinted it either
+    BROADCASTS a fact-derived relation that grows with the data (a
+    driver-built 7.5M-row hash relation at factor-50) or degrades to
+    sort-merge past the threshold, whose two sorts dominated the sf100
+    build. Round-8 probe scripts/probe_edge_build_ab.py, bit-identical
+    output: 23.8/134.1 s -> 6.4/20.2 s at factor-50."""
     from plc_data_etl_pipeline_spark.queries.graph import _trade_pairs_build
 
     for ms in (None, 3):
         p = plan_of(_trade_pairs_build(spark, SF_DIR, ms))
         assert "SortMergeJoin" not in p, p
-        assert "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
+        assert "ShuffledHashJoin" in p, p
 
 
 def test_pagerank_iterations_join_not_cartesian(spark):

@@ -907,29 +907,66 @@ def connected_components(
     PAIRS, but survivor election needs CLUSTERS (a~b, b~c => keep one of
     {a,b,c}). Min-label propagation: every node repeatedly adopts the
     minimum label among itself and its neighbors; converges in
-    O(graph diameter) rounds. Each round is one shuffle (edge-label
-    join + min-aggregate); ``localCheckpoint`` truncates the lineage so
-    plans stay flat across iterations — the standard Spark shape for
-    iterative graph algorithms at scale (GraphX/GraphFrames CC is the
-    same dataflow).
+    O(graph diameter) rounds — the standard Spark shape for iterative
+    graph algorithms at scale (GraphX/GraphFrames CC is the same
+    dataflow).
 
-    The edge relation is materialized ONCE (eager localCheckpoint) —
-    without it every round re-runs the distinct-union over the raw
-    pairs — and is hash-repartitioned on ``src`` first so the preserved
-    LogicalRDD partitioning satisfies each round's join requirement:
-    only the (node-sized) label side shuffles per iteration. The label
-    side is hinted SHUFFLE_HASH so the stats-less edge side is neither
+    Round machinery (round-8 optimization — the operators/graph.py
+    fixpoint shape, adopted here after an interleaved A/B on the real
+    phash/minhash pair streams at factor-50 measured 1.4-2.2x:
+    scripts/probe_cc_rounds_ab.py, outputs verified identical first):
+
+    * **Self-loop edges carry each node's own label through the join**,
+      so one round is ONE edge⋈label join + a map-side-combinable MIN —
+      the previous form paid a second (labels LEFT JOIN neighbor_min)
+      pass per round to re-attach unreached nodes (guide §2.4: two
+      operations keyed the same way should share one pass).
+    * **Convergence by the monotone decimal label-sum certificate**:
+      labels only ever DECREASE (MIN over self + neighbors), so the
+      exact decimal(38,0) sum of labels is constant across a round iff
+      the round changed nothing. One scalar aggregate on the lazily
+      checkpointed round output — which doubles as the checkpoint's
+      materializing action — replaces the old labels⋈labels
+      changed-count join (a second full action per round).
+    * Superseded label checkpoints are released in-loop (the sf50
+      session-residency finding); the edge relation stays pinned for
+      the whole run and is registered for release with the result.
+
+    The edge relation is materialized ONCE (lazy DISK_ONLY
+    localCheckpoint, first action materializes) — without it every
+    round re-runs the distinct-union over the raw pairs — and is
+    hash-repartitioned on ``src`` first so the preserved LogicalRDD
+    partitioning satisfies each round's join requirement: only the
+    (node-sized) label side shuffles per iteration. The label side is
+    hinted SHUFFLE_HASH so the stats-less edge side is neither
     broadcast (OOM risk) nor sorted (merge join would re-sort the big
     side every round).
     """
-    edges_fwd = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    # Both directions AND the self-loop rows come out of ONE reference
+    # to ``pairs`` via a single array+explode projection. This matters
+    # because ``pairs`` is usually an EXPENSIVE un-materialized pipeline
+    # (LSH candidate generation, phash near-pairs): Spark has no
+    # common-subexpression reuse across union branches, so the previous
+    # union(fwd, rev) form computed that pipeline TWICE, and deriving
+    # self-loops as union(base, base.distinct()) would compute it FOUR
+    # times (measured: 2x slower end-to-end at sf0.1 despite cheaper
+    # rounds — the first probe draft did exactly that). One explode =
+    # upstream runs exactly once; the duplicate self-loop copies (one
+    # per incident edge) collapse in the dropDuplicates below.
+    # Self-loop edges carry each node's own label through the per-round
+    # join, so no second join is needed to keep unreached/isolated
+    # labels (the linear-plan trick of graph.py::min_label_propagation).
+    a, b = F.col(id_a), F.col(id_b)
+    edge_structs = F.array(
+        F.struct(a.alias("src"), b.alias("dst")),
+        F.struct(b.alias("src"), a.alias("dst")),
+        F.struct(a.alias("src"), a.alias("dst")),
+        F.struct(b.alias("src"), b.alias("dst")),
     )
     n_shuffle = shuffle_partitions(pairs.sparkSession)
     edges = (
-        edges_fwd.unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-        )
+        pairs.select(F.explode(edge_structs).alias("e"))
+        .select("e.src", "e.dst")
         # repartition FIRST, then dedup: HashPartitioning(src) satisfies
         # the (src, dst) aggregate's clustered-distribution requirement,
         # so the big edge relation is exchanged once, not twice, and the
@@ -939,49 +976,41 @@ def connected_components(
         # DISK_ONLY: same rationale as operators/graph.py — the edge
         # relation is the big, round-invariant side; keep heap free for
         # the per-round join/agg state.
-        .localCheckpoint(storageLevel=_StorageLevel.DISK_ONLY)
+        .localCheckpoint(eager=False, storageLevel=_StorageLevel.DISK_ONLY)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
+
+    def _lbl_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    from .graph import _unpersist_ckpt
+
+    prev_sum = _lbl_sum(labels)  # materializes the edge checkpoint too
+    label_ckpt: DataFrame | None = None
     for _ in range(max_iters):
-        neighbor_min = (
+        labels = (
             edges.join(
                 labels.hint("shuffle_hash"), edges.src == labels.node
             )
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_label"))
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()  # truncate lineage each round
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        # The superseded round's label blocks are dead the moment the
-        # convergence count above has consumed them (new_labels is an
-        # EAGER checkpoint, already materialized) — release them here
-        # instead of letting every round's node-sized snapshot pile up
-        # until session end (the sf50 session-residency finding).
-        from .graph import _unpersist_ckpt
-
-        _unpersist_ckpt(labels)
-        labels = new_labels
-        if changed == 0:
-            break
+        new_ckpt = labels.localCheckpoint(eager=False)
+        s = _lbl_sum(new_ckpt)  # the materializing action
+        if label_ckpt is not None:
+            _unpersist_ckpt(label_ckpt)  # release superseded round
+        label_ckpt = new_ckpt
+        labels = new_ckpt
+        if s == prev_sum:
+            break  # sum unchanged == no label moved == fixpoint
+        prev_sum = s
     from .graph import _register_round_state
 
     return _register_round_state(

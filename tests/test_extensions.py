@@ -351,6 +351,27 @@ def test_connected_components_chain_triangle_singleton(spark):
     assert sum(1 for c, s in rows.values() if s) == 3  # one per cluster
 
 
+def test_connected_components_deep_chain_and_truncation(spark):
+    """Round-8 internals change (self-loop single-join rounds + monotone
+    label-sum certificate): the certificate must stop EXACTLY at the
+    fixpoint — a 12-chain (diameter 11, so ~11 propagation rounds) still
+    collapses to min-label 0 — and max_iters truncation keeps the old
+    contract: labels after k rounds are the k-hop minima (prefix), not
+    an error."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    cc = {r.node: r.cluster_id for r in D.connected_components(chain).collect()}
+    assert cc == {i: 0 for i in range(12)}
+
+    # truncated run: after 3 rounds node i carries min(0, i-3) = max(0, i-3)
+    trunc = {
+        r.node: r.cluster_id
+        for r in D.connected_components(chain, max_iters=3).collect()
+    }
+    assert trunc == {i: max(0, i - 3) for i in range(12)}
+
+
 def test_repetition_stats_on_crafted_docs(spark):
     """Hand-computed repetition fractions: a doc that is one word repeated
     must fail both thresholds; a doc of all-distinct words passes."""

@@ -93,6 +93,7 @@ def pagerank(
     iterations: int = 3,
     damping_pct: int = 85,
     checkpoint_every: int = 5,
+    degree_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Integer-deterministic PageRank over an UNDIRECTED pair list.
 
@@ -115,13 +116,36 @@ def pagerank(
     has no stats — unhinted it may try to broadcast the (arbitrarily
     large) edge side and OOM; hinted merge it would re-sort the edges
     every round. Ranks are re-checkpointed every ``checkpoint_every``
-    rounds to bound lineage depth (the GraphX/ALS pattern)."""
-    edges = undirected_edges(pairs)
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    rounds to bound lineage depth (the GraphX/ALS pattern).
+
+    ``degree_cols=(deg_a, deg_b)`` names pair columns holding each
+    endpoint's PRECOMPUTED node degree (its total incident-pair count
+    across the whole pair list — the caller must guarantee exactly what
+    the fallback computes). Round-8 continuation: when the pair source
+    is a shared session materialization that already carries degrees
+    (queries/graph.py::_trade_pairs with_degrees), the pre-checkpoint
+    subtree collapses from union → degree groupBy shuffle → edge⋈degree
+    join → repartition (3 exchanges) to explode → repartition (1
+    exchange), and the rank init reuses the checkpointed, src-partitioned
+    edges exchange-free."""
     n_shuffle = shuffle_partitions(pairs.sparkSession)
+    if degree_cols is not None:
+        da, db = degree_cols
+        a, b = F.col("a"), F.col("b")
+        # One reference to `pairs`, both directions via array+explode
+        # (no union: union branches would evaluate the source twice).
+        e = F.array(
+            F.struct(a.alias("src"), b.alias("dst"), F.col(da).alias("d")),
+            F.struct(b.alias("src"), a.alias("dst"), F.col(db).alias("d")),
+        )
+        edges_deg = pairs.select(F.explode(e).alias("e")).select("e.*")
+        deg = None
+    else:
+        edges = undirected_edges(pairs)
+        deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+        edges_deg = edges.join(deg, "src")
     edges_deg = (
-        edges.join(deg, "src")
-        .repartition(n_shuffle, "src")
+        edges_deg.repartition(n_shuffle, "src")
         # DISK_ONLY: the edge relation is the big side (2|E| rows). At
         # heap-bound scale the default MEMORY_AND_DISK blocks compete
         # with every round's join/agg execution memory — the sf20 audit
@@ -130,6 +154,10 @@ def pagerank(
         # (page-cached), while heap stays free for shuffle state.
         .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
+    if deg is None:
+        # Node set from the checkpointed edges: HashPartitioning(src)
+        # is preserved, so the distinct is exchange-free.
+        deg = edges_deg.select("src").distinct()
     ranks = deg.select("src", F.lit(1000000).cast("bigint").alias("pr"))
     pinned = [edges_deg]
     for i in range(iterations):
@@ -155,12 +183,27 @@ def pagerank(
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(
+    edges: DataFrame, with_edge_count: bool = False
+) -> DataFrame:
     """Exact triangle count over an undirected simple edge list.
 
     ``edges`` must have columns (a, b) with one row per undirected edge
     and no duplicates/self-loops (a != b; (a,b) unique under a < b —
     normalize upstream if needed).
+
+    ``with_edge_count=True`` returns (n_edges, n_triangles) instead of
+    just (n_triangles,), with n_edges counted from the CHECKPOINTED
+    oriented relation. Orientation is a bijection on edges (each
+    undirected pair passes the ord filter in exactly one direction, the
+    ord packing is a total order, and a != b), so the count is
+    identical to COUNT(*) over ``edges`` — but a caller-side
+    ``edges.agg(count)`` would re-run the whole (expensive,
+    un-materialized) upstream edge pipeline a SECOND time, because only
+    the operator's internal checkpoint memoizes it (round-8: the
+    graph_triangle_count wrapper did exactly that — the support-agg
+    self-join ran twice per query; guide §2.4, one computation per
+    keyed pipeline).
 
     Algorithm: degree-ordered orientation. Each edge is directed from
     its lower-(degree, id) endpoint to the higher one, so every wedge
@@ -220,9 +263,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.col("src").alias("b"), F.col("dst").alias("c")
     )
     tri = wedges.join(closing, ["b", "c"], "left_semi")
-    return _register_round_state(
-        tri.agg(F.count("*").cast("bigint").alias("n_triangles")), oriented
-    )
+    n_tri = tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    if with_edge_count:
+        n_edges = oriented.agg(
+            F.count("*").cast("bigint").alias("n_edges")
+        )
+        n_tri = n_edges.crossJoin(n_tri)
+    return _register_round_state(n_tri, oriented)
 
 
 def min_label_propagation(pairs: DataFrame, rounds: int = 3) -> DataFrame:

@@ -93,16 +93,42 @@ def _trade_pairs_build(spark, sf_dir, min_support: int | None = None):
     a = (F.col("o_custkey") * 2).alias("a")
     b = (F.col("l_suppkey") * 2 + 1).alias("b")
     if min_support is None:
-        return j.select(a, b).distinct()
-    return (
-        j.groupBy(a, b)
-        .agg(F.countDistinct("l_orderkey").alias("n"))
-        .filter(F.col("n") >= min_support)
+        base = j.select(a, b).distinct()
+    else:
+        base = (
+            j.groupBy(a, b)
+            .agg(F.countDistinct("l_orderkey").alias("n"))
+            .filter(F.col("n") >= min_support)
+        )
+    return _with_node_degrees(base)
+
+
+def _with_node_degrees(base: DataFrame) -> DataFrame:
+    """Append per-endpoint node degrees (deg_a, deg_b) to a pair
+    relation — one more column pair in the session materialization so
+    degree-consuming operators (pagerank) skip their per-call degree
+    shuffle + edge⋈degree join entirely (round-8 continuation;
+    guide §2.4 — compute once in the shared build, not per query).
+
+    Column-local window counts ARE the node degrees here because the
+    even/odd id encoding makes the graph bipartite by construction:
+    customers (even) only ever appear in ``a``, suppliers (odd) only in
+    ``b``, and the pair relation is unique on (a, b) in both build
+    branches — so COUNT(*) OVER (PARTITION BY a) is exactly node a's
+    incident-edge count. Two window passes over the (small,
+    support-filtered or distinct) pair relation, paid ONCE per session
+    at materialization time; no joins, no new hint surface."""
+    from pyspark.sql import Window
+
+    return base.select(
+        "*",
+        F.count("*").over(Window.partitionBy("a")).alias("deg_a"),
+        F.count("*").over(Window.partitionBy("b")).alias("deg_b"),
     )
 
 
 def _trade_pairs(spark, sf_dir, min_support: int | None = None,
-                 with_weight: bool = False):
+                 with_weight: bool = False, with_degrees: bool = False):
     """Shared (a, b) customer—supplier pair builder with the even/odd
     node encoding (even = customer*2, odd = supplier*2+1): BIGINT keys
     hash/sort several times per round, so they beat string labels by
@@ -110,14 +136,17 @@ def _trade_pairs(spark, sf_dir, min_support: int | None = None,
     distinct orders (the sparse repeat-trade graph). ``with_weight``
     (requires min_support) also emits an integer DISTANCE weight
     w = GREATEST(1, 8 - n): more repeat orders = a stronger tie = a
-    shorter edge, clamped to [1, 8-min_support]. First call per
-    (session, sf_dir, params) materializes; see _PAIR_CACHE above."""
+    shorter edge, clamped to [1, 8-min_support]. ``with_degrees`` also
+    projects the materialized per-endpoint node degrees (deg_a, deg_b —
+    see _with_node_degrees) for degree-consuming operators. First call
+    per (session, sf_dir, params) materializes; see _PAIR_CACHE above."""
     if with_weight and min_support is None:
         raise ValueError("with_weight requires min_support")
-    # Cache key deliberately EXCLUDES with_weight: the materialized
-    # relation keeps the support count n, so the weighted and
-    # unweighted projections share one edge build (SSSP reuses the
-    # CC/LPA/BFS materialization).
+    # Cache key deliberately EXCLUDES with_weight/with_degrees: the
+    # materialized relation keeps the support count n and the node
+    # degrees, so all projections share one edge build (SSSP reuses the
+    # CC/LPA/BFS materialization; pagerank's degrees ride along and
+    # parquet column pruning keeps non-consumers' reads unchanged).
     key = (spark.sparkContext.applicationId, sf_dir, min_support)
     cached = _PAIR_CACHE.get(key)
     if cached is None or not os.path.isdir(cached):
@@ -130,11 +159,13 @@ def _trade_pairs(spark, sf_dir, min_support: int | None = None,
         out.write.mode("overwrite").parquet(cached)
         _PAIR_CACHE[key] = cached
     g = spark.read.parquet(cached)
+    deg = ["deg_a", "deg_b"] if with_degrees else []
     if min_support is None or not with_weight:
-        return g.select("a", "b")
+        return g.select("a", "b", *deg)
     return g.select(
         "a", "b",
         F.greatest(F.lit(1), F.lit(8) - F.col("n")).cast("bigint").alias("w"),
+        *deg,
     )
 
 
@@ -206,8 +237,12 @@ def _pagerank_lazy(spark: SparkSession, sf_dir: str):
     wrapper's eager materialize-and-release."""
     from ..operators.graph import pagerank
 
-    pairs = _trade_pairs(spark, sf_dir)
-    pr = pagerank(pairs, iterations=3)
+    # with_degrees: the session materialization carries the node
+    # degrees, so pagerank's pre-checkpoint subtree is explode +
+    # repartition (1 exchange) instead of degree-shuffle + edge⋈degree
+    # join + repartition (3) — see _with_node_degrees / pagerank.
+    pairs = _trade_pairs(spark, sf_dir, with_degrees=True)
+    pr = pagerank(pairs, iterations=3, degree_cols=("deg_a", "deg_b"))
     top = (
         pr.select("node", F.col("pr").alias("pr_micro"))
         .orderBy(F.desc("pr_micro"), "node")
@@ -251,7 +286,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     count on the pair key. The two-column result is materialized eagerly
     so the oriented-edge checkpoint is released before the wrapper
     returns (operators/graph.py::finalize_round_result)."""
-    from ..operators.graph import finalize_round_result, triangle_count
+    from ..operators.graph import finalize_round_result
+
+    tri = _triangle_lazy(spark, sf_dir)
+    return finalize_round_result(tri, tri)
+
+
+def _triangle_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy (n_edges, n_triangles) frame — split out so plan tests and
+    the plan-capture script can audit the shape pre-finalize.
+
+    Round-8 optimization (guide §2.4): n_edges comes from the
+    operator's CHECKPOINTED oriented relation (with_edge_count=True;
+    orientation is a bijection on edges), not from a separate
+    ``edges.agg(count)`` — the old wrapper-side aggregate re-ran the
+    whole distinct → basket self-join → support-agg pipeline a SECOND
+    time because only the operator's internal localCheckpoint memoizes
+    it. Probe scripts/probe_triangle_nedges_ab.py: identical output,
+    interleaved A/B timing committed in OPTIMIZATION_r08.md."""
+    from ..operators.graph import triangle_count
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     op = li.distinct()
@@ -265,9 +318,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("support") >= 2)
         .select("a", "b")
     )
-    n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
-    tri = triangle_count(edges)
-    return finalize_round_result(n_edges.crossJoin(tri), tri)
+    return triangle_count(edges, with_edge_count=True)
 
 
 _LPA_ITER = """

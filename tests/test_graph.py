@@ -31,6 +31,36 @@ def test_pagerank_ring_is_exact_fixpoint(spark):
     assert {r["pr"] for r in rows} == {1000000}
 
 
+def test_pagerank_degree_cols_matches_fallback(spark):
+    """Round-8 continuation: pagerank(degree_cols=...) consumes
+    precomputed per-endpoint degrees (explode path, 1 pre-checkpoint
+    exchange) and must be bit-identical to the fallback that derives
+    degrees per call — on a bipartite pair list with repeated
+    endpoints, the shape _trade_pairs materializes (customers even /
+    suppliers odd, unique (a, b) rows, column-local counts == node
+    degrees)."""
+    pairs = [(0, 1), (0, 3), (2, 1), (2, 3), (4, 1), (4, 5), (6, 7)]
+    plain = spark.createDataFrame(pairs, "a long, b long")
+    from collections import Counter
+
+    ca = Counter(a for a, _ in pairs)
+    cb = Counter(b for _, b in pairs)
+    withdeg = spark.createDataFrame(
+        [(a, b, ca[a], cb[b]) for a, b in pairs],
+        "a long, b long, deg_a long, deg_b long",
+    )
+    want = sorted(map(tuple, pagerank(plain, iterations=4).collect()))
+    got = sorted(
+        map(
+            tuple,
+            pagerank(
+                withdeg, iterations=4, degree_cols=("deg_a", "deg_b")
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
 def _tri(spark, edge_list):
     from plc_data_etl_pipeline_spark.operators.graph import triangle_count
 
@@ -46,6 +76,22 @@ def test_triangle_count_known_graphs(spark):
     assert _tri(spark, [(i, i + 1) for i in range(6)]) == 0
     # Two triangles sharing an edge (bowtie on an edge).
     assert _tri(spark, [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3)]) == 2
+
+
+def test_triangle_count_with_edge_count(spark):
+    """with_edge_count=True (round-8: n_edges from the CHECKPOINTED
+    oriented relation, not a second run of the caller's edge pipeline)
+    must report n_edges == the input edge count exactly — orientation
+    is a bijection on edges — alongside the unchanged triangle count,
+    in (n_edges, n_triangles) column order (the graph_triangle_count
+    oracle's column contract)."""
+    from plc_data_etl_pipeline_spark.operators.graph import triangle_count
+
+    bowtie = [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3)]
+    edges = spark.createDataFrame(bowtie, "a long, b long")
+    row = triangle_count(edges, with_edge_count=True).collect()[0]
+    assert tuple(row.asDict()) == ("n_edges", "n_triangles")
+    assert (row["n_edges"], row["n_triangles"]) == (5, 2)
 
 
 def test_triangle_count_star_hub(spark):

@@ -563,11 +563,20 @@ def test_streaming_throughput_100x_reference_exactly_once(spark, tmp_path):
     rates = sorted(b["processedRowsPerSecond"] for b in measured)
     sustained = rates[len(rates) // 2]  # median
     assert sustained >= rate, f"median {sustained:.0f} rows/s < {rate}"
-    # Backlog-free: batches must not grow beyond ~2x rate x 1 s trigger
-    # (the replay/catch-up batch right after restart is exempt).
-    steady = measured[1:]
-    biggest = max(b["numInputRows"] for b in steady)
-    assert biggest <= 2.5 * rate, f"batch of {biggest} rows: backlog forming"
+    # Backlog-free: batch sizes must RETURN to ~rate x 1 s trigger by
+    # the end of the window. The first batches after restart are the
+    # exactly-once replay plus the offsets that accumulated while the
+    # query was down — those are EXPECTED to be large (that is recovery
+    # working) and scale with restart latency, not with consumer
+    # throughput (the round-8 continuation flake: a ~5 s restart gap
+    # made the catch-up batch 5x rate on an otherwise healthy run). A
+    # falling-behind consumer shows the opposite signature: TAIL batch
+    # sizes stay above rate x trigger instead of shrinking back.
+    tail = measured[-3:]
+    biggest = max(b["numInputRows"] for b in tail)
+    assert biggest <= 2.5 * rate, (
+        f"tail batch of {biggest} rows: backlog persists after catch-up"
+    )
 
     table = TransactionalParquetTable(spark, out).read()
     stats = table.agg(

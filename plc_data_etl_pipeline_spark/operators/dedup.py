@@ -727,7 +727,14 @@ def simhash_near_pairs(
     identical spanning structure). NULL texts are excluded from the
     star grouping — they are undefined content, not duplicates of each
     other — matching their prior behavior (no fingerprint, no pairs)."""
-    g = _exact_first_groups(df, id_col, text_col)
+    # Lazy checkpoint: the text-level grouped frame feeds TWO consumers
+    # (text stars + the fingerprint pipeline via reps) — without the
+    # barrier the full-text groupBy runs twice per action (same
+    # round-8-continuation finding as fingerprint_near_pairs' inner
+    # group; one materialization shared across branches).
+    g = _exact_first_groups(df, id_col, text_col).localCheckpoint(
+        eager=False
+    )
     text_stars = (
         g.filter(F.size("ids") >= 2)
         .select(F.explode(star_pairs_expr()).alias("p"))
@@ -739,7 +746,13 @@ def simhash_near_pairs(
         fps, id_col, "simhash", max_bits=max_bits,
         max_bucket_size=max_bucket_size,
     )
-    return near.unionByName(text_stars)
+    from .graph import _register_round_state
+
+    return _register_round_state(
+        near.unionByName(text_stars),
+        g,
+        *getattr(near, "_round_state", ()),
+    )
 
 
 def fingerprint_near_pairs(
@@ -757,7 +770,25 @@ def fingerprint_near_pairs(
     bit_count(xor) verify on candidates only. Same spanning-structure
     pair contract and skew guards as documented there."""
     fps = fps.select(F.col(id_col), F.col(fp_col).alias("simhash"))
-    g = _exact_first_groups(fps, id_col, "simhash")
+    # The grouped frame feeds FOUR consumers (exact stars, the block
+    # subtree via reps, and BOTH verify sides fa/fb) — with no barrier,
+    # each subtree re-derives the whole upstream fingerprint pipeline
+    # (the 63-SUM SimHash aggregation, or the mapInPandas pHash stage)
+    # because Catalyst has no common-subexpression reuse across plan
+    # branches and the consumers prune different columns, so
+    # ReuseExchange never fires (round-8 continuation: the un-barriered
+    # plan carries FOUR MapInPandas + four parquet-scan copies —
+    # plans/r08/fingerprint_near_pairs_before.txt; min-of-6 interleaved
+    # at sf0.1: dedup_simhash 3.49 s → 2.80 s, pHash pair stream
+    # 1.11 s → 1.05 s, and the avoided re-executions grow with the
+    # corpus — the sf5 dup-heavy audit put ONE simhash aggregation pass
+    # at ~8 s, so ×4 of it is the real scale stake).
+    # Same lazy-localCheckpoint pattern as minhash_dedup_pairs: one
+    # materialization shared by all branches of the same action,
+    # registered as round state for deterministic release.
+    g = _exact_first_groups(fps, id_col, "simhash").localCheckpoint(
+        eager=False
+    )
     exact_stars = (
         g.filter(F.size("ids") >= 2)
         .select(F.explode(star_pairs_expr()).alias("p"))
@@ -807,7 +838,9 @@ def fingerprint_near_pairs(
         .filter(F.col("hamming") <= max_bits)
         .select("id_a", "id_b", "hamming")
     )
-    return near.unionByName(exact_stars)
+    from .graph import _register_round_state
+
+    return _register_round_state(near.unionByName(exact_stars), g)
 
 
 def minhash_ml_pairs(
@@ -836,12 +869,19 @@ def minhash_ml_pairs(
     jaccard-1.0 duplicates of each other."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    # Lazy checkpoint (round-8 continuation, the shared-group barrier
+    # of minhash_dedup_pairs / fingerprint_near_pairs): the grouped
+    # frame feeds exact_stars AND the ML feature pipeline, and the
+    # feature frame itself is referenced THREE times downstream
+    # (model.fit + both sides of approxSimilarityJoin) — un-barriered,
+    # the full-text groupBy and the HashingTF/shingle chain re-run once
+    # per reference.
     g = _exact_first_groups(
         df,
         id_col,
         text_col,
         eligible=F.size(F.split(F.col(text_col), " ")) >= F.lit(shingle_n),
-    )
+    ).localCheckpoint(eager=False)
     exact_stars = (
         g.filter(F.size("ids") >= 2)
         .select(F.explode(star_pairs_expr()).alias("p"))
@@ -870,7 +910,10 @@ def minhash_ml_pairs(
         guarded.alias("shingles"),
     ).filter(F.size("shingles") > 0)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(sh)
+    # feats is consumed by model.fit (its own action) and BOTH sides of
+    # the self-join: the lazy checkpoint materializes the shingle +
+    # HashingTF chain once at fit time and the join sides reuse it.
+    feats = tf.transform(sh).localCheckpoint(eager=False)
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=42
     )
@@ -886,7 +929,9 @@ def minhash_ml_pairs(
             F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard"),
         )
     )
-    return near.unionByName(exact_stars)
+    from .graph import _register_round_state
+
+    return _register_round_state(near.unionByName(exact_stars), g, feats)
 
 
 # ---------------------------------------------------------------------------
@@ -1013,10 +1058,17 @@ def connected_components(
         prev_sum = s
     from .graph import _register_round_state
 
+    # Chain the INPUT's round state too (e.g. fingerprint_near_pairs'
+    # shared group checkpoint): the edge checkpoint subsumes the pair
+    # pipeline's DATA, but not its persisted blocks — without chaining,
+    # a finalize/release on the CC result would leave them resident
+    # until the ContextCleaner notices (double release is a no-op, so
+    # callers that also chain pairs' state stay correct).
     return _register_round_state(
         labels.select(F.col("node"), F.col("label").alias("cluster_id")),
         edges,
         labels,
+        *getattr(pairs, "_round_state", ()),
     )
 
 

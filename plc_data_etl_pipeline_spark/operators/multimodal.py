@@ -234,13 +234,17 @@ def phash_near_dup_pairs(
     through their representative; connected components are exact).
     """
     from .dedup import fingerprint_near_pairs
+    from .graph import _register_round_state
 
     pairs = fingerprint_near_pairs(
         hashes, "media_id", "phash",
         max_bits=max_hamming, max_bucket_size=max_bucket_size,
     )
-    return pairs.select(
+    out = pairs.select(
         F.col("id_a").alias("media_a"),
         F.col("id_b").alias("media_b"),
         "hamming",
     )
+    # re-register: derived frames don't inherit Python-side attributes,
+    # and downstream CC chains this state for deterministic release
+    return _register_round_state(out, *getattr(pairs, "_round_state", ()))

@@ -2353,11 +2353,19 @@ def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as MM
     from ..operators.dedup import connected_components
 
+    from ..operators.graph import _register_round_state
+
     docs = load(spark, sf_dir, "documents")
     media = MM.synthesize_media(docs)
     hashes = MM.phash_media(media)
-    pairs = MM.phash_near_dup_pairs(hashes, max_hamming=3).select(
-        F.col("media_a").alias("id_a"), F.col("media_b").alias("id_b")
+    raw_pairs = MM.phash_near_dup_pairs(hashes, max_hamming=3)
+    # keep the operator's round state across the rename (derived frames
+    # drop Python-side attributes); CC chains it for the finalize release
+    pairs = _register_round_state(
+        raw_pairs.select(
+            F.col("media_a").alias("id_a"), F.col("media_b").alias("id_b")
+        ),
+        *getattr(raw_pairs, "_round_state", ()),
     )
     cc = connected_components(pairs)
     sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("sz"))
@@ -2365,17 +2373,26 @@ def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_clusters")
     )
     n_total = media.count()
-    n_in_clusters = cc.count()
-    n_survivors_in_clusters = sizes.count()
-    kept = n_total - n_in_clusters + n_survivors_in_clusters
-    summary = spark.createDataFrame(
-        [(-1, kept)], "sz int, n_clusters bigint"
-    )  # sz=-1 row carries the kept-media total
-    # The histogram is tiny: materialize it and release the CC
-    # label-propagation checkpoints before returning (round-5 review).
-    from ..operators.graph import finalize_round_result
+    # One action materializes the CC and the histogram; the clustered /
+    # survivor totals are EXACT sums over the (tiny) histogram rows —
+    # Σ sz·n and Σ n — so the old cc.count() + sizes.count() pair of
+    # extra Spark jobs (the second re-running the cluster-size shuffle)
+    # is pure arithmetic on the driver (round-8 continuation,
+    # guide §5.1: no extra actions for values an existing result
+    # already determines). Round state released before return, as the
+    # finalize wrapper did (round-5 review).
+    from ..operators.graph import release_round_state
 
-    return finalize_round_result(hist.unionByName(summary), cc)
+    hist_rows = hist.collect()
+    n_in_clusters = sum(r["sz"] * r["n_clusters"] for r in hist_rows)
+    n_survivors_in_clusters = sum(r["n_clusters"] for r in hist_rows)
+    kept = n_total - n_in_clusters + n_survivors_in_clusters
+    release_round_state(cc)
+    # sz=-1 row carries the kept-media total (same output contract)
+    return spark.createDataFrame(
+        [(r["sz"], r["n_clusters"]) for r in hist_rows] + [(-1, kept)],
+        hist.schema,
+    )
 
 
 @query("text_bpe_encode", oracle=None)  # learned-merge application — closed-form pytest

@@ -232,9 +232,23 @@ def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key merge logic no join expresses (custom as-of matching,
     trajectory alignment). The computation here is deliberately
     join-expressible so the cogroup protocol (dual Arrow streams,
-    empty-side handling) is oracle-checked end-to-end."""
-    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 1500)
-    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 1500)
+    empty-side handling) is oracle-checked end-to-end.
+
+    Column pruning is EXPLICIT (guide §4.1): Catalyst cannot see inside
+    the Python merge, so an un-projected cogroup ships every events and
+    orders column through both Arrow streams — the merge needs only the
+    keys (round-8 continuation: ReadSchema dropped to the key column on
+    each side; the cogroup protocol exercised is unchanged)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 1500)
+        .select("user_id")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 1500)
+        .select("o_custkey")
+    )
 
     def merge(ev_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
         if ev_pdf.empty:  # orders-only key: no event rows to report

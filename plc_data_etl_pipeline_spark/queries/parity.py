@@ -162,7 +162,14 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    ev = load(spark, sf_dir, "events")
+    # Explicit projection (guide §4.1): Catalyst cannot prune through
+    # applyInPandas, and the un-projected input shipped ts/user_id and
+    # the fat props string through Arrow for a function that reads only
+    # these three columns (round-8 continuation, same fix as
+    # udf_cogroup_asof).
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
     return ev.groupBy("event_type").applyInPandas(
         zscore, "event_id long, event_type string, zscore double"
     )

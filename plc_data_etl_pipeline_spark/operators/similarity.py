@@ -790,12 +790,24 @@ def pq_ann_topk(
     cand_w = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id")
     )
+    # Round-9 (guide §2.3: project before the exchange): the candidate
+    # window used to carry qvec (64 floats) + qnorm per Q x N scored
+    # row through its sort -> exchange -> sort — ~550 B/row where the
+    # ranking needs only (query_id, neighbor_id, adc_score) = 24 B.
+    # Slimming BEFORE the window cuts the heaviest intermediate of the
+    # whole query ~20x (and the blocking rerank BroadcastExchange
+    # payload with it); qvec/qnorm re-attach after the rerank join via
+    # a second broadcast of the tiny driver-local ``queries`` relation
+    # (Q rows — rebuilding that broadcast is far cheaper than carrying
+    # the vectors through the Q x N pipeline).
     candidates = (
-        F.broadcast(queries)
+        F.broadcast(queries.select("query_id", "luts"))
         .join(corpus, F.col("query_id") != F.col("neighbor_id"))
         .withColumn("adc_score", adc)
+        .select("query_id", "neighbor_id", "adc_score")
         .withColumn("cand_rank", F.row_number().over(cand_w))
         .filter(F.col("cand_rank") <= rerank_factor * k)
+        .select("query_id", "neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -818,6 +830,10 @@ def pq_ann_topk(
     # raw-corpus broadcast -> BuildLeft bounded-candidates broadcast).
     return (
         candidates.hint("broadcast").join(raw, "neighbor_id")
+        .join(
+            F.broadcast(queries.select("query_id", "qvec", "qnorm")),
+            "query_id",
+        )
         .withColumn(
             "cosine_sim",
             F.try_divide(
